@@ -1,0 +1,135 @@
+"""M1 — MERGE upsert (snapshot → current state) with CDC emission.
+
+Re-implements the RAW→LANDING merge of
+``SCD-Configuration Setup.sql:99-119`` / ``SCD-Automation.sql:57-74``:
+
+    MERGE INTO landing USING raw ON t.supplier_code = s.supplier_code
+    WHEN MATCHED AND (t.state != s.state OR t.name != s.name
+                      OR t.key != s.key)  THEN UPDATE SET ...
+    WHEN NOT MATCHED THEN INSERT ...
+
+plus the CDC stream the merge feeds (``CREATE STREAM`` at Setup.sql:58):
+an update is emitted as a DELETE(pre-image) + INSERT(post-image) pair
+with METADATA$ISUPDATE=true; a pure insert as one INSERT row with
+ISUPDATE=false (encoding rule Setup.sql:231-232, goldens :130-138,
+:220-229). Reproducing that pair encoding exactly is load-bearing for
+the downstream SCD2 merge (SURVEY.md §2.1 edge case 1).
+
+Semantics preserved deliberately (SURVEY.md edge cases 3, 5):
+- **Null-sensitive change detection**: the ``!=`` predicates return NULL
+  for NULL comparands → no update. We use plain ``!=``, not null-safe
+  ``<=>`` negation, to match the reference.
+- **No delete propagation**: rows absent from the source are kept
+  untouched (the reference MERGE has no NOT-MATCHED-BY-SOURCE clause).
+
+Physical strategy (100 TB notes): expressed as
+  source LEFT JOIN target  (categorize each source row)
+  + target LEFT ANTI JOIN touched-keys (rows to carry over unchanged)
+instead of a FULL OUTER join, because Spark can broadcast the small side
+of left/anti joins but a full-outer join forces sort-merge. For an
+incremental load (source ≪ target) the delta frame is tiny: Catalyst
+broadcasts it, the anti-join is a broadcast probe, and the only
+large-data motion is the rewrite of the target snapshot — the same cost
+profile as a Delta MERGE that rewrites matched files.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schemas import CDC_ACTION, CDC_ISUPDATE, CDC_ROW_ID
+
+
+def _any_changed(cols: list[str], left: str, right: str):
+    """J3 — OR of null-sensitive ``!=`` comparisons
+    (Setup.sql:102-109)."""
+    return reduce(
+        lambda a, b: a | b,
+        [F.col(f"{left}.{c}") != F.col(f"{right}.{c}") for c in cols],
+    )
+
+
+def plan_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    key: list[str],
+    compare_cols: list[str],
+) -> tuple[DataFrame, DataFrame]:
+    """Return ``(new_target, cdc_changes)`` as two lazy plans.
+
+    ``new_target`` is the post-merge snapshot; ``cdc_changes`` carries the
+    stream rows the merge generated (schema = target columns +
+    METADATA$ACTION / METADATA$ISUPDATE / METADATA$ROW_ID).
+    """
+    cols = target.columns
+    if source.columns != cols:
+        source = source.select(*cols)
+
+    s = source.alias("s")
+    t = target.alias("t")
+    on = [F.col(f"s.{k}") == F.col(f"t.{k}") for k in key]
+
+    # Categorize every source row in ONE pass: update / insert / no-op.
+    cat = (
+        s.join(t.withColumn("_t_present", F.lit(True)), on, "left")
+        .withColumn(
+            "_op",
+            F.when(F.col("_t_present").isNull(), F.lit("insert"))
+            .when(_any_changed(compare_cols, "t", "s"), F.lit("update"))
+            .otherwise(F.lit("noop")),
+        )
+    )
+    s_cols = [F.col(f"s.{c}").alias(c) for c in cols]
+    t_cols = [F.col(f"t.{c}").alias(c) for c in cols]
+
+    # METADATA$ROW_ID: stable per logical row — hash of the merge key
+    # (Snowflake's row id is opaque; a key hash preserves its contract:
+    # the DELETE+INSERT pair of one update shares one id, golden
+    # Setup.sql:224-227).
+    def row_id(prefix: str):
+        return F.md5(F.concat_ws("\x1f", *[F.col(f"{prefix}.{k}").cast("string") for k in key]))
+
+    inserts = (
+        cat.filter(F.col("_op") == "insert")
+        .select(*s_cols, F.lit("INSERT").alias(CDC_ACTION),
+                F.lit(False).alias(CDC_ISUPDATE), row_id("s").alias(CDC_ROW_ID))
+    )
+    upd_post = (
+        cat.filter(F.col("_op") == "update")
+        .select(*s_cols, F.lit("INSERT").alias(CDC_ACTION),
+                F.lit(True).alias(CDC_ISUPDATE), row_id("s").alias(CDC_ROW_ID))
+    )
+    upd_pre = (
+        cat.filter(F.col("_op") == "update")
+        .select(*t_cols, F.lit("DELETE").alias(CDC_ACTION),
+                F.lit(True).alias(CDC_ISUPDATE), row_id("t").alias(CDC_ROW_ID))
+    )
+    changes = inserts.unionByName(upd_post).unionByName(upd_pre)
+
+    # New snapshot: carry over target rows whose key was NOT touched,
+    # then add the updated images and the inserts. The touched-key set is
+    # small (delta-sized) → broadcast anti-join, no full-table shuffle.
+    touched = (
+        cat.filter(F.col("_op") == "update")
+        .select(*[F.col(f"s.{k}").alias(k) for k in key])
+        .distinct()
+    )
+    kept = target.join(F.broadcast(touched), key, "left_anti")
+    new_rows = cat.filter(F.col("_op").isin("update", "insert")).select(*s_cols)
+    new_target = kept.unionByName(new_rows)
+    return new_target, changes
+
+
+def merge_upsert(store, spark, target_name: str, source: DataFrame,
+                 key: list[str], compare_cols: list[str]) -> int:
+    """Execute M1 against the store: one atomic commit carrying both the
+    new snapshot and the CDC batch (Snowflake per-statement txn)."""
+    target = store.read(spark, target_name)
+    new_target, changes = plan_upsert(target, source, key, compare_cols)
+    # The source is re-read by both plans; localCheckpoint the categorized
+    # outputs would also work — for pipeline loads the source is a small
+    # batch, so recomputation is cheaper than a cache of the big side.
+    return store.commit(target_name, new_target, changes=changes)

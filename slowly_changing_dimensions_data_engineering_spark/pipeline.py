@@ -1,0 +1,135 @@
+"""T1-T4 — the 5-task SCD2 pipeline DAG, batch and scheduled variants.
+
+Re-implements ``SCD-Automation.sql:31-122``: a linear 5-task chain fired
+every minute —
+
+    task1 TRUNCATE RAW            (Automation:34-38)
+    task2 COPY stage → RAW, PURGE (Automation:43-49, AFTER task1)
+    task3 MERGE raw → landing     (Automation:53-74, AFTER task2)
+    task4 MERGE stream → staging  (Automation:79-93, AFTER task3)
+    task5 INSERT OVERWRITE master (Automation:97-102, AFTER task4)
+
+A strictly linear chain needs no DAG scheduler (SURVEY.md §3.3): one
+``run_cycle()`` executes the five steps as five store commits. The
+scheduled variant loops with an interval, mirroring
+``SCHEDULE = '1 minute'``; run history lands in a ``pipeline_runs`` log
+(T4, the TASK_HISTORY analogue at Automation:116,147).
+
+Consume-once stream semantics (C3, Automation:142): task4 reads every
+change batch past the ``scd2`` consumer offset and advances the offset
+immediately after its staging commit lands — a crash between commit and
+advance replays the batch, and the M2 merge is idempotent under replay
+(a DELETE re-closes an already-closed row with the same flag, an INSERT
+still matches → no-op), giving effectively-once results.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import time
+
+from pyspark.sql import SparkSession
+
+from . import schemas
+from .operators.merge import merge_upsert
+from .operators.scd2 import refresh_master, scd2_merge
+from .sources.csv import Stage, copy_into
+from .store import TableStore
+
+RAW, LANDING, STAGING, MASTER = (
+    "supplier_raw", "supplier_landing", "supplier_staging", "supplier_master",
+)
+STREAM_CONSUMER = "scd2"  # the stream's single DML consumer (task4)
+
+MERGE_KEY = ["supplier_code"]                       # J1 (Automation:59)
+SCD2_KEY = ["supplier_code", "supplier_state"]      # J2 (Automation:85)
+COMPARE_COLS = ["supplier_state", "supplier_name", "supplier_key"]  # J3
+
+
+class SupplierPipeline:
+    """The reference pipeline: 4 tables + 1 stage + 1 CDC stream."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.store = TableStore(root)
+        self.stage = Stage(os.path.join(root, "_stage"))
+        self._runs_path = os.path.join(root, "_meta", "pipeline_runs.jsonl")
+
+    # D1 — namespace/DDL bootstrap (Setup.sql:5-51)
+    def setup(self) -> None:
+        self.store.create(RAW, schemas.SUPPLIER)
+        self.store.create(LANDING, schemas.SUPPLIER)
+        self.store.create(STAGING, schemas.SUPPLIER_STAGING)
+        self.store.create(MASTER, schemas.SUPPLIER)
+
+    # ---- the five tasks -----------------------------------------------
+    def task1_truncate_raw(self) -> None:
+        self.store.truncate(self.spark, RAW)
+
+    def task2_copy_into_raw(self, purge: bool = True) -> None:
+        copy_into(self.store, self.spark, RAW, self.stage, purge=purge)
+
+    def task3_merge_landing(self) -> None:
+        raw = self.store.read(self.spark, RAW)
+        merge_upsert(self.store, self.spark, LANDING, raw, MERGE_KEY, COMPARE_COLS)
+
+    def task4_scd2_merge(self, now: dt.datetime) -> None:
+        offset = self.store.get_offset(STREAM_CONSUMER)
+        latest = self.store.version(LANDING)
+        stream = self.store.read_changes(self.spark, LANDING, since=offset)
+        if stream is not None:
+            scd2_merge(self.store, self.spark, STAGING, stream, SCD2_KEY, now)
+        self.store.set_offset(STREAM_CONSUMER, latest)
+
+    def task5_refresh_master(self) -> None:
+        refresh_master(self.store, self.spark, MASTER, STAGING)
+
+    # ---- orchestration ---------------------------------------------------
+    def run_cycle(self, now: dt.datetime | None = None, purge: bool = True) -> dict:
+        """One schedule tick: the five tasks in AFTER-chain order.
+
+        ``now`` is evaluated ONCE per cycle — the statement-constant
+        timestamp all SCD2 rows of this load share (F1, golden
+        Setup.sql:255-258)."""
+        now = now or dt.datetime.now(dt.timezone.utc).replace(tzinfo=None)
+        t0 = time.time()
+        self.task1_truncate_raw()
+        self.task2_copy_into_raw(purge=purge)
+        self.task3_merge_landing()
+        self.task4_scd2_merge(now)
+        self.task5_refresh_master()
+        run = {
+            "completed_time": dt.datetime.now(dt.timezone.utc).isoformat(),
+            "duration_sec": round(time.time() - t0, 3),
+            "landing_version": self.store.version(LANDING),
+            "staging_version": self.store.version(STAGING),
+            "state": "SUCCEEDED",
+        }
+        with open(self._runs_path, "a") as f:  # T4 run history
+            f.write(json.dumps(run) + "\n")
+        return run
+
+    def run_scheduled(self, interval_sec: float = 60.0, max_cycles: int | None = None,
+                      stop_when_stage_empty: bool = False) -> list[dict]:
+        """T1/T3 — the 1-minute schedule loop (Automation:36). RESUME ==
+        calling this; SUSPEND == returning/interrupting."""
+        runs = []
+        while max_cycles is None or len(runs) < max_cycles:
+            if stop_when_stage_empty and not self.stage.list():
+                break
+            runs.append(self.run_cycle())
+            if max_cycles is not None and len(runs) >= max_cycles:
+                break
+            time.sleep(interval_sec)
+        return runs
+
+    def task_history(self) -> list[dict]:
+        """T4 — TASK_HISTORY ORDER BY COMPLETED_TIME DESC
+        (Automation:116,147)."""
+        if not os.path.exists(self._runs_path):
+            return []
+        with open(self._runs_path) as f:
+            runs = [json.loads(line) for line in f if line.strip()]
+        return sorted(runs, key=lambda r: r["completed_time"], reverse=True)

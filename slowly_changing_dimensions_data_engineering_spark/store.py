@@ -1,0 +1,151 @@
+"""Versioned parquet table store — the lakehouse substrate.
+
+The reference runs on Snowflake tables + a transactional CDC stream
+(``CREATE STREAM … ON TABLE`` at ``SCD-Configuration Setup.sql:58``).
+Delta Lake is the natural Spark analogue, but this engine cannot assume
+it is installed, so we provide the minimal subset the pipeline needs on
+plain parquet:
+
+- **Versioned snapshots**: each commit writes an immutable directory
+  ``<table>/v{N}/`` and then atomically swaps a pointer file. Readers
+  resolve the pointer first, so a reader never sees a half-written
+  version (same pointer-swap protocol object-store tables use; on HDFS/
+  S3 the pointer write is a single small PUT).
+- **Change feed** (reference stream, C1/C2): a commit may attach the CDC
+  rows it produced as ``<table>/_changes/v{N}/``. Reading the stream =
+  reading every change batch past a consumer's offset.
+- **Consume-once offsets** (C3, ``SCD-Automation.sql:142`` — "Stream data
+  once used will be GONE permanently"): per-consumer offset files,
+  advanced by the consumer after its downstream commit lands.
+
+Scale notes: version directories are immutable and parallel-writable by
+all executors; only the tiny pointer swap is serialized on the driver.
+History cleanup = deleting old ``v{N}`` dirs (VACUUM analogue).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from typing import Iterable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+class TableStore:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(os.path.join(root, "_meta"), exist_ok=True)
+        os.makedirs(os.path.join(root, "_offsets"), exist_ok=True)
+
+    # ---- paths -----------------------------------------------------------
+    def _tdir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _vdir(self, name: str, v: int) -> str:
+        return os.path.join(self._tdir(name), f"v{v:06d}")
+
+    def _cdir(self, name: str, v: int) -> str:
+        return os.path.join(self._tdir(name), "_changes", f"v{v:06d}")
+
+    def _meta_path(self, name: str) -> str:
+        return os.path.join(self.root, "_meta", f"{name}.json")
+
+    # ---- metadata --------------------------------------------------------
+    def _read_meta(self, name: str) -> dict:
+        p = self._meta_path(name)
+        if not os.path.exists(p):
+            raise KeyError(f"table {name!r} does not exist in store {self.root}")
+        with open(p) as f:
+            return json.load(f)
+
+    def _write_meta(self, name: str, meta: dict) -> None:
+        p = self._meta_path(name)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, p)  # atomic pointer swap
+
+    def exists(self, name: str) -> bool:
+        return os.path.exists(self._meta_path(name))
+
+    def version(self, name: str) -> int:
+        return self._read_meta(name)["latest"]
+
+    def schema(self, name: str) -> T.StructType:
+        return T.StructType.fromJson(json.loads(self._read_meta(name)["schema"]))
+
+    # ---- DDL (S7: CREATE TABLE, Setup.sql:14-51) ---------------------------
+    def create(self, name: str, schema: T.StructType, overwrite: bool = True) -> None:
+        """CREATE OR REPLACE TABLE with a fixed explicit schema."""
+        if self.exists(name) and not overwrite:
+            return
+        tdir = self._tdir(name)
+        if os.path.exists(tdir):
+            shutil.rmtree(tdir)
+        os.makedirs(tdir)
+        self._write_meta(name, {"latest": -1, "schema": schema.json()})
+
+    # ---- read ------------------------------------------------------------
+    def read(self, spark: SparkSession, name: str, version: int | None = None) -> DataFrame:
+        meta = self._read_meta(name)
+        v = meta["latest"] if version is None else version
+        schema = T.StructType.fromJson(json.loads(meta["schema"]))
+        if v < 0:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(self._vdir(name, v))
+
+    # ---- commit ----------------------------------------------------------
+    def commit(self, name: str, df: DataFrame, changes: DataFrame | None = None) -> int:
+        """Write a new immutable snapshot (+ optional change batch) and swap
+        the pointer. One commit == one reference DML statement (Snowflake's
+        per-statement transactionality, SURVEY.md §3.1)."""
+        meta = self._read_meta(name)
+        v = meta["latest"] + 1
+        df.write.mode("errorifexists").parquet(self._vdir(name, v))
+        if changes is not None:
+            changes.write.mode("errorifexists").parquet(self._cdir(name, v))
+        meta["latest"] = v
+        meta["schema"] = df.schema.json()
+        self._write_meta(name, meta)
+        return v
+
+    def truncate(self, spark: SparkSession, name: str) -> int:
+        """S8: TRUNCATE TABLE (SCD-Automation.sql:38) — commit an empty
+        snapshot; history (and any unconsumed changes) stays intact."""
+        return self.commit(name, spark.createDataFrame([], self.schema(name)))
+
+    # ---- change feed (C1/C2/C3) -------------------------------------------
+    def change_versions(self, name: str, since: int) -> list[int]:
+        cdir = os.path.join(self._tdir(name), "_changes")
+        if not os.path.isdir(cdir):
+            return []
+        vs = sorted(int(d[1:]) for d in os.listdir(cdir) if d.startswith("v"))
+        return [v for v in vs if v > since]
+
+    def read_changes(self, spark: SparkSession, name: str, since: int) -> DataFrame | None:
+        """C2: ``SELECT * FROM stream`` — all change rows committed after
+        version ``since`` (Setup.sql:127,218). Returns None if no batches."""
+        vs = self.change_versions(name, since)
+        if not vs:
+            return None
+        return spark.read.parquet(*[self._cdir(name, v) for v in vs])
+
+    # ---- consumer offsets (C3) ---------------------------------------------
+    def _offset_path(self, consumer: str) -> str:
+        return os.path.join(self.root, "_offsets", f"{consumer}.json")
+
+    def get_offset(self, consumer: str) -> int:
+        p = self._offset_path(consumer)
+        if not os.path.exists(p):
+            return -1
+        with open(p) as f:
+            return json.load(f)["version"]
+
+    def set_offset(self, consumer: str, version: int) -> None:
+        tmp = self._offset_path(consumer) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": version}, f)
+        os.replace(tmp, self._offset_path(consumer))

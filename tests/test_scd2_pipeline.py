@@ -1,0 +1,160 @@
+"""Golden end-to-end SCD2 replay — the reference's own two-load scenario.
+
+Fixtures are the reference's ``suppliers.csv`` / ``suppliers_v2.csv``
+(reproduced from FIXTURES.md §A.4/A.5); expected states are the golden
+outputs embedded in ``SCD-Configuration Setup.sql``:
+- stream after load 1: 6 INSERT/ISUPDATE=false rows   (Setup.sql:130-138)
+- stream after load 2: 2 inserts + 2 update pairs     (Setup.sql:220-229)
+- staging after load 2: 10 rows, 8 'Y' + 2 closed 'N' (Setup.sql:253-266)
+- master after load 2: the 8 current rows             (Setup.sql:272-275)
+
+Timestamps are asserted structurally (per-load constancy; closed row's
+end_date == successor's start_date), not literally — per FIXTURES.md §A.6.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from slowly_changing_dimensions_data_engineering_spark.pipeline import (
+    LANDING, MASTER, STAGING, SupplierPipeline,
+)
+
+LOAD1 = """1,A101,Virat Kohli,Delhi
+2,A102,MS Dhoni,Ranchi
+3,A103,Pujara,Gujarat
+4,A104,Bumrah,Mumbai
+5,A105,Rohit Sharma,Hyderabad
+6,A106,Dravid,Karnataka
+"""
+
+LOAD2 = """5,A105,Rohit Sharma,Tamilnadu
+6,A106,Dravid,Tamilnadu
+7,A107,Pujara,Saurasthra
+8,A108,Hanuma Vihari,Andhra Pradesh
+"""
+
+T1 = dt.datetime(2024, 3, 26, 23, 41, 54)
+T2 = dt.datetime(2024, 3, 27, 0, 5, 43)
+
+
+@pytest.fixture(scope="module")
+def pipe(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("scd2_store"))
+    p = SupplierPipeline(spark, root)
+    p.setup()
+    return p
+
+
+def _write_load(tmp_path_factory, name, body):
+    f = tmp_path_factory.mktemp("loads") / name
+    f.write_text(body)
+    return str(f)
+
+
+def test_load1_golden(pipe, spark, tmp_path_factory):
+    pipe.stage.put(_write_load(tmp_path_factory, "suppliers.csv", LOAD1))
+
+    # run tasks stepwise so we can inspect the stream before it's consumed
+    pipe.task1_truncate_raw()
+    pipe.task2_copy_into_raw(purge=True)
+    assert pipe.stage.list() == []  # PURGE=TRUE (Setup.sql:92)
+    pipe.task3_merge_landing()
+
+    landing = pipe.store.read(spark, LANDING)
+    assert landing.count() == 6
+
+    # golden stream after load 1 (Setup.sql:130-138)
+    stream = pipe.store.read_changes(spark, LANDING, since=-1).collect()
+    assert len(stream) == 6
+    assert all(r["METADATA$ACTION"] == "INSERT" for r in stream)
+    assert all(r["METADATA$ISUPDATE"] is False for r in stream)
+
+    pipe.task4_scd2_merge(now=T1)
+    pipe.task5_refresh_master()
+
+    staging = pipe.store.read(spark, STAGING).collect()
+    assert len(staging) == 6
+    assert all(r["current_flag"] == "Y" and r["end_date"] is None for r in staging)
+    assert len({r["start_date"] for r in staging}) == 1  # F1 constancy
+    assert pipe.store.read(spark, MASTER).count() == 6
+
+
+def test_load2_golden(pipe, spark, tmp_path_factory):
+    pipe.stage.put(_write_load(tmp_path_factory, "suppliers_v2.csv", LOAD2))
+    offset_before = pipe.store.get_offset("scd2")
+
+    pipe.task1_truncate_raw()
+    pipe.task2_copy_into_raw(purge=False)  # PURGE=FALSE on load 2 (Setup.sql:185)
+    assert len(pipe.stage.list()) == 1
+    pipe.task3_merge_landing()
+
+    # golden stream after load 2 (Setup.sql:220-229): 6 rows —
+    # 2 pure inserts, 2 update post-images, 2 update pre-images
+    stream = pipe.store.read_changes(spark, LANDING, since=offset_before)
+    rows = {(r["METADATA$ACTION"], r["METADATA$ISUPDATE"], r["supplier_code"],
+             r["supplier_state"]) for r in stream.collect()}
+    assert rows == {
+        ("INSERT", False, "A107", "Saurasthra"),
+        ("INSERT", False, "A108", "Andhra Pradesh"),
+        ("INSERT", True, "A105", "Tamilnadu"),
+        ("INSERT", True, "A106", "Tamilnadu"),
+        ("DELETE", True, "A105", "Hyderabad"),
+        ("DELETE", True, "A106", "Karnataka"),
+    }
+    # an update's pre/post rows share one METADATA$ROW_ID (Setup.sql:224-227)
+    ids = stream.filter("`METADATA$ISUPDATE`").select("supplier_code", "METADATA$ROW_ID").collect()
+    by_code = {}
+    for r in ids:
+        by_code.setdefault(r["supplier_code"], set()).add(r["METADATA$ROW_ID"])
+    assert all(len(v) == 1 for v in by_code.values())
+
+    pipe.task4_scd2_merge(now=T2)
+    pipe.task5_refresh_master()
+
+    # golden staging (Setup.sql:253-266): 10 rows, 8 current + 2 closed
+    staging = pipe.store.read(spark, STAGING).collect()
+    assert len(staging) == 10
+    cur = [r for r in staging if r["current_flag"] == "Y"]
+    closed = [r for r in staging if r["current_flag"] == "N"]
+    assert len(cur) == 8 and len(closed) == 2
+    assert {(r["supplier_code"], r["supplier_state"]) for r in closed} == {
+        ("A105", "Hyderabad"), ("A106", "Karnataka"),
+    }
+    # structural timestamp invariants (FIXTURES.md §A.6)
+    assert all(r["end_date"] == T2 for r in closed)
+    new_rows = [r for r in cur if r["supplier_state"] in ("Tamilnadu", "Saurasthra", "Andhra Pradesh")]
+    assert all(r["start_date"] == T2 for r in new_rows)
+    old_cur = [r for r in cur if r not in new_rows]
+    assert all(r["start_date"] == T1 and r["end_date"] is None for r in old_cur)
+
+    # master = 8 current rows projected to the 4 base columns
+    master = pipe.store.read(spark, MASTER)
+    assert master.count() == 8
+    assert master.columns == ["supplier_key", "supplier_code", "supplier_name", "supplier_state"]
+
+
+def test_rerun_same_load_is_noop(pipe, spark):
+    """J3 idempotence: re-merging an identical load produces no updates,
+    no CDC noise, and no new SCD2 versions (write avoidance, SURVEY §4)."""
+    staging_before = pipe.store.read(spark, STAGING).count()
+    offset_before = pipe.store.get_offset("scd2")
+
+    # stage still holds suppliers_v2.csv (load 2 used PURGE=FALSE)
+    pipe.run_cycle(now=dt.datetime(2024, 3, 27, 1, 0, 0), purge=True)
+
+    stream = pipe.store.read_changes(spark, LANDING, since=offset_before)
+    assert stream is None or stream.count() == 0
+    assert pipe.store.read(spark, STAGING).count() == staging_before
+    assert pipe.store.read(spark, MASTER).count() == 8
+
+
+def test_no_delete_propagation(pipe, spark):
+    """Edge case 5: suppliers absent from the latest load remain current
+    forever (the reference MERGE never deletes)."""
+    master = pipe.store.read(spark, MASTER)
+    # A101-A104 were absent from load 2 yet still present
+    codes = {r["supplier_code"] for r in master.collect()}
+    assert {"A101", "A102", "A103", "A104"} <= codes
