@@ -1,0 +1,58 @@
+"""Benchmark driver: runs every registered query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Materialization uses the noop sink (distributed execution, no driver
+collect) so the timing reflects the plan, not result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    import __spark_entry__ as e
+    from slowly_changing_dimensions_data_engineering_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark("sds-bench", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/codegen paths outside the timed region.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name, fn in e.queries().items():
+        t0 = time.time()
+        try:
+            df = fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+        except Exception as ex:  # a failing query counts as missing, not 0s
+            print(f"bench error in {name}: {ex}", file=sys.stderr)
+            continue
+        timings[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "total_query_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

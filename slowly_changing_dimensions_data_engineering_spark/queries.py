@@ -1,0 +1,663 @@
+"""Driver-contract query registry: every implemented operator from
+SURVEY.md §2, each as a (Spark callable, DuckDB oracle SQL) pair.
+
+Cross-engine determinism rules (so the driver's order-insensitive
+value-hash matches bit-for-bit):
+- **Sums of doubles** go through an exact decimal accumulator:
+  ``SUM(CAST(x AS DECIMAL(38,s)))`` then cast to double — decimal
+  addition is associative, so Spark's partial aggregation and DuckDB's
+  sequential scan produce identical results. Raw double SUMs would
+  differ in low-order bits with partition count.
+- **Averages** = exact decimal sum cast to double, divided by count.
+- **Timestamps in output** are formatted to strings — sidesteps
+  tz-annotation differences between Spark (UTC session) and DuckDB.
+- **Top-k** always orders with a unique tiebreak column so LIMIT picks a
+  deterministic set.
+- Every computed column is aliased identically in the Spark plan and the
+  oracle SQL (driver compares columns sorted by name).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from . import schemas
+from .session import configure
+
+# name -> (spark_fn, oracle_sql | None)
+_REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn):
+        _REGISTRY[name] = (fn, oracle)
+        return fn
+    return deco
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {k: v[0] for k, v in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {k: v[1] for k, v in _REGISTRY.items() if v[1] is not None}
+
+
+def _t(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    configure(spark)
+    return schemas.load_testdata(spark, sf_dir, *names)
+
+
+def _dsum(col, scale: int = 4):
+    """Exact decimal sum of a (possibly computed) double column → double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal(38,{scale})")).cast("double")
+
+
+def _fmt(col) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.date_format(c, "yyyy-MM-dd HH:mm:ss")
+
+
+# =====================================================================
+# SCD2 flagship — the reference pipeline run on driver data
+# =====================================================================
+
+_TS1, _TS2 = dt.datetime(2024, 1, 1), dt.datetime(2024, 2, 1)
+
+
+def _supplier_load1(spark, sf_dir) -> DataFrame:
+    t = _t(spark, sf_dir, "supplier", "nation")
+    return (
+        t["supplier"].join(t["nation"], F.col("n_nationkey") == F.col("s_nationkey"))
+        .select(
+            F.col("s_suppkey").alias("supplier_key"),
+            F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias("supplier_code"),
+            F.col("s_name").alias("supplier_name"),
+            F.col("n_name").alias("supplier_state"),
+        )
+    )
+
+
+def _supplier_load2(spark, sf_dir) -> DataFrame:
+    """Delta load: state change for suppkey%3==0, new rows for %5==0
+    (mirrors the suppliers_v2.csv scenario at sf scale)."""
+    t = _t(spark, sf_dir, "supplier", "nation")
+    s, n = t["supplier"], t["nation"]
+    changed = (
+        s.filter(F.col("s_suppkey") % 3 == 0)
+        .join(n, F.col("n_nationkey") == (F.col("s_nationkey") + 7) % 25)
+        .select(
+            F.col("s_suppkey").alias("supplier_key"),
+            F.concat(F.lit("S"), F.col("s_suppkey").cast("string")).alias("supplier_code"),
+            F.col("s_name").alias("supplier_name"),
+            F.col("n_name").alias("supplier_state"),
+        )
+    )
+    new = (
+        s.filter(F.col("s_suppkey") % 5 == 0)
+        .join(n, F.col("n_nationkey") == F.col("s_nationkey"))
+        .select(
+            (F.col("s_suppkey") + 1000).alias("supplier_key"),
+            F.concat(F.lit("S"), (F.col("s_suppkey") + 1000).cast("string")).alias("supplier_code"),
+            F.concat(F.lit("NEW "), F.col("s_name")).alias("supplier_name"),
+            F.col("n_name").alias("supplier_state"),
+        )
+    )
+    return changed.unionByName(new)
+
+
+_SCD2_ORACLE = """
+WITH load1 AS (
+  SELECT s_suppkey AS supplier_key,
+         'S' || CAST(s_suppkey AS VARCHAR) AS supplier_code,
+         s_name AS supplier_name, n_name AS supplier_state
+  FROM supplier JOIN nation ON n_nationkey = s_nationkey
+), changed AS (
+  SELECT s_suppkey AS supplier_key,
+         'S' || CAST(s_suppkey AS VARCHAR) AS supplier_code,
+         s_name AS supplier_name, n_name AS supplier_state
+  FROM supplier JOIN nation ON n_nationkey = (s_nationkey + 7) % 25
+  WHERE s_suppkey % 3 = 0
+), newrows AS (
+  SELECT s_suppkey + 1000 AS supplier_key,
+         'S' || CAST(s_suppkey + 1000 AS VARCHAR) AS supplier_code,
+         'NEW ' || s_name AS supplier_name, n_name AS supplier_state
+  FROM supplier JOIN nation ON n_nationkey = s_nationkey
+  WHERE s_suppkey % 5 = 0
+)
+SELECT l.supplier_key, l.supplier_code, l.supplier_name, l.supplier_state,
+       '2024-01-01 00:00:00' AS start_date,
+       CASE WHEN c.supplier_code IS NOT NULL THEN '2024-02-01 00:00:00' END AS end_date,
+       CASE WHEN c.supplier_code IS NOT NULL THEN 'N' ELSE 'Y' END AS current_flag
+FROM load1 l LEFT JOIN changed c ON l.supplier_code = c.supplier_code
+UNION ALL
+SELECT supplier_key, supplier_code, supplier_name, supplier_state,
+       '2024-02-01 00:00:00', NULL, 'Y' FROM changed
+UNION ALL
+SELECT supplier_key, supplier_code, supplier_name, supplier_state,
+       '2024-02-01 00:00:00', NULL, 'Y' FROM newrows
+"""
+
+
+@register("scd2_supplier_history", _SCD2_ORACLE)
+def scd2_supplier_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full reference pipeline (M1 merge → CDC stream → M2 SCD2 merge)
+    on a supplier-change feed derived from driver data; returns the SCD2
+    history table. Oracle = windowless two-load reconstruction in SQL."""
+    from .operators.merge import merge_upsert
+    from .operators.scd2 import scd2_merge
+    from .store import TableStore
+
+    store = TableStore(tempfile.mkdtemp(prefix="sds_scd2_"))
+    store.create("landing", schemas.SUPPLIER)
+    store.create("staging", schemas.SUPPLIER_STAGING)
+    key, scd2_key = ["supplier_code"], ["supplier_code", "supplier_state"]
+    cmp_cols = ["supplier_state", "supplier_name", "supplier_key"]
+
+    for load, ts in ((_supplier_load1(spark, sf_dir), _TS1),
+                     (_supplier_load2(spark, sf_dir), _TS2)):
+        offset = store.get_offset("scd2")
+        merge_upsert(store, spark, "landing", load, key, cmp_cols)
+        stream = store.read_changes(spark, "landing", since=offset)
+        if stream is not None:
+            scd2_merge(store, spark, "staging", stream, scd2_key, ts)
+        store.set_offset("scd2", store.version("landing"))
+
+    return store.read(spark, "staging").select(
+        "supplier_key", "supplier_code", "supplier_name", "supplier_state",
+        _fmt("start_date").alias("start_date"),
+        _fmt("end_date").alias("end_date"),
+        "current_flag",
+    )
+
+
+@register("scd2_master_current", """
+WITH load1 AS (
+  SELECT s_suppkey AS supplier_key,
+         'S' || CAST(s_suppkey AS VARCHAR) AS supplier_code,
+         s_name AS supplier_name, n_name AS supplier_state
+  FROM supplier JOIN nation ON n_nationkey = s_nationkey
+), changed AS (
+  SELECT s_suppkey AS supplier_key,
+         'S' || CAST(s_suppkey AS VARCHAR) AS supplier_code,
+         s_name AS supplier_name, n_name AS supplier_state
+  FROM supplier JOIN nation ON n_nationkey = (s_nationkey + 7) % 25
+  WHERE s_suppkey % 3 = 0
+), newrows AS (
+  SELECT s_suppkey + 1000 AS supplier_key,
+         'S' || CAST(s_suppkey + 1000 AS VARCHAR) AS supplier_code,
+         'NEW ' || s_name AS supplier_name, n_name AS supplier_state
+  FROM supplier JOIN nation ON n_nationkey = s_nationkey
+  WHERE s_suppkey % 5 = 0
+)
+SELECT l.supplier_key, l.supplier_code, l.supplier_name, l.supplier_state
+FROM load1 l LEFT JOIN changed c ON l.supplier_code = c.supplier_code
+WHERE c.supplier_code IS NULL
+UNION ALL
+SELECT supplier_key, supplier_code, supplier_name, supplier_state FROM changed
+UNION ALL
+SELECT supplier_key, supplier_code, supplier_name, supplier_state FROM newrows
+""")
+def scd2_master_current(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9/P1/P2 — the MASTER rebuild: current rows only, projected to the
+    base columns (Setup.sql:160-161)."""
+    hist = scd2_supplier_history(spark, sf_dir)
+    return hist.filter(F.col("current_flag") == "Y").select(
+        "supplier_key", "supplier_code", "supplier_name", "supplier_state")
+
+
+# =====================================================================
+# TPC-H-style analytics (§2.2: joins, aggregations, top-k)
+# =====================================================================
+
+@register("q1_pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan + filter (pushed to parquet) + hash agg with
+    map-side partials. Exercises P2/P3 + §2.2 aggregations."""
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            _dsum(disc, 6).alias("sum_disc_price"),
+            _dsum(disc * (1 + F.col("l_tax")), 6).alias("sum_charge"),
+            (_dsum("l_quantity") / F.count("*")).alias("avg_qty"),
+            (_dsum(F.col("l_discount"), 6) / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register("q3_shipping_priority", """
+SELECT l_orderkey,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""")
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join (dimension side broadcast) + agg +
+    deterministic top-k."""
+    t = _t(spark, sf_dir, "customer", "orders", "lineitem")
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+    return (
+        t["orders"].filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"))
+        .select("l_orderkey", "revenue",
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+                "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register("q5_region_revenue", """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM customer
+  JOIN orders    ON c_custkey = o_custkey
+  JOIN lineitem  ON l_orderkey = o_orderkey
+  JOIN supplier  ON l_suppkey = s_suppkey
+  JOIN nation    ON s_nationkey = n_nationkey
+  JOIN region    ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+GROUP BY n_name
+""")
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way star join; all dimensions broadcast, the only
+    shuffle is the final small group-by."""
+    t = _t(spark, sf_dir, "customer", "orders", "lineitem", "supplier", "nation", "region")
+    asia = t["nation"].join(
+        F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+        F.col("n_regionkey") == F.col("r_regionkey"))
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"]), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(asia), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias("revenue"))
+    )
+
+
+@register("top_customers", """
+SELECT c_custkey, c_name,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total_spend,
+       COUNT(*) AS n_orders
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+ORDER BY total_spend DESC, c_custkey
+LIMIT 25
+""")
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "customer", "orders")
+    return (
+        t["orders"].join(F.broadcast(t["customer"]), F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(_dsum("o_totalprice").alias("total_spend"), F.count("*").alias("n_orders"))
+        .orderBy(F.desc("total_spend"), F.asc("c_custkey"))
+        .limit(25)
+    )
+
+
+# =====================================================================
+# Join family (§2.2) — semi / anti
+# =====================================================================
+
+@register("semi_join_active_customers", """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+""")
+def semi_join_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "customer", "orders")
+    open_orders = t["orders"].filter(F.col("o_orderstatus") == "O")
+    return (
+        t["customer"]
+        .join(open_orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+    )
+
+
+@register("anti_join_dormant_customers", """
+SELECT c_custkey, c_name, c_acctbal FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+""")
+def anti_join_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir, "customer", "orders")
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+# =====================================================================
+# Aggregation family (§2.2) — distinct, rollup, cube
+# =====================================================================
+
+@register("agg_distinct_suppliers", """
+SELECT l_returnflag,
+       COUNT(DISTINCT l_suppkey) AS n_suppliers,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag
+""")
+def agg_distinct_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register("rollup_order_status", """
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""")
+def rollup_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"), _dsum("o_totalprice").alias("total"))
+
+
+@register("cube_part_brand", """
+SELECT p_brand, p_type, COUNT(*) AS n,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*) AS avg_price
+FROM part GROUP BY CUBE (p_brand, p_type)
+""")
+def cube_part_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")["part"]
+    return p.cube("p_brand", "p_type").agg(
+        F.count("*").alias("n"),
+        (_dsum("p_retailprice") / F.count("*")).alias("avg_price"))
+
+
+# =====================================================================
+# Window functions (§2.2)
+# =====================================================================
+
+@register("window_top3_orders_per_customer", """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) WHERE rn <= 3
+""")
+def window_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+@register("window_running_spend", """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+            OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+FROM orders
+""")
+def window_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total — decimal accumulator inside the frame (DuckDB's
+    windowed double SUM uses tree aggregation, so raw doubles drift)."""
+    o = _t(spark, sf_dir, "orders")["orders"]
+    w = (W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(W.unboundedPreceding, W.currentRow))
+    return o.select("o_custkey", "o_orderkey",
+                    F.sum(F.col("o_totalprice").cast("decimal(38,4)")).over(w)
+                    .cast("double").alias("running_spend"))
+
+
+@register("window_order_gaps", """
+SELECT o_custkey, o_orderkey,
+       date_diff('day',
+                 lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey),
+                 o_orderdate) AS gap_days
+FROM orders
+""")
+def window_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey", "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+        .cast("long").alias("gap_days"),
+    )
+
+
+# =====================================================================
+# Set operations (§2.2)
+# =====================================================================
+
+@register("set_except_finished_only", """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+""")
+def set_except_finished_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    f = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    op = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    return f.subtract(op)  # EXCEPT (distinct set semantics)
+
+
+@register("set_intersect_segments", """
+SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT c_nationkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+""")
+def set_intersect_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")["customer"]
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_nationkey")
+    b = c.filter(F.col("c_mktsegment") == "MACHINERY").select("c_nationkey")
+    return a.intersect(b)
+
+
+# =====================================================================
+# Scalar function surface (§2.2): string / date / JSON
+# =====================================================================
+
+@register("string_functions_parts", """
+SELECT p_partkey,
+       upper(p_brand) AS brand_upper,
+       substr(p_name, 1, 8) AS name_prefix,
+       length(p_name) AS name_len,
+       concat(p_brand, ':', p_type) AS brand_type,
+       replace(p_type, ' ', '_') AS type_slug
+FROM part WHERE p_size >= 25
+""")
+def string_functions_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")["part"]
+    return p.filter(F.col("p_size") >= 25).select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_replace("p_type", " ", "_").alias("type_slug"),
+    )
+
+
+@register("date_parts_orders", """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       CAST(month(o_orderdate) AS BIGINT) AS order_month,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total
+FROM orders GROUP BY 1, 2
+""")
+def date_parts_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return (
+        o.groupBy(
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            F.month("o_orderdate").cast("long").alias("order_month"))
+        .agg(F.count("*").alias("n_orders"), _dsum("o_totalprice").alias("total"))
+    )
+
+
+@register("json_extract_events", """
+SELECT event_type,
+       SUM(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS sum_k,
+       COUNT(*) AS n
+FROM events GROUP BY event_type
+""")
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-string parsing (§1.3): from_json into a typed struct — the
+    oracle reaches the same value by regex since DuckDB's JSON extension
+    may not be loadable offline."""
+    e = _t(spark, sf_dir, "events")["events"]
+    parsed = e.withColumn("p", F.from_json("props", "k BIGINT"))
+    return parsed.groupBy("event_type").agg(
+        F.sum(F.col("p.k")).alias("sum_k"), F.count("*").alias("n"))
+
+
+# =====================================================================
+# Event-time windowing (§2.2 streaming shapes, batch-checkable)
+# =====================================================================
+
+@register("events_hourly_tumbling", """
+SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value
+FROM events GROUP BY 1, 2
+""")
+def events_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window — same F.window() the streaming variant
+    uses with a watermark (tested in tests/test_streaming.py)."""
+    e = _t(spark, sf_dir, "events")["events"]
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), _dsum(F.col("value"), 6).alias("total_value"))
+        .select(_fmt(F.col("w.start")).alias("window_start"), "event_type",
+                "n_events", "total_value")
+    )
+
+
+# =====================================================================
+# Text analysis over documents (north-star LLM-pipeline ops)
+# =====================================================================
+
+@register("doc_token_stats", """
+SELECT doc_id,
+       CAST(length(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+       CAST(length(list_distinct(string_split(trim(text), ' '))) AS BIGINT) AS n_unique_tokens,
+       n_chars
+FROM documents
+""")
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer) — JVM-side split/size, no UDF."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    toks = F.split(F.trim(F.col("text")), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
+        "n_chars",
+    )
+
+
+@register("dedup_prefix_fingerprint", """
+WITH keyed AS (
+  SELECT doc_id,
+         md5(array_to_string(string_split(trim(text), ' ')[1:10], ' ')) AS fp
+  FROM documents
+)
+SELECT fp, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_members
+FROM keyed GROUP BY fp
+""")
+def dedup_prefix_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a content fingerprint (md5 of the first 10 tokens):
+    groupBy-hash dedup keeping the lowest doc_id — the scale pattern for
+    exact dedup over 100 TB (hash-partitioned group, no sort)."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    fp = F.md5(F.concat_ws(" ", F.slice(F.split(F.trim(F.col("text")), " "), 1, 10)))
+    return (
+        d.withColumn("fp", fp)
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_members"))
+    )
+
+
+# =====================================================================
+# Embedding similarity (north-star): brute-force cosine top-k
+# =====================================================================
+
+@register("embed_topk_cosine", """
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings
+  WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+), scored AS (
+  SELECT vec_id, label,
+         round(list_dot_product(embedding::DOUBLE[], qv) /
+               (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+                sqrt(list_dot_product(qv, qv))), 9) AS cosine
+  FROM embeddings, q
+  WHERE vec_id != (SELECT MIN(vec_id) FROM embeddings)
+)
+SELECT vec_id, label, cosine FROM scored
+ORDER BY cosine DESC, vec_id LIMIT 10
+""")
+def embed_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k against a query vector — the exact
+    baseline for ANN. All-JVM: zip_with + aggregate over array<double>,
+    broadcast of the single query row, TopK sort. Cosine is rounded to
+    9 dp so cross-engine double ulp noise can't reorder the cutoff."""
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    ed = e.withColumn("v", F.transform("embedding", lambda x: x.cast("double")))
+    qid = ed.agg(F.min("vec_id")).collect()[0][0]
+    q = ed.filter(F.col("vec_id") == qid).select(F.col("v").alias("qv"))
+
+    def dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    return (
+        ed.filter(F.col("vec_id") != qid)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id", "label",
+            F.round(dot(F.col("v"), F.col("qv")) /
+                    (F.sqrt(dot(F.col("v"), F.col("v"))) * F.sqrt(dot(F.col("qv"), F.col("qv")))),
+                    9).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )

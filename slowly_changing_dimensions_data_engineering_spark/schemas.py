@@ -65,6 +65,27 @@ TESTDATA_TABLES = (
 
 
 def load_testdata(spark, sf_dir: str, *names: str) -> dict:
-    """Read driver parquet tables; returns {name: DataFrame}."""
+    """Read driver parquet tables; returns {name: DataFrame}.
+
+    ``events.parquet`` stores ``ts`` as parquet TIMESTAMP(NANOS), which
+    Spark's vectorized reader rejects. We read nanos as long
+    (``spark.sql.legacy.parquet.nanosAsLong``) and convert to a
+    microsecond timestamp with integer division (``div`` keeps the full
+    int64 precision; a double division would lose sub-µs bits) — the
+    same truncation DuckDB applies to nano timestamps.
+    """
+    from pyspark.sql import functions as F
+
     names = names or TESTDATA_TABLES
-    return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}
+    out = {}
+    for n in names:
+        path = f"{sf_dir}/{n}.parquet"
+        if n == "events":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(path)
+            if dict(df.dtypes).get("ts") == "bigint":
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            out[n] = df
+        else:
+            out[n] = spark.read.parquet(path)
+    return out
