@@ -1,0 +1,155 @@
+"""Deduplication operators — north-star LLM-pipeline surface.
+
+Exact dedup is a hash groupBy (see ``queries.dedup_prefix_fingerprint``).
+This module adds near-duplicate detection, all expressed with JVM-side
+higher-order functions (transform/aggregate/explode) — no Python UDFs —
+so the plans stay inside whole-stage codegen and scale linearly:
+
+- **n-gram Jaccard**: shingle → candidate pairs via shared shingle →
+  exact Jaccard on candidates only. At 100 TB the candidate join is the
+  bottleneck: it shuffles on the shingle hash, which is uniformly
+  distributed (md5), so no skew; pairs are deduped by (d1 < d2).
+- **MinHash + LSH**: k hash functions simulated as md5(seed ‖ shingle)
+  (portable across engines, uniformly distributed); signatures split
+  into bands; docs sharing any band bucket become candidates — the
+  standard shuffle-on-band-key formulation whose cost is O(candidates),
+  not O(n²).
+- **SimHash**: 32-bit signature from token hashes; near-dups = pairs in
+  the same high-bit bucket with small Hamming distance (bit_count(xor)).
+
+Determinism: every hash is md5 (stable everywhere); min over hex strings
+is lexicographic; all ratios are exact int/int divisions done in double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def tokens(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), " ")
+
+
+def shingles(col: Column | str, n: int = 5) -> Column:
+    """Distinct word n-gram md5 shingles of a text column (JVM-side:
+    sequence + transform + slice, no UDF)."""
+    toks = tokens(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))),
+    )
+    return F.array_distinct(grams)
+
+
+def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 5,
+                        threshold: float = 0.2) -> DataFrame:
+    """All pairs (d1 < d2) with shingle-set Jaccard >= threshold.
+
+    Candidate generation = self-join on shingle (only docs sharing at
+    least one shingle are compared); verification = exact
+    |∩| / (|A|+|B|-|∩|) from group counts.
+    """
+    sh = docs.select(F.col(id_col), F.explode(shingles(text_col, n)).alias("sh"))
+    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) &
+               (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2"))
+        .agg(F.count("*").alias("inter"))
+    )
+    s1 = sizes.select(F.col(id_col).alias("d1"), F.col("sz").alias("sz1"))
+    s2 = sizes.select(F.col(id_col).alias("d2"), F.col("sz").alias("sz2"))
+    return (
+        inter.join(F.broadcast(s1), "d1").join(F.broadcast(s2), "d2")
+        .withColumn("jaccard",
+                    F.col("inter").cast("double")
+                    / (F.col("sz1") + F.col("sz2") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "jaccard")
+    )
+
+
+def minhash_signature(col: Column | str, num_hashes: int = 16, n: int = 5) -> Column:
+    """MinHash signature: array of k minima of md5(seed ‖ shingle).
+    Hash family h_j(s) = md5(j ‖ s) — independent uniform hashes,
+    reproducible in any engine with md5."""
+    sh = shingles(col, n)
+    return F.array(*[
+        F.array_min(F.transform(sh, lambda s, j=j: F.md5(F.concat(F.lit(f"{j}|"), s))))
+        for j in range(num_hashes)
+    ])
+
+
+def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", num_hashes: int = 16,
+                           bands: int = 4, n: int = 5) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing >= 1 LSH band bucket.
+
+    band signature = md5(concat of the band's minhashes); the band join
+    shuffles on (band_idx, signature) — uniform keys, no skew.
+    """
+    rows = num_hashes // bands
+    sig = docs.select(F.col(id_col),
+                      minhash_signature(text_col, num_hashes, n).alias("mh"))
+    bands_df = sig.select(
+        id_col,
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("band"),
+                     F.md5(F.concat_ws("|", *[F.col("mh")[i * rows + r]
+                                              for r in range(rows)])).alias("bsig"))
+            for i in range(bands)
+        ])).alias("b"),
+    ).select(id_col, "b.band", "b.bsig")
+    x, y = bands_df.alias("x"), bands_df.alias("y")
+    return (
+        x.join(y, (F.col("x.band") == F.col("y.band")) &
+               (F.col("x.bsig") == F.col("y.bsig")) &
+               (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")))
+        .select(F.col(f"x.{id_col}").alias("d1"), F.col(f"y.{id_col}").alias("d2"))
+        .distinct()
+    )
+
+
+def simhash(col: Column | str, bits: int = 32) -> Column:
+    """SimHash signature: for each bit position, sum ±1 over token hashes
+    (weighted by occurrence); bit = 1 iff the sum is positive. Token
+    hash = first 8 md5 hex chars parsed base-16 (fits 32 bits).
+
+    Fully vectorized: tokens → hashes → per-bit fold via aggregate()."""
+    hashes = F.transform(
+        tokens(col),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+    )
+    def bit_sum(i: int) -> Column:
+        return F.aggregate(
+            hashes, F.lit(0),
+            lambda acc, h: acc + F.when(F.shiftright(h, i).bitwiseAND(1) == 1,
+                                        F.lit(1)).otherwise(F.lit(-1)),
+        )
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = out + F.when(bit_sum(i) > 0,
+                           F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def simhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", max_hamming: int = 3,
+                      bucket_bits: int = 8) -> DataFrame:
+    """Near-dup pairs by SimHash: block on the top ``bucket_bits`` bits
+    (LSH-style — at scale this bounds the self-join), verify with
+    bit_count(xor) <= max_hamming."""
+    sig = docs.select(F.col(id_col), simhash(text_col).alias("sh"))
+    sig = sig.withColumn("bucket", F.shiftright("sh", 32 - bucket_bits))
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) &
+               (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .withColumn("hamming", F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select(F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2"),
+                F.col("hamming").cast("long").alias("hamming"))
+    )

@@ -1,0 +1,95 @@
+"""Embedding similarity search — north-star LLM-pipeline surface.
+
+Brute-force cosine top-k is the exactness baseline
+(``queries.embed_topk_cosine``). This module adds the scale paths:
+
+- **IVF (inverted-file) ANN**: assign every vector to its nearest
+  centroid (one broadcast join against the small centroid set), search
+  only the query's cluster (+ optional probes). At 100 TB the corpus is
+  hash-partitioned by cluster id, so a query touches one partition
+  group instead of the full corpus.
+- **Embedding near-dup pairs**: blocked self-join (block = label/IVF
+  cluster) + exact cosine threshold — the O(n²/k) analogue of LSH
+  dedup for dense vectors.
+
+All vector math is JVM-side (zip_with + aggregate over array<double>).
+Determinism: cosines are rounded before thresholds/ordering so double
+ulp noise cannot flip a comparison across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def as_double(vec: Column | str) -> Column:
+    v = F.col(vec) if isinstance(vec, str) else vec
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine(a: Column, b: Column, digits: int = 9) -> Column:
+    c = dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+    return F.round(c, digits)
+
+
+def l2sq(a: Column, b: Column) -> Column:
+    d = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
+    return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def ivf_assign(vectors: DataFrame, centroids: DataFrame,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               cid_col: str = "centroid_id") -> DataFrame:
+    """Assign each vector to its nearest centroid (squared-L2, rounded;
+    ties → lowest centroid id). centroids: (centroid_id, embedding).
+    One broadcast nested-loop against the tiny centroid table, then a
+    per-row argmin — no shuffle of the corpus."""
+    v = vectors.select(id_col, as_double(vec_col).alias("_v"),
+                       *[c for c in vectors.columns if c not in (id_col, vec_col)])
+    c = centroids.select(F.col(cid_col), as_double("embedding").alias("_c"))
+    scored = (
+        v.crossJoin(F.broadcast(c))
+        .withColumn("_d", F.round(l2sq(F.col("_v"), F.col("_c")), 9))
+    )
+    best = scored.groupBy(id_col).agg(
+        F.min(F.struct(F.col("_d"), F.col(cid_col))).alias("_best"))
+    return best.select(id_col, F.col(f"_best.{cid_col}").alias(cid_col))
+
+
+def ivf_search(vectors: DataFrame, centroids: DataFrame, query_id: int,
+               k: int = 5, id_col: str = "vec_id",
+               vec_col: str = "embedding") -> DataFrame:
+    """ANN top-k: search only the cluster the query lands in."""
+    assign = ivf_assign(vectors, centroids, id_col, vec_col)
+    tagged = vectors.join(assign, id_col)
+    qrow = tagged.filter(F.col(id_col) == query_id).select(
+        as_double(vec_col).alias("qv"), F.col("centroid_id").alias("qc"))
+    return (
+        tagged.crossJoin(F.broadcast(qrow))
+        .filter((F.col("centroid_id") == F.col("qc")) & (F.col(id_col) != query_id))
+        .select(id_col, F.col("centroid_id"),
+                cosine(as_double(vec_col), F.col("qv")).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def embedding_near_dup_pairs(vectors: DataFrame, block_col: str,
+                             threshold: float, id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """Pairs (v1 < v2) within a block with cosine >= threshold."""
+    v = vectors.select(F.col(id_col), F.col(block_col).alias("_blk"),
+                       as_double(vec_col).alias("_v"))
+    a, b = v.alias("a"), v.alias("b")
+    return (
+        a.join(b, (F.col("a._blk") == F.col("b._blk")) &
+               (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("v1"), F.col(f"b.{id_col}").alias("v2"),
+                cosine(F.col("a._v"), F.col("b._v")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

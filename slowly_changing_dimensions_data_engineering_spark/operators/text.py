@@ -1,0 +1,83 @@
+"""Text analysis operators — north-star LLM-pipeline surface.
+
+Language-ID (marker-token heuristic), quality scoring, token counting
+(see also ``queries.doc_token_stats``), and rolling-hash document
+fingerprinting. Everything is built from ``pyspark.sql.functions`` —
+JVM-side, codegen-friendly, no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: Tiny per-language marker lexicons for the n-gram/stopword heuristic.
+#: (Real systems use char n-gram profiles; the *operator shape* — score
+#: per language, argmax with deterministic tiebreak — is identical.)
+LANG_MARKERS: dict[str, list[str]] = {
+    "de": ["der", "die", "das", "und", "ist", "nicht"],
+    "en": ["the", "a", "and", "is", "of", "to"],
+    "es": ["el", "la", "los", "y", "es", "que"],
+    "fr": ["le", "la", "les", "et", "est", "que"],
+    "zh": ["de", "shi", "le", "bu", "wo", "zai"],
+}
+
+STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+
+def _tokens(col) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), " ")
+
+
+def marker_score(col, markers: list[str]) -> Column:
+    """# tokens that are marker words, as a fraction of all tokens."""
+    toks = _tokens(col)
+    hits = F.size(F.filter(toks, lambda t: t.isin(markers)))
+    return hits.cast("double") / F.size(toks)
+
+
+def lang_id(col) -> Column:
+    """Predicted language = argmax marker score, ties → alphabetical
+    (deterministic CASE chain, reproducible in ANSI SQL)."""
+    scores = {lang: marker_score(col, m) for lang, m in sorted(LANG_MARKERS.items())}
+    best = F.greatest(*scores.values())
+    expr = F.lit(None).cast("string")
+    for lang in sorted(LANG_MARKERS, reverse=True):
+        expr = F.when(scores[lang] == best, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_score(text_col, n_chars_col) -> Column:
+    """Length/stopword/diversity quality heuristic in [0, 1]:
+    0.4·len_score + 0.3·stopword-presence + 0.3·type-token ratio."""
+    toks = _tokens(text_col)
+    n = F.size(toks).cast("double")
+    len_score = F.least(n / F.lit(100.0), F.lit(1.0))
+    stop_ratio = F.size(F.filter(toks, lambda t: t.isin(STOPWORDS))).cast("double") / n
+    diversity = F.size(F.array_distinct(toks)).cast("double") / n
+    return F.round(0.4 * len_score + 0.3 * F.least(stop_ratio * 5, F.lit(1.0))
+                   + 0.3 * diversity, 9)
+
+
+def rolling_fingerprint(col, window: int = 8) -> Column:
+    """Document fingerprint: md5 over the md5s of each ``window``-token
+    rolling block (a winnowing-style content signature — robust to small
+    appends, cheap to compare)."""
+    toks = _tokens(col)
+    blocks = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (window - 1), F.lit(1))),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, window))),
+    )
+    return F.md5(F.concat_ws("", blocks))
+
+
+def doc_profile(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """One-pass text-analysis profile used by pipeline filters."""
+    return docs.select(
+        F.col(id_col),
+        lang_id(text_col).alias("pred_lang"),
+        quality_score(text_col, "n_chars").alias("quality"),
+        F.size(_tokens(text_col)).cast("long").alias("n_tokens"),
+        rolling_fingerprint(text_col).alias("fingerprint"),
+    )
