@@ -38,9 +38,14 @@ def asof_join(
     Returns left columns + ``right_cols`` (null when no match — left-join
     semantics; filter afterwards for inner).
     """
-    lcols = left.columns
-    out_fields = [left.schema[c] for c in lcols] + [right.schema[c] for c in right_cols]
     from pyspark.sql import types as T
+    lcols = left.columns
+    # Appended right-side fields must be nullable: unmatched left rows get
+    # nulls (left-join semantics) regardless of the source field's flag.
+    out_fields = [left.schema[c] for c in lcols] + [
+        T.StructField(right.schema[c].name, right.schema[c].dataType, True)
+        for c in right_cols
+    ]
     schema = T.StructType(out_fields)
 
     r = right.select(right_by, right_on, *[c for c in right_cols if c not in (right_by, right_on)])

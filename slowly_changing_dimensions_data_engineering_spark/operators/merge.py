@@ -110,14 +110,16 @@ def plan_upsert(
     changes = inserts.unionByName(upd_post).unionByName(upd_pre)
 
     # New snapshot: carry over target rows whose key was NOT touched,
-    # then add the updated images and the inserts. The touched-key set is
-    # small (delta-sized) → broadcast anti-join, no full-table shuffle.
+    # then add the updated images and the inserts. The touched-key set
+    # scales with the LOAD, not a constant — no unconditional broadcast
+    # hint (a 100× backfill would OOM the driver); AQE's dynamic join
+    # selection broadcasts it when it is in fact delta-sized.
     touched = (
         cat.filter(F.col("_op") == "update")
         .select(*[F.col(f"s.{k}").alias(k) for k in key])
         .distinct()
     )
-    kept = target.join(F.broadcast(touched), key, "left_anti")
+    kept = target.join(touched, key, "left_anti")
     new_rows = cat.filter(F.col("_op").isin("update", "insert")).select(*s_cols)
     new_target = kept.unionByName(new_rows)
     return new_target, changes

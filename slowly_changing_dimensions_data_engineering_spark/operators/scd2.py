@@ -62,13 +62,16 @@ def plan_scd2(
     carry_cols = carry_cols if carry_cols is not None else base_cols
     now_lit = F.lit(now).cast("timestamp_ntz")
 
-    # WHEN MATCHED AND action='DELETE' → close the version.
+    # WHEN MATCHED AND action='DELETE' → close the version. No broadcast
+    # hint: the stream batch scales with the load; AQE broadcasts it at
+    # runtime when it is actually small (a full-table backfill must not
+    # be forced through the driver).
     del_keys = (
         stream.filter(F.col(f"`{CDC_ACTION}`") == "DELETE")
         .select(*key).distinct().withColumn("_close", F.lit(True))
     )
     closed = (
-        staging.join(F.broadcast(del_keys), key, "left")
+        staging.join(del_keys, key, "left")
         .withColumn(
             "end_date",
             F.when(F.col("_close"), now_lit).otherwise(F.col("end_date")),
@@ -89,11 +92,11 @@ def plan_scd2(
     # side of a broadcast join.
     ins = stream.filter(F.col(f"`{CDC_ACTION}`") == "INSERT")
     matched_keys = (
-        staging.join(F.broadcast(ins.select(*key).distinct()), key, "left_semi")
+        staging.join(ins.select(*key).distinct(), key, "left_semi")
         .select(*key).distinct()
     )
     opened = (
-        ins.join(F.broadcast(matched_keys), key, "left_anti")
+        ins.join(matched_keys, key, "left_anti")
         .select(
             *base_cols,
             now_lit.alias("start_date"),

@@ -18,9 +18,13 @@ scheduled variant loops with an interval, mirroring
 Consume-once stream semantics (C3, Automation:142): task4 reads every
 change batch past the ``scd2`` consumer offset and advances the offset
 immediately after its staging commit lands — a crash between commit and
-advance replays the batch, and the M2 merge is idempotent under replay
-(a DELETE re-closes an already-closed row with the same flag, an INSERT
-still matches → no-op), giving effectively-once results.
+advance replays the batch. Replay is *flag*-idempotent (a DELETE
+re-closes an already-'N' row, an INSERT still matches → no-op) but not
+*value*-idempotent: re-closing overwrites ``end_date`` with the replay
+cycle's timestamp, exactly as re-executing the reference MERGE would in
+Snowflake (matched rows are updated unconditionally when the action
+predicate holds) — we preserve that observable behavior rather than
+guard it away.
 """
 
 from __future__ import annotations

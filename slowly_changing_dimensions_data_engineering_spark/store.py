@@ -104,6 +104,12 @@ class TableStore:
         per-statement transactionality, SURVEY.md §3.1)."""
         meta = self._read_meta(name)
         v = meta["latest"] + 1
+        # A crash mid-write can leave an orphan v{N} directory that the
+        # pointer never referenced (it only advances after a successful
+        # write). Clear it so the table can never wedge on errorifexists.
+        for orphan in (self._vdir(name, v), self._cdir(name, v)):
+            if os.path.exists(orphan):
+                shutil.rmtree(orphan)
         df.write.mode("errorifexists").parquet(self._vdir(name, v))
         if changes is not None:
             changes.write.mode("errorifexists").parquet(self._cdir(name, v))
