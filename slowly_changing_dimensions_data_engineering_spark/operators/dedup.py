@@ -60,10 +60,12 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
         .groupBy(F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2"))
         .agg(F.count("*").alias("inter"))
     )
+    # sizes scales with the corpus — no forced broadcast; AQE picks the
+    # join strategy from runtime stats.
     s1 = sizes.select(F.col(id_col).alias("d1"), F.col("sz").alias("sz1"))
     s2 = sizes.select(F.col(id_col).alias("d2"), F.col("sz").alias("sz2"))
     return (
-        inter.join(F.broadcast(s1), "d1").join(F.broadcast(s2), "d2")
+        inter.join(s1, "d1").join(s2, "d2")
         .withColumn("jaccard",
                     F.col("inter").cast("double")
                     / (F.col("sz1") + F.col("sz2") - F.col("inter")))
@@ -110,6 +112,28 @@ def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
                (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")))
         .select(F.col(f"x.{id_col}").alias("d1"), F.col(f"y.{id_col}").alias("d2"))
         .distinct()
+    )
+
+
+def minhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", num_hashes: int = 16,
+                      bands: int = 4, n: int = 5,
+                      threshold: float = 0.5) -> DataFrame:
+    """End-to-end MinHash near-dup pipeline: LSH candidate generation
+    followed by EXACT Jaccard verification on the candidates only —
+    the standard two-phase shape whose cost is O(candidates), never
+    O(n²). Returns (d1, d2, jaccard) with jaccard >= threshold."""
+    cands = minhash_lsh_candidates(docs, id_col, text_col, num_hashes, bands, n)
+    sh = docs.select(F.col(id_col), shingles(text_col, n).alias("shl"))
+    s1 = sh.select(F.col(id_col).alias("d1"), F.col("shl").alias("shl1"))
+    s2 = sh.select(F.col(id_col).alias("d2"), F.col("shl").alias("shl2"))
+    inter = F.size(F.array_intersect("shl1", "shl2"))
+    union = F.size("shl1") + F.size("shl2") - inter
+    return (
+        cands.join(s1, "d1").join(s2, "d2")
+        .withColumn("jaccard", inter.cast("double") / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "jaccard")
     )
 
 

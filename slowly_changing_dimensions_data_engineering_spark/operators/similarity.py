@@ -64,16 +64,69 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame,
 def ivf_search(vectors: DataFrame, centroids: DataFrame, query_id: int,
                k: int = 5, id_col: str = "vec_id",
                vec_col: str = "embedding") -> DataFrame:
-    """ANN top-k: search only the cluster the query lands in."""
+    """ANN top-k: score ONLY the query's cluster.
+
+    The cluster restriction is an equi-join on ``centroid_id == qc``
+    (1-row build side, broadcast) — Catalyst probes the hash table
+    before any cosine is evaluated, so non-cluster rows are discarded
+    at the join, not filtered after a full cross product. Over an
+    on-disk index the same predicate becomes a partition-pruned scan
+    (``ivf_search_index``) — at 100 TB a query touches one partition
+    directory instead of the corpus."""
     assign = ivf_assign(vectors, centroids, id_col, vec_col)
     tagged = vectors.join(assign, id_col)
     qrow = tagged.filter(F.col(id_col) == query_id).select(
         as_double(vec_col).alias("qv"), F.col("centroid_id").alias("qc"))
     return (
-        tagged.crossJoin(F.broadcast(qrow))
-        .filter((F.col("centroid_id") == F.col("qc")) & (F.col(id_col) != query_id))
+        tagged.join(F.broadcast(qrow), F.col("centroid_id") == F.col("qc"))
+        .filter(F.col(id_col) != query_id)
         .select(id_col, F.col("centroid_id"),
                 cosine(as_double(vec_col), F.col("qv")).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def ivf_build_index(vectors: DataFrame, centroids: DataFrame, path: str,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> None:
+    """Materialize the IVF index: the corpus written partitioned by
+    ``centroid_id``. This is the 100 TB layout — each cluster is its own
+    partition directory, so a search's cluster filter prunes at the file
+    listing (``PartitionFilters`` in the scan, zero non-cluster IO)."""
+    assign = ivf_assign(vectors, centroids, id_col, vec_col)
+    (vectors.join(assign, id_col)
+     .write.mode("overwrite").partitionBy("centroid_id").parquet(path))
+
+
+def nearest_centroid(centroids: DataFrame, query_vec: list[float],
+                     cid_col: str = "centroid_id") -> int:
+    """Driver-side argmin over the (dict-sized) centroid set — query
+    planning, not data processing; mirrors ivf_assign's rounding and
+    lowest-id tie-break."""
+    best = None
+    for row in centroids.select(cid_col, "embedding").collect():
+        d = round(sum((float(a) - float(b)) ** 2
+                      for a, b in zip(row["embedding"], query_vec)), 9)
+        if best is None or (d, row[cid_col]) < best:
+            best = (d, row[cid_col])
+    return best[1]
+
+
+def ivf_search_index(spark, path: str, query_vec: list[float], qc: int,
+                     query_id: int | None = None, k: int = 5,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """ANN top-k over a materialized IVF index: a literal
+    ``centroid_id == qc`` predicate on a centroid-partitioned layout →
+    static partition pruning (verify with ``.explain``: the scan's
+    PartitionFilters carries the literal; only one directory is read)."""
+    idx = spark.read.parquet(path).filter(F.col("centroid_id") == F.lit(qc))
+    if query_id is not None:
+        idx = idx.filter(F.col(id_col) != query_id)
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        idx.select(id_col, F.col("centroid_id"),
+                   cosine(as_double(vec_col), qv).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )

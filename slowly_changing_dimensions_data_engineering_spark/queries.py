@@ -678,3 +678,307 @@ def embed_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+# =====================================================================
+# Near-duplicate detection (north-star): n-gram Jaccard, MinHash+LSH,
+# SimHash. Oracle SQL is GENERATED from the same parameters the Spark
+# operators use (n=5 shingles, 16 hashes × 4 bands, 32-bit simhash) so
+# the two sides cannot drift.
+# =====================================================================
+
+#: DuckDB CTEs for tokenization + distinct 5-gram md5 shingles —
+#: mirrors dedup.shingles (sequence upper bound greatest(len-4, 1)).
+_SHINGLE_CTES = """
+WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-4,1)+1),
+                 i -> md5(array_to_string(t[i:i+4], ' ')))) AS shl
+  FROM toks
+)"""
+
+_JACCARD_TAIL = """,
+ex AS (SELECT doc_id, unnest(shl) AS s FROM sh),
+sizes AS (SELECT doc_id, len(shl) AS sz FROM sh),
+inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2, CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) AS jaccard
+FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= 0.2
+"""
+
+
+@register("ngram_jaccard_pairs", _SHINGLE_CTES + _JACCARD_TAIL)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-keyed candidate join + exact Jaccard verification
+    (operators/dedup.py) — never all-pairs; the only shuffle keys on the
+    uniformly-distributed shingle hash."""
+    from .operators.dedup import ngram_jaccard_pairs
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return ngram_jaccard_pairs(d, n=5, threshold=0.2)
+
+
+def _minhash_sql(num_hashes: int = 16, bands: int = 4) -> str:
+    """DuckDB mirror of dedup.minhash_signature / minhash_lsh_candidates:
+    h_j(s) = md5('j|' ‖ s); band sig = md5(minhashes joined by '|')."""
+    rows = num_hashes // bands
+    mh = ",\n         ".join(
+        f"list_min(list_transform(shl, s -> md5('{j}|' || s))) AS mh{j}"
+        for j in range(num_hashes))
+    pipe = " || '|' || "
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band, "
+        f"md5({pipe.join(f'mh{i * rows + r}' for r in range(rows))}) AS bsig FROM mh"
+        for i in range(bands))
+    return f""",
+mh AS (
+  SELECT doc_id, {mh}
+  FROM sh
+),
+bands AS (
+  {band_selects}
+),
+cands AS (
+  SELECT DISTINCT x.doc_id AS d1, y.doc_id AS d2
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id < y.doc_id
+)"""
+
+
+@register("minhash_lsh_candidates",
+          _SHINGLE_CTES + _minhash_sql() + "\nSELECT d1, d2 FROM cands")
+def minhash_lsh_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidate generation (operators/dedup.py): banded
+    signature shuffle, O(candidates) not O(n²)."""
+    from .operators.dedup import minhash_lsh_candidates
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return minhash_lsh_candidates(d, num_hashes=16, bands=4, n=5)
+
+
+@register("minhash_near_dups", _SHINGLE_CTES + _minhash_sql() + """
+SELECT d1, d2,
+       CAST(len(list_intersect(s1.shl, s2.shl)) AS DOUBLE)
+       / (len(s1.shl) + len(s2.shl) - len(list_intersect(s1.shl, s2.shl))) AS jaccard
+FROM cands JOIN sh s1 ON d1 = s1.doc_id JOIN sh s2 ON d2 = s2.doc_id
+WHERE CAST(len(list_intersect(s1.shl, s2.shl)) AS DOUBLE)
+      / (len(s1.shl) + len(s2.shl) - len(list_intersect(s1.shl, s2.shl))) >= 0.5
+""")
+def minhash_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end MinHash near-dup pipeline: LSH candidates, then EXACT
+    Jaccard on candidates only (two-phase; operators/dedup.py)."""
+    from .operators.dedup import minhash_near_dups
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return minhash_near_dups(d, num_hashes=16, bands=4, n=5, threshold=0.5)
+
+
+def _simhash_sql(bits: int = 32, bucket_bits: int = 8, max_hamming: int = 3) -> str:
+    """DuckDB mirror of dedup.simhash/simhash_near_dups: token hash =
+    first 8 md5 hex chars base-16; per-bit ±1 fold; block on top bits."""
+    def bit_sum(i: int) -> str:
+        return (f"list_sum(list_transform(hs, h -> "
+                f"CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END))")
+    sig = " + ".join(
+        f"CASE WHEN {bit_sum(i)} > 0 THEN {1 << i}::BIGINT ELSE 0::BIGINT END"
+        for i in range(bits))
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+h AS (SELECT doc_id,
+             list_transform(t, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs
+      FROM toks),
+sig AS (SELECT doc_id, ({sig}) AS sh FROM h),
+b AS (SELECT doc_id, sh, sh >> {bits - bucket_bits} AS bucket FROM sig)
+SELECT x.doc_id AS d1, y.doc_id AS d2,
+       CAST(bit_count(xor(x.sh, y.sh)) AS BIGINT) AS hamming
+FROM b x JOIN b y ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+WHERE bit_count(xor(x.sh, y.sh)) <= {max_hamming}
+"""
+
+
+@register("simhash_near_dups", _simhash_sql())
+def simhash_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dups (operators/dedup.py): 32-bit signature, top-8-bit
+    LSH blocking, Hamming<=3 verification via bit_count(xor)."""
+    from .operators.dedup import simhash_near_dups
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return simhash_near_dups(d, max_hamming=3, bucket_bits=8)
+
+
+# =====================================================================
+# Text analysis profile (north-star): lang-ID + quality + fingerprint
+# =====================================================================
+
+def _text_profile_sql() -> str:
+    """DuckDB mirror of text.doc_profile, generated from the SAME marker
+    lexicons/stopword list the Spark operator uses."""
+    from .operators.text import LANG_MARKERS, STOPWORDS
+
+    def lst(words: list[str]) -> str:
+        return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+    score_cols = ",\n         ".join(
+        f"CAST(len(list_filter(t, x -> list_contains({lst(m)}, x))) AS DOUBLE)"
+        f" / len(t) AS s_{lang}"
+        for lang, m in sorted(LANG_MARKERS.items()))
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in sorted(LANG_MARKERS)) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN s_{lang} = best THEN '{lang}'" for lang in sorted(LANG_MARKERS)) + " END"
+    return f"""
+WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+scored AS (
+  SELECT doc_id, t,
+         {score_cols}
+  FROM toks
+),
+withbest AS (SELECT *, {best} AS best FROM scored)
+SELECT doc_id,
+       {case} AS pred_lang,
+       round(0.4 * least(CAST(len(t) AS DOUBLE) / 100.0, 1.0)
+             + 0.3 * least((CAST(len(list_filter(t, x -> list_contains({lst(STOPWORDS)}, x))) AS DOUBLE) / CAST(len(t) AS DOUBLE)) * 5, 1.0)
+             + 0.3 * (CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)), 9) AS quality,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       md5(array_to_string(list_transform(range(1, greatest(len(t)-7,1)+1),
+                           i -> md5(array_to_string(t[i:i+7], ' '))), '')) AS fingerprint
+FROM withbest
+"""
+
+
+@register("doc_text_profile", _text_profile_sql())
+def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass text-analysis profile (operators/text.py): language-ID
+    argmax, quality heuristic, token count, rolling fingerprint — all
+    JVM-side higher-order functions, no Python in the row path."""
+    from .operators.text import doc_profile
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return doc_profile(d)
+
+
+# =====================================================================
+# IVF ANN search over a centroid-partitioned index (north-star)
+# =====================================================================
+
+_IVF_QUERY_ID = 42
+_IVF_N_CENTROIDS = 8
+#: sf_dir -> materialized index path (built once per process).
+_IVF_INDEX_CACHE: dict[str, str] = {}
+
+_IVF_ORACLE = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings
+      WHERE vec_id < {_IVF_N_CENTROIDS}),
+scored AS (
+  SELECT v.vec_id, c.cid,
+         round(list_dot_product(
+                 list_transform(range(1, len(ve)+1), i -> ve[i] - ce[i]),
+                 list_transform(range(1, len(ve)+1), i -> ve[i] - ce[i])), 9) AS d
+  FROM v, c
+),
+assign AS (
+  SELECT vec_id, cid FROM scored
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+),
+q AS (SELECT ve AS qv FROM v WHERE vec_id = {_IVF_QUERY_ID}),
+qc AS (SELECT cid AS qcid FROM assign WHERE vec_id = {_IVF_QUERY_ID})
+SELECT v.vec_id, CAST(a.cid AS BIGINT) AS centroid_id,
+       round(list_dot_product(ve, qv) /
+             (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(qv, qv))), 9) AS cosine
+FROM v JOIN assign a USING (vec_id), q, qc
+WHERE a.cid = qcid AND v.vec_id != {_IVF_QUERY_ID}
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+"""
+
+
+def _ivf_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir) the centroid-partitioned IVF index;
+    centroids = the first {_IVF_N_CENTROIDS} vectors (deterministic)."""
+    import os
+
+    from .operators.similarity import ivf_build_index
+
+    path = _IVF_INDEX_CACHE.get(sf_dir)
+    if path and os.path.exists(path):
+        return path
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    cents = (e.filter(F.col("vec_id") < _IVF_N_CENTROIDS)
+             .select(F.col("vec_id").alias("centroid_id"), "embedding"))
+    path = tempfile.mkdtemp(prefix="sds_ivf_") + "/index"
+    ivf_build_index(e.select("vec_id", "embedding"), cents, path)
+    _IVF_INDEX_CACHE[sf_dir] = path
+    return path
+
+
+@register("ivf_search_ann", _IVF_ORACLE)
+def ivf_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k (operators/similarity.py): the corpus is stored
+    partitioned by centroid_id, the query's cluster is resolved
+    driver-side against the dict-sized centroid set, and the scan
+    carries a literal PartitionFilter — only one cluster directory is
+    read (the 100 TB path; see tests/test_llm_ops.py plan assertion)."""
+    from .operators.similarity import ivf_search_index, nearest_centroid
+
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    qvec = [float(x) for x in
+            e.filter(F.col("vec_id") == _IVF_QUERY_ID).select("embedding").head()[0]]
+    cents = (e.filter(F.col("vec_id") < _IVF_N_CENTROIDS)
+             .select(F.col("vec_id").alias("centroid_id"), "embedding"))
+    qc = nearest_centroid(cents, qvec)
+    path = _ivf_index(spark, sf_dir)
+    out = ivf_search_index(spark, path, qvec, qc, query_id=_IVF_QUERY_ID, k=10)
+    return out.withColumn("centroid_id", F.col("centroid_id").cast("long"))
+
+
+@register("embedding_near_dup_pairs", """
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS ve FROM embeddings)
+SELECT a.vec_id AS v1, b.vec_id AS v2,
+       round(list_dot_product(a.ve, b.ve) /
+             (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))), 9) AS cosine
+FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.ve, b.ve) /
+            (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))), 9) >= 0.3
+""")
+def embedding_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (operators/similarity.py): label-blocked
+    self-join + exact cosine threshold — O(n²/k), never all-pairs."""
+    from .operators.similarity import embedding_near_dup_pairs
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    return embedding_near_dup_pairs(e, block_col="label", threshold=0.3)
+
+
+# =====================================================================
+# As-of (temporal) join — §2.2 gap operator; oracle = native DuckDB ASOF
+# =====================================================================
+
+@register("asof_latest_order", """
+WITH r AS (
+  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT event_id, user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+       strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS last_order_ts,
+       o_orderkey
+FROM events ASOF LEFT JOIN r ON user_id = o_custkey AND ts >= o_orderdate
+""")
+def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each event attached to the latest
+    order at-or-before its timestamp for the same key — cogroup +
+    vectorized merge_asof, one shuffle per side. The right side is
+    deduped to one row per (key, time) per the operator's determinism
+    contract. Oracle = DuckDB's native ASOF LEFT JOIN."""
+    from .operators.asof import asof_join
+    t = _t(spark, sf_dir, "events", "orders")
+    left = t["events"].select("event_id", "user_id", "ts")
+    right = (t["orders"].groupBy("o_custkey", "o_orderdate")
+             .agg(F.max("o_orderkey").alias("o_orderkey")))
+    joined = asof_join(left, right, on="ts", right_on="o_orderdate",
+                       by="user_id", right_by="o_custkey",
+                       right_cols=["o_orderdate", "o_orderkey"])
+    return joined.select(
+        "event_id", "user_id",
+        _fmt("ts").alias("event_ts"),
+        _fmt("o_orderdate").alias("last_order_ts"),
+        "o_orderkey",
+    )

@@ -1,0 +1,157 @@
+"""Unit tests for the LLM-pipeline operator modules
+(operators/{dedup,similarity,text,asof}.py) on small synthetic frames —
+complementing the DuckDB-oracle checks that run over the driver testdata
+(queries: ngram_jaccard_pairs, minhash_*, simhash_near_dups,
+doc_text_profile, ivf_search_ann, embedding_near_dup_pairs,
+asof_latest_order).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import Row, functions as F
+
+
+DOCS = [
+    # 0 and 1 are identical → every near-dup detector must pair them.
+    (0, "the quick brown fox jumps over the lazy dog again and again"),
+    (1, "the quick brown fox jumps over the lazy dog again and again"),
+    # 2 shares a long prefix with 0/1 (near-dup, not exact).
+    (2, "the quick brown fox jumps over the lazy dog sometimes maybe"),
+    # 3 is unrelated.
+    (3, "completely different words with zero overlap whatsoever here now"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+def test_ngram_jaccard_identical_docs(docs):
+    from slowly_changing_dimensions_data_engineering_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+    pairs = {(r["d1"], r["d2"]): r["jaccard"]
+             for r in ngram_jaccard_pairs(docs, n=5, threshold=0.1).collect()}
+    assert pairs[(0, 1)] == 1.0          # identical → jaccard exactly 1
+    assert (0, 2) in pairs and pairs[(0, 2)] < 1.0
+    assert not any(3 in p for p in pairs)  # unrelated doc pairs with nothing
+
+
+def test_minhash_lsh_and_verify(docs):
+    from slowly_changing_dimensions_data_engineering_spark.operators.dedup import (
+        minhash_lsh_candidates, minhash_near_dups,
+    )
+    cands = {(r["d1"], r["d2"])
+             for r in minhash_lsh_candidates(docs).collect()}
+    assert (0, 1) in cands  # identical docs always share every band
+    verified = {(r["d1"], r["d2"]): r["jaccard"]
+                for r in minhash_near_dups(docs, threshold=0.99).collect()}
+    assert verified == {(0, 1): 1.0}  # exact-verify phase prunes near-misses
+
+
+def test_simhash_identical_docs(docs):
+    from slowly_changing_dimensions_data_engineering_spark.operators.dedup import (
+        simhash_near_dups,
+    )
+    pairs = {(r["d1"], r["d2"]): r["hamming"]
+             for r in simhash_near_dups(docs, max_hamming=3).collect()}
+    assert pairs[(0, 1)] == 0  # identical text → identical signature
+
+
+def test_text_profile_lang_and_quality(spark):
+    from slowly_changing_dimensions_data_engineering_spark.operators.text import (
+        doc_profile,
+    )
+    d = spark.createDataFrame(
+        [(0, "the cat is on the mat and the dog is in the house"),
+         (1, "der Hund ist nicht der Katze und das ist gut")],
+        ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in doc_profile(d).collect()}
+    assert rows[0]["pred_lang"] == "en"
+    assert rows[1]["pred_lang"] == "de"
+    assert 0.0 <= rows[0]["quality"] <= 1.0
+    assert rows[0]["n_tokens"] == 13
+    assert len(rows[0]["fingerprint"]) == 32  # md5 hex
+
+
+def test_asof_join_match_nomatch_and_empty_group(spark):
+    """ADVICE coverage: normal match, no-match (left before all right),
+    and a left group with an empty right side — all must return left-join
+    rows with nullable right columns."""
+    from slowly_changing_dimensions_data_engineering_spark.operators.asof import (
+        asof_join,
+    )
+    ts = dt.datetime
+    left = spark.createDataFrame([
+        Row(ev=1, k=1, t=ts(2024, 1, 10)),   # matches r@Jan5
+        Row(ev=2, k=1, t=ts(2024, 1, 1)),    # before all right rows → null
+        Row(ev=3, k=2, t=ts(2024, 1, 10)),   # key 2 has NO right rows → null
+        Row(ev=4, k=1, t=ts(2024, 2, 1)),    # matches r@Jan20 (latest <=)
+    ])
+    right = spark.createDataFrame([
+        Row(k=1, rt=ts(2024, 1, 5), val="a"),
+        Row(k=1, rt=ts(2024, 1, 20), val="b"),
+    ])
+    out = asof_join(left, right, on="t", right_on="rt", by="k", right_by="k",
+                    right_cols=["rt", "val"])
+    rows = {r["ev"]: (r["val"], r["rt"]) for r in out.collect()}
+    assert rows[1] == ("a", ts(2024, 1, 5))
+    assert rows[2] == (None, None)
+    assert rows[3] == (None, None)
+    assert rows[4] == ("b", ts(2024, 1, 20))
+    # appended right fields are declared nullable (schema matches data)
+    assert all(f.nullable for f in out.schema.fields if f.name in ("rt", "val"))
+
+
+def test_ivf_index_partition_pruning(spark, tmp_path):
+    """The 100 TB contract: an IVF search over the materialized index
+    must prune at the partition level — the scan's plan carries a
+    PartitionFilters entry on centroid_id and reads only the query's
+    cluster directory."""
+    from slowly_changing_dimensions_data_engineering_spark.operators.similarity import (
+        ivf_build_index, ivf_search_index, nearest_centroid,
+    )
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 4), float((i * 7) % 5), 1.0]) for i in range(40)],
+        ["vec_id", "embedding"])
+    cents = spark.createDataFrame(
+        [(c, [float(c), float(c), 1.0]) for c in range(4)],
+        ["centroid_id", "embedding"])
+    path = str(tmp_path / "ivf")
+    ivf_build_index(vecs, cents, path)
+
+    qvec = [1.0, 2.0, 1.0]
+    qc = nearest_centroid(cents, qvec)
+    out = ivf_search_index(spark, path, qvec, qc, k=5)
+
+    import re
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert re.search(rf"PartitionFilters:.*centroid_id#\d+ = {qc}", plan)
+
+    rows = out.collect()
+    assert 0 < len(rows) <= 5
+    # every result really is in the query's cluster
+    assert all(r["centroid_id"] == qc for r in rows)
+    # cosines are descending and deterministic
+    cos = [r["cosine"] for r in rows]
+    assert cos == sorted(cos, reverse=True)
+
+
+def test_embedding_near_dup_pairs_blocked(spark):
+    from slowly_changing_dimensions_data_engineering_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+    vecs = spark.createDataFrame(
+        [(0, "a", [1.0, 0.0]), (1, "a", [1.0, 0.001]),   # same block, near-dup
+         (2, "b", [1.0, 0.0]),                           # other block — never paired
+         (3, "a", [0.0, 1.0])],                          # same block, orthogonal
+        ["vec_id", "label", "embedding"])
+    pairs = {(r["v1"], r["v2"]) for r in
+             embedding_near_dup_pairs(vecs, block_col="label", threshold=0.99).collect()}
+    assert pairs == {(0, 1)}
