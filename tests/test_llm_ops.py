@@ -79,7 +79,8 @@ def test_text_profile_lang_and_quality(spark):
     assert len(rows[0]["fingerprint"]) == 32  # md5 hex
 
 
-def test_asof_join_match_nomatch_and_empty_group(spark):
+@pytest.mark.parametrize("strategy", ["window", "pandas"])
+def test_asof_join_match_nomatch_and_empty_group(spark, strategy):
     """ADVICE coverage: normal match, no-match (left before all right),
     and a left group with an empty right side — all must return left-join
     rows with nullable right columns."""
@@ -98,7 +99,7 @@ def test_asof_join_match_nomatch_and_empty_group(spark):
         Row(k=1, rt=ts(2024, 1, 20), val="b"),
     ])
     out = asof_join(left, right, on="t", right_on="rt", by="k", right_by="k",
-                    right_cols=["rt", "val"])
+                    right_cols=["rt", "val"], strategy=strategy)
     rows = {r["ev"]: (r["val"], r["rt"]) for r in out.collect()}
     assert rows[1] == ("a", ts(2024, 1, 5))
     assert rows[2] == (None, None)
