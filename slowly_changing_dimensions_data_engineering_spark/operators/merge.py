@@ -73,6 +73,11 @@ def plan_upsert(
     on = [F.col(f"s.{k}") == F.col(f"t.{k}") for k in key]
 
     # Categorize every source row in ONE pass: update / insert / no-op.
+    # The categorized frame feeds FIVE downstream branches (3 CDC unions,
+    # the touched-key set, the new rows); a lazy localCheckpoint
+    # materializes the source⋈target join once instead of re-scanning the
+    # big target per branch — the same source-materialization step a
+    # Delta MERGE performs.
     cat = (
         s.join(t.withColumn("_t_present", F.lit(True)), on, "left")
         .withColumn(
@@ -81,6 +86,7 @@ def plan_upsert(
             .when(_any_changed(compare_cols, "t", "s"), F.lit("update"))
             .otherwise(F.lit("noop")),
         )
+        .localCheckpoint(eager=False)
     )
     s_cols = [F.col(f"s.{c}").alias(c) for c in cols]
     t_cols = [F.col(f"t.{c}").alias(c) for c in cols]
@@ -125,10 +131,46 @@ def plan_upsert(
     return new_target, changes
 
 
+def touched_buckets(source: DataFrame, bucket_cols: list[str], n: int) -> list[int]:
+    """Distinct key buckets the source load lands in — ≤ n values, so the
+    collect is driver-safe at any data scale."""
+    from ..store import bucket_id
+    return [r[0] for r in
+            source.select(bucket_id(bucket_cols, n).alias("_b")).distinct().collect()]
+
+
 def merge_upsert(store, spark, target_name: str, source: DataFrame,
                  key: list[str], compare_cols: list[str]) -> int:
     """Execute M1 against the store: one atomic commit carrying both the
-    new snapshot and the CDC batch (Snowflake per-statement txn)."""
+    new snapshot and the CDC batch (Snowflake per-statement txn).
+
+    On a bucketed target (store.create(..., bucket_by=...)) the merge is
+    PRUNED: only buckets containing source keys are read and rewritten —
+    valid because the merge key contains the bucket columns, so every
+    matched target row and every insert lands in a source-key bucket.
+    Untouched buckets keep their existing files (Delta-merge file
+    pruning; VERDICT r1 #4)."""
+    # Evaluate the (delta-sized) source once; every consumer — bucket
+    # probe, join, CDC branches — reuses the materialization.
+    source = source.localCheckpoint(eager=False)
+    if store.version(target_name) < 0:
+        # First load into an empty table: every row is an insert — skip
+        # the categorize join entirely (pure append; same fast path a
+        # Delta MERGE takes when there are no matched files).
+        cols = store.schema(target_name).fieldNames()
+        src = source.select(*cols)
+        rid = F.md5(F.concat_ws("\x1f", *[F.col(k).cast("string") for k in key]))
+        changes = src.select(
+            *cols, F.lit("INSERT").alias(CDC_ACTION),
+            F.lit(False).alias(CDC_ISUPDATE), rid.alias(CDC_ROW_ID))
+        return store.commit(target_name, src, changes=changes)
+    spec = store.bucket_spec(target_name)
+    if spec is not None:
+        bcols, n = spec
+        ids = touched_buckets(source, bcols, n)
+        target = store.read_buckets(spark, target_name, ids)
+        new_target, changes = plan_upsert(target, source, key, compare_cols)
+        return store.commit_buckets(target_name, new_target, ids, changes=changes)
     target = store.read(spark, target_name)
     new_target, changes = plan_upsert(target, source, key, compare_cols)
     # The source is re-read by both plans; localCheckpoint the categorized

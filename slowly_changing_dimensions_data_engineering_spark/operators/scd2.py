@@ -110,7 +110,38 @@ def plan_scd2(
 
 def scd2_merge(store, spark, staging_name: str, stream: DataFrame,
                key: list[str], now: dt.datetime) -> int:
-    """Execute M2 against the store (one atomic commit)."""
+    """Execute M2 against the store (one atomic commit).
+
+    On a bucketed staging table the merge is PRUNED to the buckets the
+    stream batch touches (bucket cols ⊆ the composite merge key, so every
+    close/open lands in a stream-key bucket); other buckets keep their
+    files — see merge.merge_upsert."""
+    # The stream batch feeds the bucket probe, the close join and the
+    # open anti-join — materialize it once (delta-sized).
+    stream = stream.localCheckpoint(eager=False)
+    if store.version(staging_name) < 0:
+        # Empty staging: nothing can match — every INSERT action opens a
+        # version (no close join needed).
+        scols = store.schema(staging_name).fieldNames()
+        base_cols = [c for c in scols if c not in SCD2_COLS]
+        now_lit = F.lit(now).cast("timestamp_ntz")
+        opened = (
+            stream.filter(F.col(f"`{CDC_ACTION}`") == "INSERT")
+            .select(*base_cols,
+                    now_lit.alias("start_date"),
+                    F.lit(None).cast("timestamp_ntz").alias("end_date"),
+                    F.lit("Y").alias("current_flag"))
+            .select(*scols)
+        )
+        return store.commit(staging_name, opened)
+    spec = store.bucket_spec(staging_name)
+    if spec is not None:
+        from .merge import touched_buckets
+        bcols, n = spec
+        ids = touched_buckets(stream, bcols, n)
+        staging = store.read_buckets(spark, staging_name, ids)
+        return store.commit_buckets(
+            staging_name, plan_scd2(staging, stream, key, now), ids)
     staging = store.read(spark, staging_name)
     return store.commit(staging_name, plan_scd2(staging, stream, key, now))
 

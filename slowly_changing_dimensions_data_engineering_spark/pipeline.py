@@ -62,10 +62,17 @@ class SupplierPipeline:
         self._runs_path = os.path.join(root, "_meta", "pipeline_runs.jsonl")
 
     # D1 — namespace/DDL bootstrap (Setup.sql:5-51)
-    def setup(self) -> None:
+    def setup(self, n_buckets: int = 8) -> None:
+        """LANDING and STAGING are key-bucketed on supplier_code so the
+        two merges rewrite only buckets containing the load's keys (the
+        100 TB path: a sparse delta touches a handful of buckets, not the
+        table). RAW is truncate-and-reload and MASTER a full rebuild each
+        cycle (reference semantics) — bucketing buys them nothing."""
         self.store.create(RAW, schemas.SUPPLIER)
-        self.store.create(LANDING, schemas.SUPPLIER)
-        self.store.create(STAGING, schemas.SUPPLIER_STAGING)
+        self.store.create(LANDING, schemas.SUPPLIER,
+                          bucket_by=(["supplier_code"], n_buckets))
+        self.store.create(STAGING, schemas.SUPPLIER_STAGING,
+                          bucket_by=(["supplier_code"], n_buckets))
         self.store.create(MASTER, schemas.SUPPLIER)
 
     # ---- the five tasks -----------------------------------------------

@@ -191,8 +191,11 @@ def _scd2_store(spark: SparkSession, sf_dir: str):
         return TableStore(root)
 
     store = TableStore(tempfile.mkdtemp(prefix="sds_scd2_"))
-    store.create("landing", schemas.SUPPLIER)
-    store.create("staging", schemas.SUPPLIER_STAGING)
+    # Bucketed on supplier_code: the load-2 incremental merge rewrites
+    # only buckets containing changed/new keys (pruned-merge path).
+    store.create("landing", schemas.SUPPLIER, bucket_by=(["supplier_code"], 8))
+    store.create("staging", schemas.SUPPLIER_STAGING,
+                 bucket_by=(["supplier_code"], 8))
     key, scd2_key = ["supplier_code"], ["supplier_code", "supplier_state"]
     cmp_cols = ["supplier_state", "supplier_name", "supplier_key"]
 

@@ -18,6 +18,14 @@ plain parquet:
   once used will be GONE permanently"): per-consumer offset files,
   advanced by the consumer after its downstream commit lands.
 
+- **Key-bucketed tables + pruned rewrites**: a table created with
+  ``bucket_by=(cols, n)`` stores every snapshot hash-partitioned into
+  ``n`` key buckets (``v{N}/_bucket=K/``), and the pointer tracks the
+  latest version PER BUCKET. An incremental merge then rewrites only the
+  buckets containing touched keys (``commit_buckets``) — the Delta-merge
+  file-pruning cost profile: a 0.1% delta load rewrites ~0.1% of the
+  table, not 100 TB.
+
 Scale notes: version directories are immutable and parallel-writable by
 all executors; only the tiny pointer swap is serialized on the driver.
 History cleanup = deleting old ``v{N}`` dirs (VACUUM analogue).
@@ -31,7 +39,14 @@ import shutil
 from typing import Iterable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+def bucket_id(cols: list[str], n: int) -> F.Column:
+    """Deterministic bucket assignment: pmod(hash(key), n). Murmur3 via
+    F.hash — uniform, so buckets stay balanced under skewed key text."""
+    return F.pmod(F.hash(*[F.col(c) for c in cols]), F.lit(n))
 
 
 class TableStore:
@@ -77,32 +92,84 @@ class TableStore:
     def schema(self, name: str) -> T.StructType:
         return T.StructType.fromJson(json.loads(self._read_meta(name)["schema"]))
 
+    def bucket_spec(self, name: str) -> tuple[list[str], int] | None:
+        """(bucket_cols, n_buckets) for a bucketed table, else None."""
+        b = self._read_meta(name).get("bucket")
+        return (b["cols"], b["n"]) if b else None
+
     # ---- DDL (S7: CREATE TABLE, Setup.sql:14-51) ---------------------------
-    def create(self, name: str, schema: T.StructType, overwrite: bool = True) -> None:
-        """CREATE OR REPLACE TABLE with a fixed explicit schema."""
+    def create(self, name: str, schema: T.StructType, overwrite: bool = True,
+               bucket_by: tuple[list[str], int] | None = None) -> None:
+        """CREATE OR REPLACE TABLE with a fixed explicit schema.
+
+        ``bucket_by=(cols, n)`` declares a key-bucketed layout: snapshots
+        are stored hash-partitioned on ``cols`` into ``n`` buckets and
+        incremental merges rewrite only touched buckets."""
         if self.exists(name) and not overwrite:
             return
         tdir = self._tdir(name)
         if os.path.exists(tdir):
             shutil.rmtree(tdir)
         os.makedirs(tdir)
-        self._write_meta(name, {"latest": -1, "schema": schema.json()})
+        meta = {"latest": -1, "schema": schema.json()}
+        if bucket_by is not None:
+            cols, n = bucket_by
+            meta["bucket"] = {"cols": list(cols), "n": int(n)}
+            meta["buckets"] = {}  # bucket id (str) -> version it was last written
+        self._write_meta(name, meta)
 
     # ---- read ------------------------------------------------------------
+    def _bucket_paths(self, name: str, meta: dict,
+                      bucket_ids: Iterable[int] | None = None) -> list[str]:
+        """Latest on-disk partition dir per bucket (missing dir == the
+        bucket was empty in its last rewrite)."""
+        wanted = None if bucket_ids is None else {int(b) for b in bucket_ids}
+        paths = []
+        for k, bv in meta.get("buckets", {}).items():
+            if wanted is not None and int(k) not in wanted:
+                continue
+            p = os.path.join(self._vdir(name, bv), f"_bucket={k}")
+            if os.path.exists(p):
+                paths.append(p)
+        return paths
+
     def read(self, spark: SparkSession, name: str, version: int | None = None) -> DataFrame:
         meta = self._read_meta(name)
         v = meta["latest"] if version is None else version
         schema = T.StructType.fromJson(json.loads(meta["schema"]))
         if v < 0:
             return spark.createDataFrame([], schema)
+        if meta.get("bucket") and version is None:
+            paths = self._bucket_paths(name, meta)
+            if not paths:
+                return spark.createDataFrame([], schema)
+            return spark.read.schema(schema).parquet(*paths)
         return spark.read.schema(schema).parquet(self._vdir(name, v))
 
-    # ---- commit ----------------------------------------------------------
-    def commit(self, name: str, df: DataFrame, changes: DataFrame | None = None) -> int:
-        """Write a new immutable snapshot (+ optional change batch) and swap
-        the pointer. One commit == one reference DML statement (Snowflake's
-        per-statement transactionality, SURVEY.md §3.1)."""
+    def read_buckets(self, spark: SparkSession, name: str,
+                     bucket_ids: Iterable[int]) -> DataFrame:
+        """Scan ONLY the given key buckets — the pruned-merge read path.
+        At scale this is the file-skipping step: untouched buckets are
+        never listed, opened, or shuffled."""
         meta = self._read_meta(name)
+        schema = T.StructType.fromJson(json.loads(meta["schema"]))
+        paths = self._bucket_paths(name, meta, bucket_ids)
+        if not paths:
+            return spark.createDataFrame([], schema)
+        return spark.read.schema(schema).parquet(*paths)
+
+    # ---- commit ----------------------------------------------------------
+    @staticmethod
+    def _clustered(df: DataFrame, cols: list[str], n: int) -> DataFrame:
+        """Cluster rows by bucket before a partitionBy write: without
+        this, every shuffle task emits a file into every bucket dir
+        (tasks × buckets tiny files); with it, each bucket is written by
+        ~one task. Same pattern as Delta optimized writes. AQE may
+        coalesce further."""
+        return (df.withColumn("_bucket", bucket_id(cols, n))
+                .repartition(n, F.col("_bucket")))
+
+    def _prep_version(self, name: str, meta: dict) -> int:
         v = meta["latest"] + 1
         # A crash mid-write can leave an orphan v{N} directory that the
         # pointer never referenced (it only advances after a successful
@@ -110,11 +177,49 @@ class TableStore:
         for orphan in (self._vdir(name, v), self._cdir(name, v)):
             if os.path.exists(orphan):
                 shutil.rmtree(orphan)
-        df.write.mode("errorifexists").parquet(self._vdir(name, v))
+        return v
+
+    def commit(self, name: str, df: DataFrame, changes: DataFrame | None = None) -> int:
+        """Write a new immutable snapshot (+ optional change batch) and swap
+        the pointer. One commit == one reference DML statement (Snowflake's
+        per-statement transactionality, SURVEY.md §3.1)."""
+        meta = self._read_meta(name)
+        v = self._prep_version(name, meta)
+        if meta.get("bucket"):
+            cols, n = meta["bucket"]["cols"], meta["bucket"]["n"]
+            (self._clustered(df, cols, n)
+             .write.mode("errorifexists").partitionBy("_bucket")
+             .parquet(self._vdir(name, v)))
+            meta["buckets"] = {str(k): v for k in range(n)}
+        else:
+            df.write.mode("errorifexists").parquet(self._vdir(name, v))
+            meta["schema"] = df.schema.json()
         if changes is not None:
             changes.write.mode("errorifexists").parquet(self._cdir(name, v))
         meta["latest"] = v
-        meta["schema"] = df.schema.json()
+        self._write_meta(name, meta)
+        return v
+
+    def commit_buckets(self, name: str, df: DataFrame, bucket_ids: Iterable[int],
+                       changes: DataFrame | None = None) -> int:
+        """Partial commit: ``df`` holds the complete new contents of the
+        given buckets (and ONLY those buckets); every other bucket keeps
+        its current pointer. This is the pruned-merge write path — the
+        write cost scales with the touched-key footprint, not the table.
+        """
+        meta = self._read_meta(name)
+        if not meta.get("bucket"):
+            raise ValueError(f"table {name!r} is not bucketed")
+        cols, n = meta["bucket"]["cols"], meta["bucket"]["n"]
+        v = self._prep_version(name, meta)
+        (self._clustered(df, cols, n)
+         .write.mode("errorifexists").partitionBy("_bucket")
+         .parquet(self._vdir(name, v)))
+        for k in bucket_ids:
+            meta["buckets"][str(int(k))] = v
+        if changes is not None:
+            changes.write.mode("errorifexists").parquet(self._cdir(name, v))
+        meta["latest"] = v
         self._write_meta(name, meta)
         return v
 

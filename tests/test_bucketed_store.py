@@ -1,0 +1,115 @@
+"""Bucketed-table pruned merges (VERDICT r1 #4).
+
+The 100 TB contract: an incremental load must rewrite only the key
+buckets it touches, never the whole snapshot. Assertions are on the
+actual on-disk layout — which bucket directories a merge wrote — plus
+equivalence with the unbucketed (full-rewrite) result.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+from pyspark.sql import Row, functions as F
+
+from slowly_changing_dimensions_data_engineering_spark import schemas
+from slowly_changing_dimensions_data_engineering_spark.operators.merge import merge_upsert
+from slowly_changing_dimensions_data_engineering_spark.operators.scd2 import scd2_merge
+from slowly_changing_dimensions_data_engineering_spark.store import TableStore, bucket_id
+
+KEY = ["supplier_code"]
+SCD2_KEY = ["supplier_code", "supplier_state"]
+CMP = ["supplier_state", "supplier_name", "supplier_key"]
+N_BUCKETS = 8
+
+
+def _supplier_rows(spark, keys):
+    return spark.createDataFrame(
+        [Row(supplier_key=k, supplier_code=f"S{k}", supplier_name=f"name{k}",
+             supplier_state=f"state{k % 4}") for k in keys],
+        schemas.SUPPLIER)
+
+
+def _written_buckets(store, name, version):
+    vdir = store._vdir(name, version)
+    return sorted(d for d in os.listdir(vdir) if d.startswith("_bucket="))
+
+
+def test_incremental_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    store = TableStore(str(tmp_path))
+    store.create("landing", schemas.SUPPLIER, bucket_by=(KEY, N_BUCKETS))
+
+    # initial load: 64 suppliers spread over every bucket
+    merge_upsert(store, spark, "landing", _supplier_rows(spark, range(64)), KEY, CMP)
+    v1 = store.version("landing")
+    assert len(_written_buckets(store, "landing", v1)) == N_BUCKETS
+
+    # sparse delta: ONE updated supplier → exactly one bucket rewritten
+    delta = _supplier_rows(spark, [7]).withColumn(
+        "supplier_name", F.lit("renamed"))
+    merge_upsert(store, spark, "landing", delta, KEY, CMP)
+    v2 = store.version("landing")
+    written = _written_buckets(store, "landing", v2)
+    assert len(written) == 1
+    expected = spark.createDataFrame([("S7",)], ["supplier_code"]) \
+        .select(bucket_id(KEY, N_BUCKETS).alias("b")).head()["b"]
+    assert written == [f"_bucket={expected}"]
+
+    # read-back equals a full-rewrite (unbucketed) reference run
+    ref = TableStore(str(tmp_path / "ref"))
+    ref.create("landing", schemas.SUPPLIER)
+    merge_upsert(ref, spark, "landing", _supplier_rows(spark, range(64)), KEY, CMP)
+    merge_upsert(ref, spark, "landing", delta, KEY, CMP)
+    cols = schemas.SUPPLIER.fieldNames()
+    got = {tuple(r) for r in store.read(spark, "landing").select(*cols).collect()}
+    want = {tuple(r) for r in ref.read(spark, "landing").select(*cols).collect()}
+    assert got == want and len(got) == 64
+
+
+def test_scd2_merge_prunes_and_matches_full_rewrite(spark, tmp_path):
+    """Same two-load scenario against bucketed vs unbucketed staging:
+    identical SCD2 history, but the incremental cycle writes a strict
+    subset of buckets."""
+    t1, t2 = dt.datetime(2024, 1, 1), dt.datetime(2024, 2, 1)
+    results = {}
+    for label, bucket_by in (("bucketed", (KEY, N_BUCKETS)), ("full", None)):
+        store = TableStore(str(tmp_path / label))
+        store.create("landing", schemas.SUPPLIER, bucket_by=bucket_by)
+        store.create("staging", schemas.SUPPLIER_STAGING, bucket_by=bucket_by)
+        loads = [
+            (_supplier_rows(spark, range(32)), t1),
+            (_supplier_rows(spark, [3]).withColumn(
+                "supplier_state", F.lit("moved")), t2),
+        ]
+        for load, ts in loads:
+            offset = store.get_offset("scd2")
+            merge_upsert(store, spark, "landing", load, KEY, CMP)
+            stream = store.read_changes(spark, "landing", since=offset)
+            if stream is not None:
+                scd2_merge(store, spark, "staging", stream, SCD2_KEY, ts)
+            store.set_offset("scd2", store.version("landing"))
+        cols = schemas.SUPPLIER_STAGING.fieldNames()
+        results[label] = {tuple(r)
+                          for r in store.read(spark, "staging").select(*cols).collect()}
+        if label == "bucketed":
+            v = store.version("staging")
+            incr = _written_buckets(store, "staging", v)
+            assert 0 < len(incr) < N_BUCKETS  # pruned, not a full rewrite
+
+    assert results["bucketed"] == results["full"]
+    # the scenario really produced history: 32 originals (one now closed)
+    # + 1 reopened version for the moved supplier
+    assert len(results["bucketed"]) == 33
+
+
+def test_truncate_and_empty_bucket_handling(spark, tmp_path):
+    store = TableStore(str(tmp_path))
+    store.create("t", schemas.SUPPLIER, bucket_by=(KEY, 4))
+    merge_upsert(store, spark, "t", _supplier_rows(spark, range(8)), KEY, CMP)
+    assert store.read(spark, "t").count() == 8
+    store.truncate(spark, "t")
+    assert store.read(spark, "t").count() == 0
+    # table still usable after truncate
+    merge_upsert(store, spark, "t", _supplier_rows(spark, [1]), KEY, CMP)
+    assert store.read(spark, "t").count() == 1
