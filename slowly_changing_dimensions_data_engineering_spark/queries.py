@@ -999,3 +999,160 @@ def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         _fmt("o_orderdate").alias("last_order_ts"),
         "o_orderkey",
     )
+
+
+# =====================================================================
+# §2.2 gap fills (VERDICT r1 #7): right/full outer joins, GROUPING
+# SETS, approx_count_distinct
+# =====================================================================
+
+@register("right_outer_orders_customer", """
+SELECT c_mktsegment,
+       COUNT(o_orderkey) AS n_orders,
+       COUNT(*) AS n_rows
+FROM orders RIGHT JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""")
+def right_outer_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER join: customers kept even with zero orders (n_rows
+    counts the null-padded row, n_orders does not)."""
+    t = _t(spark, sf_dir, "orders", "customer")
+    return (
+        t["orders"].join(t["customer"],
+                         F.col("o_custkey") == F.col("c_custkey"), "right")
+        .groupBy("c_mktsegment")
+        .agg(F.count("o_orderkey").alias("n_orders"),
+             F.count("*").alias("n_rows"))
+    )
+
+
+@register("full_outer_nation_activity", """
+WITH c AS (
+  SELECT c_nationkey AS nk, COUNT(*) AS n_cust
+  FROM customer WHERE c_acctbal > 9000 GROUP BY 1
+), s AS (
+  SELECT s_nationkey AS nk, COUNT(*) AS n_supp
+  FROM supplier WHERE s_acctbal > 9000 GROUP BY 1
+)
+SELECT COALESCE(c.nk, s.nk) AS nationkey, n_cust, n_supp
+FROM c FULL OUTER JOIN s ON c.nk = s.nk
+""")
+def full_outer_nation_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two filtered aggregates — either side may be
+    null-padded (high-balance customers vs suppliers per nation)."""
+    t = _t(spark, sf_dir, "customer", "supplier")
+    c = (t["customer"].filter(F.col("c_acctbal") > 9000)
+         .groupBy(F.col("c_nationkey").alias("nk"))
+         .agg(F.count("*").alias("n_cust")))
+    s = (t["supplier"].filter(F.col("s_acctbal") > 9000)
+         .groupBy(F.col("s_nationkey").alias("nk_s"))
+         .agg(F.count("*").alias("n_supp")))
+    return (
+        c.join(s, F.col("nk") == F.col("nk_s"), "full_outer")
+        .select(F.coalesce("nk", "nk_s").alias("nationkey"), "n_cust", "n_supp")
+    )
+
+
+@register("grouping_sets_orders", """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""")
+def grouping_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS — the general form rollup/cube specialize; expressed
+    in Spark SQL (same syntax both engines)."""
+    t = _t(spark, sf_dir, "orders")
+    t["orders"].createOrReplaceTempView("orders_gs")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+
+
+@register("approx_distinct_nations", """
+SELECT c_mktsegment,
+       COUNT(DISTINCT c_nationkey) AS n_exact,
+       TRUE AS approx_within_5pct
+FROM customer GROUP BY c_mktsegment
+""")
+def approx_distinct_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++): estimates are engine-specific, so
+    the cross-engine check is the CONTRACT, not the estimate — the query
+    emits whether Spark's estimate is within the default 5% rsd of the
+    exact count, and the oracle asserts TRUE with DuckDB's exact count."""
+    c = _t(spark, sf_dir, "customer")["customer"]
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(F.countDistinct("c_nationkey").alias("n_exact"),
+             F.approx_count_distinct("c_nationkey").alias("_approx"))
+        .select(
+            "c_mktsegment", "n_exact",
+            (F.abs(F.col("_approx") - F.col("n_exact"))
+             <= 0.05 * F.col("n_exact")).alias("approx_within_5pct"))
+    )
+
+
+# =====================================================================
+# Event-time windows beyond tumbling (§2.2 streaming shapes, batch-
+# checkable): sliding and session windows. The streaming variants with
+# watermarks run in tests/test_streaming.py.
+# =====================================================================
+
+@register("events_sliding_1h_15m", """
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type, COUNT(*) AS n_events
+FROM (
+  SELECT e.event_type,
+         time_bucket(INTERVAL 15 MINUTE, e.ts) - g.g * INTERVAL 15 MINUTE AS ws
+  FROM events e, (SELECT unnest(range(4)) AS g) g
+)
+GROUP BY 1, 2
+""")
+def events_sliding_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time window (1h size, 15m hop): every event lands in
+    exactly 4 epoch-aligned windows. Oracle mirrors via an explicit
+    hop-offset cross join."""
+    e = _t(spark, sf_dir, "events")["events"]
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(_fmt(F.col("w.start")).alias("window_start"),
+                "event_type", "n_events")
+    )
+
+
+@register("events_session_30m", """
+WITH x AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+y AS (
+  SELECT user_id, ts,
+         SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                        ROWS UNBOUNDED PRECEDING) AS sess
+  FROM x
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       COUNT(*) AS n_events
+FROM y GROUP BY user_id, sess
+""")
+def events_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows with a 30-minute inactivity gap
+    (F.session_window). Oracle = classic gaps-and-islands SQL; a new
+    session starts when ts >= previous + gap (Spark's session end is
+    exclusive)."""
+    e = _t(spark, sf_dir, "events")["events"]
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select("user_id", _fmt(F.col("w.start")).alias("session_start"),
+                "n_events")
+    )
