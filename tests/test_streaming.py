@@ -1,0 +1,172 @@
+"""Structured Streaming coverage (SURVEY §2.2 streaming row, §3.3):
+
+- the foreachBatch pipeline variant whose checkpoint provides file-level
+  consume-once (C3 analogue) and replays the reference golden scenario;
+- event-time watermark + tumbling window in append mode (late windows
+  emit only once the watermark passes);
+- dropDuplicatesWithinWatermark.
+
+Deterministic driving: ``trigger(availableNow=True)`` drains the input
+and stops; ``maxFilesPerTrigger=1`` + explicit file mtimes force the
+multi-batch sequence watermark progression needs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import pytest
+
+from pyspark.sql import functions as F, types as T
+
+
+# --------------------------------------------------------------------
+# foreachBatch pipeline variant
+# --------------------------------------------------------------------
+
+def test_streaming_pipeline_replays_reference_golden(spark, tmp_path):
+    from slowly_changing_dimensions_data_engineering_spark.pipeline import (
+        STAGING, MASTER, SupplierPipeline,
+    )
+    from slowly_changing_dimensions_data_engineering_spark.streaming import (
+        start_streaming_pipeline,
+    )
+    import datetime as dt
+
+    p = SupplierPipeline(spark, str(tmp_path))
+    p.setup()
+    ticks = iter([dt.datetime(2024, 3, 26, 23, 41, 54),
+                  dt.datetime(2024, 3, 27, 0, 5, 43)])
+
+    def run_once():
+        q = start_streaming_pipeline(p, available_now=True,
+                                     now_fn=lambda: next(ticks))
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    # load 1: 6 suppliers -> 6 open versions
+    p.stage.put("/root/reference/suppliers.csv")
+    run_once()
+    st = p.store.read(spark, STAGING)
+    assert st.count() == 6
+    assert st.filter(F.col("current_flag") == "Y").count() == 6
+
+    # load 2: 2 updates + 2 inserts -> golden 10 rows (8 Y / 2 N)
+    p.stage.put("/root/reference/suppliers_v2.csv")
+    run_once()
+    rows = p.store.read(spark, STAGING).collect()
+    y = sum(1 for r in rows if r["current_flag"] == "Y")
+    assert (len(rows), y) == (10, 8)
+    assert p.store.read(spark, MASTER).count() == 8
+
+    # consume-once: rerunning with the same checkpoint and no new files
+    # must not change anything (both staged files already consumed).
+    v_before = p.store.version(STAGING)
+    run_once()
+    assert p.store.read(spark, STAGING).count() == 10
+    assert p.store.read(spark, MASTER).count() == 8
+    # no SCD2 commit happened (the empty batch closes/opens nothing)
+    assert p.store.read(spark, STAGING).filter(
+        F.col("current_flag") == "Y").count() == 8
+    assert p.store.version(STAGING) in (v_before, v_before + 1)
+
+
+# --------------------------------------------------------------------
+# event-time streaming: watermark + tumbling window, dedup-in-watermark
+# --------------------------------------------------------------------
+
+EVENT_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("event_type", T.StringType()),
+])
+
+
+def _write_event_file(path, rows, mtime):
+    with open(path, "w") as f:
+        for eid, ts, et in rows:
+            f.write(json.dumps({"event_id": eid, "ts": ts, "event_type": et}) + "\n")
+    os.utime(path, (mtime, mtime))
+
+
+def _drain(q):
+    q.awaitTermination(120)
+    assert not q.isActive
+
+
+def test_watermark_tumbling_append_emits_closed_windows(spark, tmp_path):
+    """Append-mode windowed agg: a window emits exactly once, when the
+    watermark (max event time - delay) passes its end. File 1 fills the
+    10:00 hour; file 2's 13:00 events push the watermark past 11:00 so
+    the 10:00 window emits; 13:00 itself never emits (watermark never
+    passes it)."""
+    src = tmp_path / "events_in"
+    src.mkdir()
+    t0 = time.time()
+    _write_event_file(src / "f1.json", [
+        (1, "2024-01-01 10:05:00", "click"),
+        (2, "2024-01-01 10:20:00", "click"),
+        (3, "2024-01-01 10:50:00", "view"),
+    ], t0 - 100)
+    _write_event_file(src / "f2.json", [
+        (4, "2024-01-01 13:00:00", "click"),
+        (5, "2024-01-01 13:10:00", "view"),
+    ], t0 - 50)
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").cast("string").alias("ws"), "event_type", "n")
+    )
+    q = (stream.writeStream.outputMode("append").format("memory")
+         .queryName("wm_tumbling")
+         .option("checkpointLocation", str(tmp_path / "ck1"))
+         .trigger(availableNow=True).start())
+    _drain(q)
+
+    got = {(r["ws"], r["event_type"]): r["n"]
+           for r in spark.table("wm_tumbling").collect()}
+    assert got == {
+        ("2024-01-01 10:00:00", "click"): 2,
+        ("2024-01-01 10:00:00", "view"): 1,
+    }
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicate event_ids arriving within
+    the watermark horizon are suppressed (batch 1's id=1 dup and batch
+    2's replay of id=2); distinct ids all pass through once."""
+    src = tmp_path / "dups_in"
+    src.mkdir()
+    t0 = time.time()
+    _write_event_file(src / "f1.json", [
+        (1, "2024-01-01 10:00:00", "click"),
+        (1, "2024-01-01 10:01:00", "click"),   # in-batch duplicate
+        (2, "2024-01-01 10:02:00", "view"),
+    ], t0 - 100)
+    _write_event_file(src / "f2.json", [
+        (2, "2024-01-01 10:03:00", "view"),    # cross-batch dup, in horizon
+        (3, "2024-01-01 10:30:00", "click"),
+    ], t0 - 50)
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (stream.writeStream.outputMode("append").format("memory")
+         .queryName("wm_dedup")
+         .option("checkpointLocation", str(tmp_path / "ck2"))
+         .trigger(availableNow=True).start())
+    _drain(q)
+
+    ids = sorted(r["event_id"] for r in spark.table("wm_dedup").collect())
+    assert ids == [1, 2, 3]
