@@ -1,0 +1,161 @@
+"""Multimodal (binary) columns — image/audio/video payloads as opaque
+``binary`` columns with typed metadata, processed via Arrow-batched
+``mapInPandas`` (north-star builder brief; absent from the reference,
+which is pure relational SQL).
+
+Design for 100 TB:
+- media lives in a ``content: binary`` column next to typed metadata —
+  one row per asset, partitioned like any other table (size-capped rows;
+  bigger assets would hold a URI + byte-range instead);
+- every decode/feature/resize step is a ``mapInPandas`` stage: Arrow
+  moves the binary batches zero-copy, pandas/numpy does the per-batch
+  work, and the operator composes with joins/filters before and after
+  (predicate pushdown still prunes un-decoded assets);
+- REAL codec work (PIL/librosa/av) is import-gated: this container has
+  no media libraries, so the codec boundary raises NotImplementedError,
+  clearly marked. The Spark-side plumbing — schema, UDF signature,
+  batch shape, partitioning — is real and tested against the FAKE1
+  deterministic container format below.
+
+FAKE1 container (deterministic stand-in for an image/video codec):
+``b"FAKE1" | width:uint32be | height:uint32be | frames:uint32be |
+pixels: frames*width*height bytes``. A "frame" is a width×height
+grayscale byte plane.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from typing import Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+MAGIC = b"FAKE1"
+
+#: Typed metadata carried alongside every binary payload.
+MEDIA_META = T.StructType([
+    T.StructField("media_type", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("n_frames", T.IntegerType()),
+])
+
+
+def pack_fake_media(width: int, height: int, frames: list[bytes]) -> bytes:
+    """Encode a FAKE1 payload (test/fixture helper)."""
+    assert all(len(f) == width * height for f in frames)
+    return (MAGIC + struct.pack(">III", width, height, len(frames))
+            + b"".join(frames))
+
+
+def _parse_fake(buf: bytes) -> tuple[int, int, int, bytes]:
+    if buf[:5] != MAGIC:
+        raise ValueError("not a FAKE1 payload")
+    w, h, n = struct.unpack(">III", buf[5:17])
+    return w, h, n, buf[17:]
+
+
+def decode_media(df: DataFrame, content_col: str = "content",
+                 codec: str = "fake") -> DataFrame:
+    """Decode binary payloads → per-asset metadata + the first frame's
+    pixel statistics. ``codec="fake"`` parses FAKE1; real codecs are the
+    import-gated path (NotImplementedError here: no media libs in this
+    environment — swap in PIL/av on a cluster that has them)."""
+    if codec != "fake":
+        raise NotImplementedError(
+            f"codec {codec!r} needs a media library (PIL/av/librosa) "
+            "not present in this environment; only the deterministic "
+            "'fake' FAKE1 codec is available")
+
+    out_schema = T.StructType(
+        [f for f in df.schema.fields if f.name != content_col]
+        + [T.StructField("meta", MEDIA_META),
+           T.StructField("mean_pixel", T.DoubleType()),
+           T.StructField("content_sha1", T.StringType())]
+    )
+    other_cols = [f.name for f in df.schema.fields if f.name != content_col]
+
+    def decode(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                buf = bytes(r[content_col])
+                w, h, n, px = _parse_fake(buf)
+                frame0 = px[: w * h]
+                rows.append({
+                    **{c: r[c] for c in other_cols},
+                    "meta": {"media_type": "fake/v1", "width": w,
+                             "height": h, "n_frames": n},
+                    "mean_pixel": (sum(frame0) / len(frame0)) if frame0 else 0.0,
+                    "content_sha1": hashlib.sha1(buf).hexdigest(),
+                })
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return df.mapInPandas(decode, schema=out_schema)
+
+
+def sample_frames(df: DataFrame, every_k: int = 2, content_col: str = "content",
+                  id_col: str = "media_id") -> DataFrame:
+    """Frame sampling: one output row per kept frame (every k-th) — the
+    fan-out stage a video pipeline runs before per-frame featurization.
+    mapInPandas may emit MORE rows than it receives (unlike a scalar
+    pandas UDF), which is exactly the shape frame explosion needs."""
+    out_schema = T.StructType([
+        df.schema[id_col],
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ])
+
+    def explode_frames(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                w, h, n, px = _parse_fake(bytes(r[content_col]))
+                sz = w * h
+                for i in range(0, n, every_k):
+                    rows.append({id_col: r[id_col], "frame_idx": i,
+                                 "frame": px[i * sz:(i + 1) * sz]})
+            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+
+    return df.mapInPandas(explode_frames, schema=out_schema)
+
+
+def byte_histogram_features(df: DataFrame, content_col: str = "content",
+                            n_bins: int = 16) -> DataFrame:
+    """Deterministic per-asset feature vector: normalized byte histogram
+    (the embedding stand-in for media payloads). Arrow-batched; output =
+    input columns + ``features array<double>``."""
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField("features", T.ArrayType(T.DoubleType()))]
+    )
+
+    def featurize(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for buf in pdf[content_col]:
+                b = bytes(buf)
+                hist = [0] * n_bins
+                for byte in b:
+                    hist[byte * n_bins // 256] += 1
+                total = max(len(b), 1)
+                feats.append([c / total for c in hist])
+            pdf = pdf.copy()
+            pdf["features"] = feats
+            yield pdf
+
+    return df.mapInPandas(featurize, schema=out_schema)
+
+
+def binary_stats(df: DataFrame, content_col: str = "content") -> DataFrame:
+    """Codec-free binary profile (works on ANY payload): byte length +
+    md5. JVM-side built-ins — no Python in the row path — showing binary
+    columns flow through ordinary Catalyst expressions too."""
+    return df.withColumns({
+        "n_bytes": F.octet_length(F.col(content_col)).cast("long"),
+        "digest": F.md5(F.col(content_col)),
+    })

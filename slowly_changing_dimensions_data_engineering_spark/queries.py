@@ -1156,3 +1156,31 @@ def events_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", _fmt(F.col("w.start")).alias("session_start"),
                 "n_events")
     )
+
+
+# =====================================================================
+# Multimodal binary columns (north-star): binary payloads through both
+# the JVM expression path and the Arrow/mapInPandas path
+# =====================================================================
+
+@register("multimodal_binary_stats", """
+SELECT doc_id,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       md5(text) AS digest,
+       CAST(16 AS BIGINT) AS n_feature_bins
+FROM documents
+""")
+def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column plumbing end-to-end (operators/multimodal.py): text
+    encoded to a binary payload, profiled JVM-side (octet_length/md5),
+    and featurized through an Arrow-batched mapInPandas byte-histogram —
+    the oracle pins the JVM stats; the histogram's shape is asserted in
+    the same plan (n_feature_bins) and its values in tests."""
+    from .operators.multimodal import binary_stats, byte_histogram_features
+    d = _t(spark, sf_dir, "documents")["documents"]
+    payload = d.select("doc_id", F.encode("text", "UTF-8").alias("content"))
+    stats = binary_stats(payload)
+    feats = byte_histogram_features(stats, n_bins=16)
+    return feats.select(
+        "doc_id", "n_bytes", "digest",
+        F.size("features").cast("long").alias("n_feature_bins"))
