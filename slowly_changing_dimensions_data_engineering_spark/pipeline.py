@@ -124,8 +124,7 @@ class SupplierPipeline:
 
     def run_scheduled(self, interval_sec: float = 60.0, max_cycles: int | None = None,
                       stop_when_stage_empty: bool = False) -> list[dict]:
-        """T1/T3 — the 1-minute schedule loop (Automation:36). RESUME ==
-        calling this; SUSPEND == returning/interrupting."""
+        """T1 — the 1-minute schedule loop (Automation:36), foreground."""
         runs = []
         while max_cycles is None or len(runs) < max_cycles:
             if stop_when_stage_empty and not self.stage.list():
@@ -133,8 +132,43 @@ class SupplierPipeline:
             runs.append(self.run_cycle())
             if max_cycles is not None and len(runs) >= max_cycles:
                 break
-            time.sleep(interval_sec)
+            if self._stop is not None and self._stop.wait(interval_sec):
+                break
+            if self._stop is None:
+                time.sleep(interval_sec)
         return runs
+
+    # T3 — ALTER TASK … RESUME / SUSPEND (Automation:108-122): a handle
+    # to start and stop the schedule without blocking the caller.
+    _thread = None
+    _stop = None
+
+    def resume(self, interval_sec: float = 60.0) -> None:
+        """ALTER TASK RESUME — start the schedule in the background
+        (idempotent: resuming a running pipeline is a no-op, as in the
+        reference)."""
+        import threading
+        if self._thread is not None and self._thread.is_alive():
+            return
+        self._stop = threading.Event()
+        self._thread = threading.Thread(
+            target=self.run_scheduled, kwargs={"interval_sec": interval_sec},
+            daemon=True)
+        self._thread.start()
+
+    def suspend(self, timeout: float = 60.0) -> None:
+        """ALTER TASK SUSPEND — stop after the in-flight cycle (tasks
+        are never killed mid-statement, matching Snowflake)."""
+        if self._stop is not None:
+            self._stop.set()
+        if self._thread is not None:
+            self._thread.join(timeout)
+            self._thread = None
+        self._stop = None
+
+    @property
+    def is_running(self) -> bool:
+        return self._thread is not None and self._thread.is_alive()
 
     def task_history(self) -> list[dict]:
         """T4 — TASK_HISTORY ORDER BY COMPLETED_TIME DESC

@@ -86,6 +86,20 @@ class TableStore:
     def exists(self, name: str) -> bool:
         return os.path.exists(self._meta_path(name))
 
+    # ---- D1: catalog introspection (Setup.sql:5-10,60) --------------------
+    def show_tables(self) -> list[str]:
+        """SHOW TABLES — every table registered in this store."""
+        mdir = os.path.join(self.root, "_meta")
+        return sorted(f[:-5] for f in os.listdir(mdir) if f.endswith(".json"))
+
+    def show_streams(self) -> list[str]:
+        """SHOW STREAMS (Setup.sql:60) — tables with a change feed
+        attached (≥1 committed change batch)."""
+        return sorted(
+            t for t in self.show_tables()
+            if os.path.isdir(os.path.join(self._tdir(t), "_changes"))
+        )
+
     def version(self, name: str) -> int:
         return self._read_meta(name)["latest"]
 
