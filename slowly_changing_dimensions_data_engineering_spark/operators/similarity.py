@@ -135,14 +135,23 @@ def ivf_search_index(spark, path: str, query_vec: list[float], qc: int,
 def embedding_near_dup_pairs(vectors: DataFrame, block_col: str,
                              threshold: float, id_col: str = "vec_id",
                              vec_col: str = "embedding") -> DataFrame:
-    """Pairs (v1 < v2) within a block with cosine >= threshold."""
+    """Pairs (v1 < v2) within a block with cosine >= threshold.
+
+    Norms are computed ONCE per row before the self-join (a per-pair
+    ``cosine()`` would re-evaluate dot(a,a)/dot(b,b) per candidate —
+    3× the array passes). ``sqrt(dot(x,x))`` is the identical IEEE
+    expression either way, so results are bit-equal to the naive form.
+    """
     v = vectors.select(F.col(id_col), F.col(block_col).alias("_blk"),
                        as_double(vec_col).alias("_v"))
+    v = v.withColumn("_n", F.sqrt(dot(F.col("_v"), F.col("_v"))))
     a, b = v.alias("a"), v.alias("b")
+    cos = F.round(dot(F.col("a._v"), F.col("b._v"))
+                  / (F.col("a._n") * F.col("b._n")), 9)
     return (
         a.join(b, (F.col("a._blk") == F.col("b._blk")) &
                (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .select(F.col(f"a.{id_col}").alias("v1"), F.col(f"b.{id_col}").alias("v2"),
-                cosine(F.col("a._v"), F.col("b._v")).alias("cosine"))
+                cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

@@ -23,6 +23,8 @@ import datetime as dt
 import tempfile
 from collections.abc import Callable
 
+import pandas as pd  # module-level so pandas_udf string annotations resolve
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -960,7 +962,7 @@ def embedding_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs (operators/similarity.py): label-blocked
     self-join + exact cosine threshold — O(n²/k), never all-pairs."""
     from .operators.similarity import embedding_near_dup_pairs
-    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    e = _spread(spark, _t(spark, sf_dir, "embeddings")["embeddings"])
     return embedding_near_dup_pairs(e, block_col="label", threshold=0.3)
 
 
@@ -1184,3 +1186,98 @@ def multimodal_binary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "doc_id", "n_bytes", "digest",
         F.size("features").cast("long").alias("n_feature_bins"))
+
+
+# =====================================================================
+# UDF surface (§2.2): row UDF, Arrow pandas_udf (scalar + grouped agg),
+# Python UDTF. applyInPandas lives in operators/asof.py, mapInPandas in
+# operators/multimodal.py, applyInPandasWithState in tests/
+# test_streaming.py — together the full user-function matrix.
+# =====================================================================
+
+@register("pandas_udf_charge", """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS charge
+FROM lineitem WHERE l_shipdate >= DATE '1998-11-01'
+""")
+def pandas_udf_charge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar Arrow pandas_udf: vectorized numpy arithmetic per batch —
+    the fast Python path (~10-100× a row udf). Same IEEE double ops as
+    the oracle, so values match bit-for-bit."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def charge(price: pd.Series, disc: pd.Series) -> pd.Series:
+        return price * (1 - disc)
+
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return (li.filter(F.col("l_shipdate") >= "1998-11-01")
+            .select("l_orderkey", "l_linenumber",
+                    charge("l_extendedprice", "l_discount").alias("charge")))
+
+
+@register("pandas_udf_grouped_price_range", """
+SELECT o_orderpriority,
+       MAX(o_totalprice) - MIN(o_totalprice) AS price_range,
+       COUNT(*) AS n
+FROM orders GROUP BY o_orderpriority
+""")
+def pandas_udf_grouped_price_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED_AGG pandas_udf: a whole group's column arrives as one
+    pandas Series. max-min is order-insensitive and exact in double, so
+    the cross-engine hash can't wobble."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def price_range(p: pd.Series) -> float:
+        return float(p.max() - p.min())
+
+    @pandas_udf("long")
+    def n_rows(p: pd.Series) -> int:
+        # Spark disallows mixing group-agg pandas UDFs with JVM
+        # aggregates in one agg(), so the count is pandas-side too.
+        return len(p)
+
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return (o.groupBy("o_orderpriority")
+            .agg(price_range("o_totalprice").alias("price_range"),
+                 n_rows("o_totalprice").alias("n")))
+
+
+@register("row_udf_nation_tag", """
+SELECT n_nationkey, lower(n_name) || '#' || CAST(n_nationkey AS VARCHAR) AS tag
+FROM nation
+""")
+def row_udf_nation_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-at-a-time F.udf — present for API completeness and pinned to a
+    25-row dimension: this is the engine's documented SLOW path (no
+    Arrow, per-row pickling); anything hot uses pandas_udf or built-ins.
+    """
+    tag = F.udf(lambda name, key: f"{name.lower()}#{key}", "string")
+    n = _t(spark, sf_dir, "nation")["nation"]
+    return n.select("n_nationkey", tag("n_name", "n_nationkey").alias("tag"))
+
+
+@register("udtf_doc_tokens", """
+WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t
+              FROM documents WHERE doc_id < 20)
+SELECT doc_id, CAST(g.i - 1 AS BIGINT) AS pos, t[g.i] AS token
+FROM toks, (SELECT unnest(range(1, 10000)) AS i) g
+WHERE g.i <= len(t)
+""")
+def udtf_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark ≥3.5): a table function fanning each document
+    into (pos, token) rows — the row-generating third of the UDF matrix
+    (scalar / aggregate / table)."""
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="pos: bigint, token: string")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, tok in enumerate(text.strip().split(" ")):
+                yield i, tok
+
+    d = _t(spark, sf_dir, "documents")["documents"].filter(F.col("doc_id") < 20)
+    # lateral join: one UDTF expansion per document row
+    return (d.lateralJoin(Tokenize(F.col("text").outer()))
+            .select("doc_id", "pos", "token"))

@@ -170,3 +170,58 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
 
     ids = sorted(r["event_id"] for r in spark.table("wm_dedup").collect())
     assert ids == [1, 2, 3]
+
+
+def test_apply_in_pandas_with_state_running_counts(spark, tmp_path):
+    """applyInPandasWithState — the custom stateful streaming operator
+    hook: a per-event_type running count whose state survives across
+    micro-batches (file 2's clicks continue file 1's count)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    src = tmp_path / "state_in"
+    src.mkdir()
+    t0 = time.time()
+    _write_event_file(src / "f1.json", [
+        (1, "2024-01-01 10:00:00", "click"),
+        (2, "2024-01-01 10:01:00", "click"),
+        (3, "2024-01-01 10:02:00", "view"),
+    ], t0 - 100)
+    _write_event_file(src / "f2.json", [
+        (4, "2024-01-01 10:03:00", "click"),
+    ], t0 - 50)
+
+    out_schema = T.StructType([
+        T.StructField("event_type", T.StringType()),
+        T.StructField("total", T.LongType()),
+    ])
+    state_schema = T.StructType([T.StructField("count", T.LongType())])
+
+    def running_count(key, pdfs, state: GroupState):
+        total = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            total += len(pdf)
+        state.update((total,))
+        yield pd.DataFrame({"event_type": [key[0]], "total": [total]})
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            running_count, out_schema, state_schema,
+            "update", GroupStateTimeout.NoTimeout)
+    )
+    q = (stream.writeStream.outputMode("update").format("memory")
+         .queryName("state_counts")
+         .option("checkpointLocation", str(tmp_path / "ck3"))
+         .trigger(availableNow=True).start())
+    _drain(q)
+
+    rows = [(r["event_type"], r["total"])
+            for r in spark.table("state_counts").collect()]
+    # batch 1 emits click=2, view=1; batch 2 emits click=3 (state carried)
+    assert ("click", 3) in rows          # proves cross-batch state
+    assert ("view", 1) in rows
+    assert max(t for e, t in rows if e == "click") == 3
