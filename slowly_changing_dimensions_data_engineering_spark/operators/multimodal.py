@@ -135,15 +135,15 @@ def byte_histogram_features(df: DataFrame, content_col: str = "content",
     )
 
     def featurize(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
         for pdf in batches:
             feats = []
             for buf in pdf[content_col]:
-                b = bytes(buf)
-                hist = [0] * n_bins
-                for byte in b:
-                    hist[byte * n_bins // 256] += 1
-                total = max(len(b), 1)
-                feats.append([c / total for c in hist])
+                arr = np.frombuffer(bytes(buf), dtype=np.uint8)
+                # bin = byte * n_bins // 256, vectorized
+                idx = (arr.astype(np.uint32) * n_bins) >> 8
+                hist = np.bincount(idx, minlength=n_bins)
+                feats.append((hist / max(arr.size, 1)).tolist())
             pdf = pdf.copy()
             pdf["features"] = feats
             yield pdf

@@ -1281,3 +1281,33 @@ def udtf_doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lateral join: one UDTF expansion per document row
     return (d.lateralJoin(Tokenize(F.col("text").outer()))
             .select("doc_id", "pos", "token"))
+
+
+@register("range_join_active_orders", """
+SELECT e.event_id,
+       COUNT(o.o_orderkey) AS n_active_orders
+FROM events e LEFT JOIN orders o
+  ON e.user_id = o.o_custkey
+ AND e.ts >= CAST(o.o_orderdate AS TIMESTAMP)
+ AND e.ts <  CAST(o.o_orderdate AS TIMESTAMP) + INTERVAL 7 DAY
+GROUP BY e.event_id
+""")
+def range_join_active_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (operators/rangejoin.py): events ⋈ 7-day order
+    validity intervals per user. A naive theta join is a broadcast
+    nested loop; the operator rewrites it as interval bucketing — an
+    EQUI join on (user, day-bucket) that shuffles instead of scanning
+    |L|×|R| (oracle = the naive BETWEEN join)."""
+    from .operators.rangejoin import interval_join
+    t = _t(spark, sf_dir, "events", "orders")
+    orders = t["orders"].select(
+        "o_orderkey", "o_custkey",
+        F.col("o_orderdate").cast("timestamp").alias("valid_from"),
+        (F.col("o_orderdate").cast("timestamp")
+         + F.expr("INTERVAL 7 DAY")).alias("valid_to"))
+    joined = interval_join(
+        t["events"].select("event_id", "user_id", "ts"), orders,
+        time_col="ts", start_col="valid_from", end_col="valid_to",
+        by=[("user_id", "o_custkey")], bucket_seconds=86400, how="left")
+    return joined.groupBy("event_id").agg(
+        F.count("o_orderkey").alias("n_active_orders"))
