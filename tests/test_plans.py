@@ -1,0 +1,78 @@
+"""Physical-plan assertions — the `.explain` audit as enforced
+regressions. A query that silently loses filter pushdown, column
+pruning, or its broadcast strategy still returns correct rows; only the
+plan shows the 100 TB story broke.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from slowly_changing_dimensions_data_engineering_spark import queries as q
+
+SF = "/root/testdata/sf0.001"
+
+#: Queries allowed to contain a nested-loop join: a deliberate 1-row
+#: broadcast side (the query vector), which is O(|corpus|), not O(n²).
+NESTED_LOOP_ALLOWED = {"embed_topk_cosine"}
+
+
+def _plan(spark, name: str) -> str:
+    df = q.queries()[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_no_cartesian_or_nested_loop_anywhere(spark):
+    """Sweep every registered single-plan query: no CartesianProduct and
+    no BroadcastNestedLoopJoin outside the explicit allowlist."""
+    offenders = {}
+    for name, fn in q.queries().items():
+        if name.startswith("scd2"):  # multi-commit pipeline, not one plan
+            continue
+        plan = fn(spark, SF)._jdf.queryExecution().executedPlan().toString()
+        bad = [p for p in ("CartesianProduct", "BroadcastNestedLoopJoin")
+               if p in plan]
+        if bad and name not in NESTED_LOOP_ALLOWED:
+            offenders[name] = bad
+    assert offenders == {}
+
+
+def test_q1_filter_pushdown_and_column_pruning(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    # the shipdate predicate reaches the parquet scan
+    assert re.search(r"PushedFilters: \[.*LessThanOrEqual\(l_shipdate", plan)
+    # projection pruning: the 16-column lineitem scan reads only what the
+    # aggregate needs — wide columns never leave the reader
+    m = re.search(r"ReadSchema: struct<([^>]*)", plan)
+    read_cols = m.group(1)
+    assert "l_comment" not in read_cols and "l_shipinstruct" not in read_cols
+    assert "l_extendedprice" in read_cols
+
+
+def test_q5_all_dimensions_broadcast(spark):
+    """The star join: every dimension side must hash-broadcast; a
+    sort-merge join here means a full lineitem shuffle per dimension."""
+    plan = _plan(spark, "q5_region_revenue")
+    assert len(re.findall(r"BroadcastHashJoin", plan)) >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_range_join_is_equi_not_nested_loop(spark):
+    """interval_join's entire purpose: the containment predicate rides
+    an equi hash join on (key, bucket), never a nested loop."""
+    plan = _plan(spark, "range_join_active_orders")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_queries_stay_jvm_side(spark):
+    """No Python evaluation in the near-dup pipelines: BatchEvalPython
+    (row UDFs) and ArrowEvalPython (pandas UDFs) must be absent — the
+    hash/shingle math is all Catalyst expressions."""
+    for name in ("ngram_jaccard_pairs", "minhash_lsh_candidates",
+                 "simhash_near_dups", "doc_text_profile"):
+        plan = _plan(spark, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
