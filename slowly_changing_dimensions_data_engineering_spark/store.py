@@ -148,12 +148,22 @@ class TableStore:
         return paths
 
     def read(self, spark: SparkSession, name: str, version: int | None = None) -> DataFrame:
+        """Read the latest snapshot, or time-travel to ``version``. On a
+        bucketed table a historical version is reconstructed from the
+        per-bucket pointer map recorded at that commit (a version dir
+        alone holds only the buckets that commit rewrote)."""
         meta = self._read_meta(name)
         v = meta["latest"] if version is None else version
         schema = T.StructType.fromJson(json.loads(meta["schema"]))
         if v < 0:
             return spark.createDataFrame([], schema)
-        if meta.get("bucket") and version is None:
+        if meta.get("bucket"):
+            if version is not None and version != meta["latest"]:
+                hist = {h["v"]: h["buckets"] for h in meta.get("history", [])}
+                if version not in hist:
+                    raise KeyError(
+                        f"no recorded bucket map for {name!r} v{version}")
+                meta = dict(meta, buckets=hist[version])
             paths = self._bucket_paths(name, meta)
             if not paths:
                 return spark.createDataFrame([], schema)
@@ -205,6 +215,8 @@ class TableStore:
              .write.mode("errorifexists").partitionBy("_bucket")
              .parquet(self._vdir(name, v)))
             meta["buckets"] = {str(k): v for k in range(n)}
+            meta.setdefault("history", []).append(
+                {"v": v, "buckets": dict(meta["buckets"])})
         else:
             df.write.mode("errorifexists").parquet(self._vdir(name, v))
             meta["schema"] = df.schema.json()
@@ -231,11 +243,46 @@ class TableStore:
          .parquet(self._vdir(name, v)))
         for k in bucket_ids:
             meta["buckets"][str(int(k))] = v
+        meta.setdefault("history", []).append(
+            {"v": v, "buckets": dict(meta["buckets"])})
         if changes is not None:
             changes.write.mode("errorifexists").parquet(self._cdir(name, v))
         meta["latest"] = v
         self._write_meta(name, meta)
         return v
+
+    # ---- history cleanup (VACUUM analogue) --------------------------------
+    def vacuum(self, name: str, keep_last: int = 1) -> list[int]:
+        """Delete snapshot version dirs no longer referenced by the last
+        ``keep_last`` readable versions (bucketed tables reference OLD
+        version dirs through their bucket pointers, so liveness is the
+        union of the kept bucket maps, not a recency cutoff). Change
+        batches (the stream) are never touched — consumers own those via
+        offsets. Returns the versions removed."""
+        meta = self._read_meta(name)
+        latest = meta["latest"]
+        if latest < 0:
+            return []
+        live: set[int] = set()
+        if meta.get("bucket"):
+            hist = meta.get("history", [])
+            kept = hist[-keep_last:] if keep_last > 0 else hist[-1:]
+            for h in kept:
+                live |= {int(bv) for bv in h["buckets"].values()}
+            meta["history"] = kept
+        else:
+            live = {v for v in range(max(latest - keep_last + 1, 0), latest + 1)}
+        removed = []
+        tdir = self._tdir(name)
+        for d in sorted(os.listdir(tdir)):
+            if not d.startswith("v"):
+                continue
+            v = int(d[1:])
+            if v not in live:
+                shutil.rmtree(os.path.join(tdir, d))
+                removed.append(v)
+        self._write_meta(name, meta)
+        return removed
 
     def truncate(self, spark: SparkSession, name: str) -> int:
         """S8: TRUNCATE TABLE (SCD-Automation.sql:38) — commit an empty

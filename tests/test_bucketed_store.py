@@ -113,3 +113,46 @@ def test_truncate_and_empty_bucket_handling(spark, tmp_path):
     # table still usable after truncate
     merge_upsert(store, spark, "t", _supplier_rows(spark, [1]), KEY, CMP)
     assert store.read(spark, "t").count() == 1
+
+
+def test_time_travel_and_vacuum(spark, tmp_path):
+    """read(version=) on a bucketed table reconstructs the bucket map as
+    of that commit; vacuum() drops dirs no kept version references while
+    old buckets referenced by the LATEST pointer survive."""
+    store = TableStore(str(tmp_path))
+    store.create("t", schemas.SUPPLIER, bucket_by=(KEY, 4))
+    merge_upsert(store, spark, "t", _supplier_rows(spark, range(16)), KEY, CMP)
+    v1 = store.version("t")
+    delta = _supplier_rows(spark, [5]).withColumn(
+        "supplier_name", F.lit("renamed"))
+    merge_upsert(store, spark, "t", delta, KEY, CMP)
+
+    # time travel: v1 still shows the original name
+    old = {r["supplier_code"]: r["supplier_name"]
+           for r in store.read(spark, "t", version=v1).collect()}
+    assert old["S5"] == "name5"
+    new = {r["supplier_code"]: r["supplier_name"]
+           for r in store.read(spark, "t").collect()}
+    assert new["S5"] == "renamed"
+    assert len(old) == len(new) == 16
+
+    # vacuum keep_last=1: v1's dir must SURVIVE (latest still points at
+    # its untouched buckets); history older than the last commit is gone
+    removed = store.vacuum("t", keep_last=1)
+    assert removed == []
+    assert {tuple(r) for r in
+            store.read(spark, "t").select(*schemas.SUPPLIER.fieldNames()).collect()} \
+        == {tuple(r) for r in spark.createDataFrame(
+            [r for r in _supplier_rows(spark, range(16)).collect()
+             if r["supplier_code"] != "S5"]
+            + [r for r in delta.collect()], schemas.SUPPLIER)
+            .select(*schemas.SUPPLIER.fieldNames()).collect()}
+
+    # full rewrite orphans every old dir; vacuum now reclaims them
+    merge_upsert(store, spark, "t", _supplier_rows(spark, range(16)), KEY, CMP)
+    import os
+    before = sorted(d for d in os.listdir(store._tdir("t")) if d.startswith("v"))
+    removed = store.vacuum("t", keep_last=1)
+    after = sorted(d for d in os.listdir(store._tdir("t")) if d.startswith("v"))
+    assert removed and len(after) < len(before)
+    assert store.read(spark, "t").count() == 16
