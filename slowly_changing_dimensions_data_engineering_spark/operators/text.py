@@ -81,3 +81,17 @@ def doc_profile(docs: DataFrame, id_col: str = "doc_id",
         F.size(_tokens(text_col)).cast("long").alias("n_tokens"),
         rolling_fingerprint(text_col).alias("fingerprint"),
     )
+
+
+#: BPE-ish pre-tokenization regex (GPT-2-style splitting, ASCII form):
+#: contractions, letter runs, digit runs, single non-alnum marks. The
+#: same pattern runs verbatim under Java regex (Spark) and RE2 (DuckDB).
+BPE_ISH_PATTERN = r"'[a-z]+|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_tokens(col) -> Column:
+    """Regex pre-tokenizer: the subword-style token stream LLM data
+    pipelines count against budgets (vs whitespace splitting, which
+    undercounts punctuation-dense text). JVM-side regexp_extract_all."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0)

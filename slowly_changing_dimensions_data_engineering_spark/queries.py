@@ -1311,3 +1311,58 @@ def range_join_active_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         by=[("user_id", "o_custkey")], bucket_seconds=86400, how="left")
     return joined.groupBy("event_id").agg(
         F.count("o_orderkey").alias("n_active_orders"))
+
+
+@register("bpe_token_stats", r"""
+WITH tk AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '''[a-z]+|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS t,
+         string_split(trim(text), ' ') AS ws
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(ws) AS BIGINT) AS n_ws_tokens,
+       CAST(len(list_filter(t, x -> regexp_full_match(x, '[0-9]+'))) AS BIGINT) AS n_number_tokens,
+       CAST(len(list_filter(t, x -> regexp_full_match(x, '[A-Za-z]+'))) AS BIGINT) AS n_word_tokens
+FROM tk
+""")
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, BPE-ish (operators/text.py): regex pre-tokenizer
+    vs whitespace counts, with word/number class breakdown — the token
+    budget arithmetic of an LLM data pipeline, all JVM-side."""
+    from .operators.text import bpe_ish_tokens
+    d = _t(spark, sf_dir, "documents")["documents"]
+    t = bpe_ish_tokens("text")
+    return d.select(
+        "doc_id",
+        F.size(t).cast("long").alias("n_bpe_tokens"),
+        F.size(F.split(F.trim(F.col("text")), " ")).cast("long").alias("n_ws_tokens"),
+        F.size(F.filter(t, lambda x: x.rlike("^[0-9]+$"))).cast("long").alias("n_number_tokens"),
+        F.size(F.filter(t, lambda x: x.rlike("^[A-Za-z]+$"))).cast("long").alias("n_word_tokens"),
+    )
+
+
+@register("salted_agg_event_values", """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS total_value,
+       MAX(value) AS max_value
+FROM events GROUP BY event_type
+""")
+def salted_agg_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation (operators/skew.py): the group key
+    is salted so a hot key spreads over n_salts reducers, then partials
+    re-aggregate — results identical to a plain groupBy (the oracle).
+    The decimal accumulator keeps the split sum exact."""
+    from .operators.skew import salted_aggregate
+    e = _t(spark, sf_dir, "events")["events"].withColumn(
+        "_v", F.col("value").cast("decimal(38,6)"))
+    out = salted_aggregate(
+        e, ["event_type"],
+        {"n": ("count", "event_type"), "_total": ("sum", "_v"),
+         "max_value": ("max", "value")},
+        n_salts=8)
+    return out.select("event_type", "n",
+                      F.col("_total").cast("double").alias("total_value"),
+                      "max_value")
