@@ -98,29 +98,38 @@ def ivf_build_index(vectors: DataFrame, centroids: DataFrame, path: str,
      .write.mode("overwrite").partitionBy("centroid_id").parquet(path))
 
 
-def nearest_centroid(centroids: DataFrame, query_vec: list[float],
-                     cid_col: str = "centroid_id") -> int:
-    """Driver-side argmin over the (dict-sized) centroid set — query
-    planning, not data processing; mirrors ivf_assign's rounding and
-    lowest-id tie-break."""
-    best = None
+def nearest_centroids(centroids: DataFrame, query_vec: list[float],
+                      nprobe: int = 1, cid_col: str = "centroid_id") -> list[int]:
+    """Driver-side top-``nprobe`` centroids for a query — query planning,
+    not data processing (the centroid set is dictionary-sized); mirrors
+    ivf_assign's rounding and lowest-id tie-break. Multi-probe is the
+    standard IVF recall knob: scanning p clusters instead of 1 recovers
+    neighbors that fell across a Voronoi boundary, at p× scan cost —
+    still a partition-pruned fraction of the corpus."""
+    scored = []
     for row in centroids.select(cid_col, "embedding").collect():
         d = round(sum((float(a) - float(b)) ** 2
                       for a, b in zip(row["embedding"], query_vec)), 9)
-        if best is None or (d, row[cid_col]) < best:
-            best = (d, row[cid_col])
-    return best[1]
+        scored.append((d, row[cid_col]))
+    return [cid for _, cid in sorted(scored)[:nprobe]]
 
 
-def ivf_search_index(spark, path: str, query_vec: list[float], qc: int,
-                     query_id: int | None = None, k: int = 5,
-                     id_col: str = "vec_id",
+def nearest_centroid(centroids: DataFrame, query_vec: list[float],
+                     cid_col: str = "centroid_id") -> int:
+    return nearest_centroids(centroids, query_vec, 1, cid_col)[0]
+
+
+def ivf_search_index(spark, path: str, query_vec: list[float],
+                     qc: int | list[int], query_id: int | None = None,
+                     k: int = 5, id_col: str = "vec_id",
                      vec_col: str = "embedding") -> DataFrame:
     """ANN top-k over a materialized IVF index: a literal
-    ``centroid_id == qc`` predicate on a centroid-partitioned layout →
+    ``centroid_id`` predicate on a centroid-partitioned layout →
     static partition pruning (verify with ``.explain``: the scan's
-    PartitionFilters carries the literal; only one directory is read)."""
-    idx = spark.read.parquet(path).filter(F.col("centroid_id") == F.lit(qc))
+    PartitionFilters carries the literal; only the probed directories
+    are read). ``qc`` may be a single cluster or a multi-probe list."""
+    probes = [qc] if isinstance(qc, int) else list(qc)
+    idx = spark.read.parquet(path).filter(F.col("centroid_id").isin(probes))
     if query_id is not None:
         idx = idx.filter(F.col(id_col) != query_id)
     qv = F.array(*[F.lit(float(x)) for x in query_vec])

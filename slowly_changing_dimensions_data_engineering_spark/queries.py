@@ -1366,3 +1366,54 @@ def salted_agg_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_type", "n",
                       F.col("_total").cast("double").alias("total_value"),
                       "max_value")
+
+
+@register("corpus_curation_summary", """
+WITH prof AS (
+  SELECT doc_id, text, md5(text) AS fp,
+         string_split(trim(text), ' ') AS t
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, fp, len(t) AS n_tokens,
+         round(0.4 * least(CAST(len(t) AS DOUBLE) / 100.0, 1.0)
+             + 0.3 * least((CAST(len(list_filter(t, x -> list_contains(
+                   ['the','a','an','and','or','of','to','in','is','it'], x))) AS DOUBLE)
+                   / CAST(len(t) AS DOUBLE)) * 5, 1.0)
+             + 0.3 * (CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)),
+           9) AS quality
+  FROM prof
+),
+kept AS (
+  SELECT * FROM scored
+  WHERE quality >= 0.5
+  QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+)
+SELECT COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       round(CAST(SUM(quality) AS DOUBLE) / COUNT(*), 6) AS avg_quality
+FROM kept
+""")
+def corpus_curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-data pipeline composed end-to-end: quality scoring
+    (operators/text.py) → quality gate → exact dedup keeping the lowest
+    doc_id per fingerprint → corpus token budget. One declarative plan:
+    the scan feeds scoring, the dedup is one hash shuffle on the
+    fingerprint, and the final global agg is a 1-row reduce."""
+    from .operators.text import quality_score
+    d = _t(spark, sf_dir, "documents")["documents"]
+    scored = d.select(
+        "doc_id",
+        F.md5("text").alias("fp"),
+        F.size(F.split(F.trim(F.col("text")), " ")).alias("n_tokens"),
+        F.round(quality_score("text", "n_chars"), 9).alias("quality"),
+    ).filter(F.col("quality") >= 0.5)
+    kept = (scored.withColumn(
+        "_rn", F.row_number().over(
+            W.partitionBy("fp").orderBy("doc_id")))
+        .filter(F.col("_rn") == 1))
+    return kept.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.round(F.sum("quality") / F.count("*"), 6).alias("avg_quality"),
+    )

