@@ -1417,3 +1417,39 @@ def corpus_curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         F.round(F.sum("quality") / F.count("*"), 6).alias("avg_quality"),
     )
+
+
+@register("correlated_above_avg_orders", """
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+FROM orders o
+WHERE o.o_totalprice > 2 * (
+    SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+           / COUNT(*)
+    FROM orders i WHERE i.o_custkey = o.o_custkey
+)
+AND EXISTS (SELECT 1 FROM customer c
+            WHERE c.c_custkey = o.o_custkey
+              AND c.c_mktsegment = 'BUILDING')
+""")
+def correlated_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery + EXISTS, in SQL on both engines —
+    Catalyst decorrelates each into a join (an aggregate join for the
+    scalar, a left-semi for EXISTS), so the plan shuffles once per
+    subquery instead of re-running them per row. The per-customer
+    average uses the decimal-accumulator form for cross-engine
+    determinism."""
+    t = _t(spark, sf_dir, "orders", "customer")
+    t["orders"].createOrReplaceTempView("orders_cs")
+    t["customer"].createOrReplaceTempView("customer_cs")
+    return spark.sql("""
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+        FROM orders_cs o
+        WHERE o.o_totalprice > 2 * (
+            SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+                   / COUNT(*)
+            FROM orders_cs i WHERE i.o_custkey = o.o_custkey
+        )
+        AND EXISTS (SELECT 1 FROM customer_cs c
+                    WHERE c.c_custkey = o.o_custkey
+                      AND c.c_mktsegment = 'BUILDING')
+    """)
