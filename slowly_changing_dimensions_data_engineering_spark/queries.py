@@ -1453,3 +1453,55 @@ def correlated_above_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                     WHERE c.c_custkey = o.o_custkey
                       AND c.c_mktsegment = 'BUILDING')
     """)
+
+
+@register("window_range_1h_user_spend", """
+SELECT event_id, user_id,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER (
+            PARTITION BY user_id ORDER BY ts
+            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS spend_1h
+FROM events
+""")
+def window_range_1h_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame over event time (vs the ROWS frames elsewhere):
+    per user, the rolling 1-hour value sum. Spark's rangeBetween needs a
+    numeric ordering key, so the frame rides unix seconds — semantically
+    identical to the oracle's RANGE INTERVAL frame; decimal accumulator
+    for determinism."""
+    e = _t(spark, sf_dir, "events")["events"]
+    w = (W.partitionBy("user_id")
+         .orderBy(F.unix_timestamp("ts"))
+         .rangeBetween(-3600, 0))
+    return e.select(
+        "event_id", "user_id",
+        F.sum(F.col("value").cast("decimal(38,6)")).over(w)
+        .cast("double").alias("spend_1h"))
+
+
+@register("array_functions_embeddings", """
+SELECT vec_id,
+       CAST(len(embedding) AS INT) AS dim,
+       round(list_min(embedding::DOUBLE[]), 6) AS arr_min,
+       round(list_max(embedding::DOUBLE[]), 6) AS arr_max,
+       round(list_aggregate(embedding::DOUBLE[], 'sum'), 6) AS arr_sum,
+       round(list_aggregate(list_transform(embedding::DOUBLE[], x -> x * x),
+                            'sum'), 6) AS arr_sumsq
+FROM embeddings WHERE vec_id < 200
+""")
+def array_functions_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/higher-order scalar functions over array<float>:
+    size/array_min/array_max plus aggregate() and transform() folds —
+    the Catalyst-native vector math the similarity operators build on
+    (rounded: fold association differs across engines below 1e-12)."""
+    e = _t(spark, sf_dir, "embeddings")["embeddings"].filter(F.col("vec_id") < 200)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.array_min(v), 6).alias("arr_min"),
+        F.round(F.array_max(v), 6).alias("arr_max"),
+        F.round(F.aggregate(v, F.lit(0.0), lambda a, x: a + x), 6).alias("arr_sum"),
+        F.round(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x), 6)
+        .alias("arr_sumsq"),
+    )

@@ -50,3 +50,17 @@ def test_csv_quoted_fields(spark, tmp_path):
     rows = {r["supplier_code"]: r["supplier_name"] for r in df.collect()}
     assert rows == {"A101": "Name, With Comma", "A102": "Plain"}
     assert CSV_LOAD_FORMAT["quote"] == "'"
+
+
+def test_stage_rm(spark, tmp_path):
+    """S5 — RM @stage[/file] (SCD-Automation.sql:132): targeted and full
+    removal."""
+    stage = Stage(str(tmp_path / "rm_stage"))
+    a = tmp_path / "a.csv"; a.write_text("1,A,N,S\n")
+    b = tmp_path / "b.csv"; b.write_text("2,B,N,S\n")
+    stage.put(str(a)); stage.put(str(b))
+    assert len(stage.list()) == 2
+    stage.rm("a.csv")
+    assert [p.split("/")[-1] for p in stage.list()] == ["b.csv"]
+    stage.rm()
+    assert stage.list() == []
