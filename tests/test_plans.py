@@ -76,3 +76,52 @@ def test_dedup_queries_stay_jvm_side(spark):
         plan = _plan(spark, name)
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """DPP: joining a date/key-partitioned fact to a filtered dimension
+    must prune fact partitions at RUNTIME from the dim filter (the scan
+    carries a dynamicpruning subquery) — at 100 TB this is the
+    difference between scanning one priority's files and all of them."""
+    fact = q._t(spark, SF, "orders")["orders"]
+    fpath = str(tmp_path / "orders_part")
+    fact.write.partitionBy("o_orderpriority").parquet(fpath)
+    f = spark.read.parquet(fpath)
+    dim = spark.createDataFrame(
+        [("1-URGENT", "fast"), ("5-LOW", "slow")], ["o_orderpriority", "speed"])
+    # DPP requires a SELECTIVE predicate on the pruning side
+    joined = (f.join(dim.filter("speed = 'fast'"), "o_orderpriority")
+              .groupBy("speed").count())
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+
+
+def test_store_reads_are_snapshot_isolated(spark, tmp_path):
+    """A DataFrame created from read() resolves its version paths at
+    creation: a later commit never changes what an in-flight reader
+    sees (the pointer-swap isolation the docstring promises)."""
+    from pyspark.sql import functions as F
+    from slowly_changing_dimensions_data_engineering_spark import schemas
+    from slowly_changing_dimensions_data_engineering_spark.operators.merge import (
+        merge_upsert,
+    )
+    from slowly_changing_dimensions_data_engineering_spark.store import TableStore
+    from pyspark.sql import Row
+
+    store = TableStore(str(tmp_path))
+    store.create("t", schemas.SUPPLIER, bucket_by=(["supplier_code"], 4))
+    rows = [Row(supplier_key=k, supplier_code=f"S{k}", supplier_name="old",
+                supplier_state="X") for k in range(8)]
+    merge_upsert(store, spark, "t", spark.createDataFrame(rows, schemas.SUPPLIER),
+                 ["supplier_code"], ["supplier_state", "supplier_name", "supplier_key"])
+
+    reader = store.read(spark, "t")          # snapshot pinned here
+    delta = spark.createDataFrame(
+        [Row(supplier_key=1, supplier_code="S1", supplier_name="NEW",
+             supplier_state="X")], schemas.SUPPLIER)
+    merge_upsert(store, spark, "t", delta,
+                 ["supplier_code"], ["supplier_state", "supplier_name", "supplier_key"])
+
+    assert reader.filter(F.col("supplier_name") == "NEW").count() == 0
+    assert store.read(spark, "t").filter(
+        F.col("supplier_name") == "NEW").count() == 1
