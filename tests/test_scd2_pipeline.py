@@ -158,3 +158,42 @@ def test_no_delete_propagation(pipe, spark):
     # A101-A104 were absent from load 2 yet still present
     codes = {r["supplier_code"] for r in master.collect()}
     assert {"A101", "A102", "A103", "A104"} <= codes
+
+
+def test_stream_replay_after_crash_is_flag_idempotent(spark, tmp_path):
+    """C3 crash semantics (pipeline.py docstring): a crash between the
+    staging commit and the offset advance replays the change batch. The
+    replayed DELETE re-closes already-'N' rows (end_date shifts to the
+    replay timestamp — Snowflake's unconditional matched-UPDATE does the
+    same); replayed INSERTs match and no-op. Row multiset is otherwise
+    unchanged."""
+    import datetime as dt
+    from slowly_changing_dimensions_data_engineering_spark.pipeline import (
+        STAGING, SupplierPipeline,
+    )
+
+    p = SupplierPipeline(spark, str(tmp_path))
+    p.setup()
+    p.stage.put("/root/reference/suppliers.csv")
+    p.run_cycle(now=dt.datetime(2024, 1, 1))
+    offset_after_1 = p.store.get_offset("scd2")
+    p.stage.put("/root/reference/suppliers_v2.csv")
+    p.run_cycle(now=dt.datetime(2024, 2, 1))
+
+    before = {(r["supplier_code"], r["supplier_state"], r["current_flag"],
+               r["start_date"]) for r in p.store.read(spark, STAGING).collect()}
+
+    # crash: offset never advanced past load 1 -> load 2's batch replays
+    p.store.set_offset("scd2", offset_after_1)
+    replay_now = dt.datetime(2024, 3, 1)
+    p.task4_scd2_merge(now=replay_now)
+
+    rows = p.store.read(spark, STAGING).collect()
+    after = {(r["supplier_code"], r["supplier_state"], r["current_flag"],
+              r["start_date"]) for r in rows}
+    assert after == before                      # flag/key/start multiset stable
+    assert len(rows) == 10
+    # the two closed rows were re-closed with the replay timestamp
+    closed = [r for r in rows if r["current_flag"] == "N"]
+    assert len(closed) == 2
+    assert all(r["end_date"] == replay_now for r in closed)

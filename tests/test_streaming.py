@@ -225,3 +225,38 @@ def test_apply_in_pandas_with_state_running_counts(spark, tmp_path):
     assert ("click", 3) in rows          # proves cross-batch state
     assert ("view", 1) in rows
     assert max(t for e, t in rows if e == "click") == 3
+
+
+def test_session_window_streaming_append(spark, tmp_path):
+    """Streaming session windows with a watermark: gap-separated bursts
+    close into distinct sessions once the watermark passes; the final
+    burst stays open (never emitted in append mode)."""
+    src = tmp_path / "sess_in"
+    src.mkdir()
+    t0 = time.time()
+    _write_event_file(src / "f1.json", [
+        (1, "2024-01-01 10:00:00", "u1"),
+        (2, "2024-01-01 10:05:00", "u1"),   # same session (gap < 10m)
+        (3, "2024-01-01 11:00:00", "u1"),   # new session
+    ], t0 - 100)
+    _write_event_file(src / "f2.json", [
+        (4, "2024-01-01 13:00:00", "u1"),   # watermark -> 12:50, closes both
+    ], t0 - 50)
+
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+        .withWatermark("ts", "10 minutes")
+        .groupBy("event_type", F.session_window("ts", "10 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select("event_type", F.col("w.start").cast("string").alias("ws"), "n")
+    )
+    q = (stream.writeStream.outputMode("append").format("memory")
+         .queryName("sess_win")
+         .option("checkpointLocation", str(tmp_path / "ck4"))
+         .trigger(availableNow=True).start())
+    _drain(q)
+
+    got = {(r["ws"], r["n"]) for r in spark.table("sess_win").collect()}
+    assert got == {("2024-01-01 10:00:00", 2), ("2024-01-01 11:00:00", 1)}
