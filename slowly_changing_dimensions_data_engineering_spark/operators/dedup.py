@@ -218,3 +218,15 @@ def simhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
         .select(F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2"),
                 F.col("hamming").cast("long").alias("hamming"))
     )
+
+
+def remove_near_dups(docs: DataFrame, pairs: DataFrame,
+                     id_col: str = "doc_id") -> DataFrame:
+    """Turn near-dup PAIRS into the dedup decision: drop every doc that
+    has a smaller-id near-duplicate partner (pairs carry d1 < d2, so
+    dropping the distinct d2 set keeps exactly the local-minimum ids —
+    each duplicate cluster's minimum has no smaller partner and always
+    survives). One distinct + one broadcast-able anti join; no iterative
+    connected components needed for a keep-one guarantee."""
+    losers = pairs.select(F.col("d2").alias(id_col)).distinct()
+    return docs.join(losers, id_col, "left_anti")

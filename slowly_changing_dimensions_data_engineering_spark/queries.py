@@ -1505,3 +1505,80 @@ def array_functions_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x), 6)
         .alias("arr_sumsq"),
     )
+
+
+@register("dedup_corpus_minhash",
+          _SHINGLE_CTES + _minhash_sql() + """
+, verified AS (
+  SELECT d1, d2 FROM cands JOIN sh s1 ON d1 = s1.doc_id JOIN sh s2 ON d2 = s2.doc_id
+  WHERE CAST(len(list_intersect(s1.shl, s2.shl)) AS DOUBLE)
+        / (len(s1.shl) + len(s2.shl) - len(list_intersect(s1.shl, s2.shl))) >= 0.5
+),
+losers AS (SELECT DISTINCT d2 FROM verified)
+SELECT COUNT(*) AS n_docs_kept,
+       CAST(SUM(len(string_split(trim(d.text), ' '))) AS BIGINT) AS total_tokens
+FROM documents d LEFT JOIN losers ON d.doc_id = losers.d2
+WHERE losers.d2 IS NULL
+""")
+def dedup_corpus_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup DECISION end-to-end: MinHash LSH candidates → exact
+    Jaccard verify → drop docs with a smaller near-dup partner
+    (operators/dedup.py remove_near_dups) → surviving corpus size +
+    token budget. This is the operator a training pipeline runs;
+    the pair queries above are its observability."""
+    from .operators.dedup import minhash_near_dups, remove_near_dups
+    d = _spread(spark, _t(spark, sf_dir, "documents")["documents"])
+    pairs = minhash_near_dups(d, num_hashes=16, bands=4, n=5, threshold=0.5)
+    kept = remove_near_dups(d, pairs)
+    return kept.agg(
+        F.count("*").alias("n_docs_kept"),
+        F.sum(F.size(F.split(F.trim(F.col("text")), " ")))
+        .cast("bigint").alias("total_tokens"))
+
+
+@register("map_functions_events", """
+SELECT event_id,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k_value,
+       json_array_length(json_keys(props)) AS n_keys,
+       json_keys(props)[1] AS first_key
+FROM events WHERE event_id < 2000
+""")
+def map_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed columns: props parsed into map<string,string> with
+    map_keys/element_at — the MapType third of the nested-type system
+    (arrays: array_functions_embeddings; structs: multimodal meta)."""
+    e = _t(spark, sf_dir, "events")["events"].filter(F.col("event_id") < 2000)
+    m = F.from_json("props", "map<string,string>")
+    return e.select(
+        "event_id",
+        F.element_at(m, "k").cast("bigint").alias("k_value"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.map_keys(m)[0].alias("first_key"),
+    )
+
+
+@register("profile_orders_columns", """
+SELECT COUNT(*) AS n_rows,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_priorities,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price,
+       strftime(MIN(o_orderdate), '%Y-%m-%d') AS first_order,
+       strftime(MAX(o_orderdate), '%Y-%m-%d') AS last_order
+FROM orders
+""")
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling in one pass (the stats collection step a pipeline
+    runs before planning partitioning/skew strategy): counts, distincts,
+    null counts, numeric and temporal ranges."""
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return o.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.sum(F.when(F.col("o_orderpriority").isNull(), 1).otherwise(0))
+        .cast("bigint").alias("null_priorities"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_order"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_order"),
+    )
