@@ -260,3 +260,51 @@ def test_session_window_streaming_append(spark, tmp_path):
 
     got = {(r["ws"], r["n"]) for r in spark.table("sess_win").collect()}
     assert got == {("2024-01-01 10:00:00", 2), ("2024-01-01 11:00:00", 1)}
+
+
+def test_stream_stream_join_with_watermarks(spark, tmp_path):
+    """Watermarked stream-stream inner join: clicks joined to views by
+    the same user within 30 minutes AFTER the click — both sides buffer
+    in state bounded by their watermarks (the join Spark requires
+    time-range conditions + watermarks for)."""
+    src = tmp_path / "ssj_in"
+    src.mkdir()
+    t0 = time.time()
+    _write_event_file(src / "f1.json", [
+        (1, "2024-01-01 10:00:00", "click"),
+        (2, "2024-01-01 10:10:00", "view"),    # joins click 1 (+10m)
+        (3, "2024-01-01 11:30:00", "view"),    # too late for click 1
+        (4, "2024-01-01 11:40:00", "click"),
+        (5, "2024-01-01 11:50:00", "view"),    # joins click 4 (+10m)
+    ], t0 - 100)
+    _write_event_file(src / "f2.json", [
+        (6, "2024-01-01 14:00:00", "click"),   # advances both watermarks
+    ], t0 - 50)
+
+    base = (spark.readStream.schema(EVENT_SCHEMA)
+            .option("maxFilesPerTrigger", 1).json(str(src)))
+    # single-user fixture: constant join key keeps the fixture tiny
+    clicks = (base.filter("event_type = 'click'")
+              .select(F.col("event_id").alias("click_id"),
+                      F.col("ts").alias("click_ts"), F.lit(1).alias("uid"))
+              .withWatermark("click_ts", "10 minutes"))
+    views = (base.filter("event_type = 'view'")
+             .select(F.col("event_id").alias("view_id"),
+                     F.col("ts").alias("view_ts"), F.lit(1).alias("vuid"))
+             .withWatermark("view_ts", "10 minutes"))
+    joined = clicks.join(
+        views,
+        F.expr("""uid = vuid AND
+                  view_ts >= click_ts AND
+                  view_ts <= click_ts + INTERVAL 30 MINUTES"""),
+        "inner",
+    ).select("click_id", "view_id")
+
+    q = (joined.writeStream.outputMode("append").format("memory")
+         .queryName("ssj")
+         .option("checkpointLocation", str(tmp_path / "ck5"))
+         .trigger(availableNow=True).start())
+    _drain(q)
+
+    pairs = {(r["click_id"], r["view_id"]) for r in spark.table("ssj").collect()}
+    assert pairs == {(1, 2), (4, 5)}
