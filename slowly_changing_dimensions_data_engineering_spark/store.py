@@ -321,3 +321,45 @@ class TableStore:
         with open(tmp, "w") as f:
             json.dump({"version": version}, f)
         os.replace(tmp, self._offset_path(consumer))
+
+
+class Catalog:
+    """D1 — database/schema namespace management
+    (``CREATE DATABASE SCD_TYPE2`` / ``CREATE SCHEMA …`` / ``USE``,
+    SCD-Configuration Setup.sql:5-10). A namespace is a directory level;
+    ``database(db, schema)`` returns the TableStore rooted there, which
+    is the ``USE db.schema`` analogue — all table DDL/DML then resolves
+    inside that namespace."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _dbdir(self, db: str, schema: str | None = None) -> str:
+        p = os.path.join(self.root, db)
+        return os.path.join(p, schema) if schema else p
+
+    def create_database(self, db: str, schema: str = "public") -> "TableStore":
+        os.makedirs(self._dbdir(db, schema), exist_ok=True)
+        return self.database(db, schema)
+
+    def database(self, db: str, schema: str = "public") -> "TableStore":
+        p = self._dbdir(db, schema)
+        if not os.path.isdir(p):
+            raise KeyError(f"database {db}.{schema} does not exist")
+        return TableStore(p)
+
+    def show_databases(self) -> list[str]:
+        return sorted(
+            d for d in os.listdir(self.root)
+            if os.path.isdir(os.path.join(self.root, d)))
+
+    def show_schemas(self, db: str) -> list[str]:
+        p = self._dbdir(db)
+        if not os.path.isdir(p):
+            raise KeyError(f"database {db} does not exist")
+        return sorted(
+            d for d in os.listdir(p) if os.path.isdir(os.path.join(p, d)))
+
+    def drop_database(self, db: str) -> None:
+        shutil.rmtree(self._dbdir(db), ignore_errors=True)

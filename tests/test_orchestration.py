@@ -98,3 +98,24 @@ def test_show_tables_and_streams(spark, tmp_path):
     p.run_cycle()
     # the landing merge attached a CDC batch -> the stream is visible
     assert p.store.show_streams() == [LANDING]
+
+
+def test_catalog_namespaces(spark, tmp_path):
+    """D1 — CREATE DATABASE/SCHEMA/USE (Setup.sql:5-10): namespaced
+    stores are isolated; catalog introspection lists them."""
+    from slowly_changing_dimensions_data_engineering_spark import schemas
+    from slowly_changing_dimensions_data_engineering_spark.store import Catalog
+
+    cat = Catalog(str(tmp_path / "warehouse"))
+    scd = cat.create_database("scd_type2", "scd")
+    other = cat.create_database("analytics")
+    assert cat.show_databases() == ["analytics", "scd_type2"]
+    assert cat.show_schemas("scd_type2") == ["scd"]
+
+    scd.create("supplier_raw", schemas.SUPPLIER)
+    assert scd.show_tables() == ["supplier_raw"]
+    assert other.show_tables() == []          # namespaces are isolated
+    assert cat.database("scd_type2", "scd").show_tables() == ["supplier_raw"]
+
+    cat.drop_database("analytics")
+    assert cat.show_databases() == ["scd_type2"]
