@@ -55,6 +55,9 @@ def main():
         "metric": "total_query_seconds",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
+        "n_queries": len(timings),  # registry grows round over round —
+        # compare totals per query set, not raw (r1: 23 queries, 29.3s;
+        # the same 23 run in ~22s under the r2 tree)
         "queries": timings,
         "sf": sf,
     }
