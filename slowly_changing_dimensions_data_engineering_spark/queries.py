@@ -677,16 +677,19 @@ def embed_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     9 dp so cross-engine double ulp noise can't reorder the cutoff."""
     e = _t(spark, sf_dir, "embeddings")["embeddings"]
     ed = e.withColumn("v", F.transform("embedding", lambda x: x.cast("double")))
-    qid = ed.agg(F.min("vec_id")).collect()[0][0]
-    q = ed.filter(F.col("vec_id") == qid).select(F.col("v").alias("qv"))
+    # Scalar-subquery style: the query row is resolved inside the plan
+    # (agg → broadcast join), no driver-side collect / extra job.
+    qdf = ed.agg(F.min("vec_id").alias("_qid"))
+    q = (ed.join(F.broadcast(qdf), F.col("vec_id") == F.col("_qid"))
+         .select(F.col("v").alias("qv"), "_qid"))
 
     def dot(a, b):
         return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                            F.lit(0.0), lambda acc, x: acc + x)
 
     return (
-        ed.filter(F.col("vec_id") != qid)
-        .crossJoin(F.broadcast(q))
+        ed.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("_qid"))
         .select(
             "vec_id", "label",
             F.round(dot(F.col("v"), F.col("qv")) /
