@@ -74,6 +74,21 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+def _seeded_md5(j: int):
+    """Unary lambda factory for hash family h_j(s) = md5('j|' ‖ s).
+
+    MUST stay a closure over a ONE-argument lambda: a two-parameter
+    lambda (e.g. ``lambda s, j=j: …``) is treated by F.transform as the
+    binary (element, index) form — the second parameter binds to the
+    array-index Column, and an f-string over it bakes the Column's repr
+    into the hash prefix. The result is still a deterministic hash
+    family (so LSH "works"), but not md5(j|s): signatures silently
+    diverge from any external reimplementation. Caught by the sf0.1
+    cross-engine soak; pinned in tests/test_llm_ops.py."""
+    prefix = f"{j}|"
+    return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
+
 def minhash_signature(col: Column | str, num_hashes: int = 16, n: int = 5) -> Column:
     """MinHash signature: array of k minima of md5(seed ‖ shingle).
     Hash family h_j(s) = md5(j ‖ s) — independent uniform hashes,
@@ -85,8 +100,7 @@ def minhash_signature(col: Column | str, num_hashes: int = 16, n: int = 5) -> Co
     the shingle array in its own projection first (7× faster measured)."""
     sh = shingles(col, n)
     return F.array(*[
-        F.array_min(F.transform(sh, lambda s, j=j: F.md5(F.concat(F.lit(f"{j}|"), s))))
-        for j in range(num_hashes)
+        F.array_min(F.transform(sh, _seeded_md5(j))) for j in range(num_hashes)
     ])
 
 
@@ -101,8 +115,7 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     return sh.select(
         id_col,
         F.array(*[
-            F.array_min(F.transform(F.col("__shl"),
-                                    lambda s, j=j: F.md5(F.concat(F.lit(f"{j}|"), s))))
+            F.array_min(F.transform(F.col("__shl"), _seeded_md5(j)))
             for j in range(num_hashes)
         ]).alias("mh"),
     )

@@ -1471,11 +1471,14 @@ def window_range_1h_user_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     per user, the rolling 1-hour value sum. Spark's rangeBetween needs a
     numeric ordering key, so the frame rides unix seconds — semantically
     identical to the oracle's RANGE INTERVAL frame; decimal accumulator
-    for determinism."""
+    for determinism. The ordering key is unix MICROseconds — seconds
+    (unix_timestamp) would truncate sub-second event times and shift
+    frame membership at the exact 1-hour boundary (caught by the sf0.1
+    cross-engine soak)."""
     e = _t(spark, sf_dir, "events")["events"]
     w = (W.partitionBy("user_id")
-         .orderBy(F.unix_timestamp("ts"))
-         .rangeBetween(-3600, 0))
+         .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+         .rangeBetween(-3600 * 1_000_000, 0))
     return e.select(
         "event_id", "user_id",
         F.sum(F.col("value").cast("decimal(38,6)")).over(w)

@@ -189,3 +189,23 @@ def test_ivf_multi_probe_improves_recall(spark, tmp_path):
     assert {r["centroid_id"] for r in out.collect()} >= \
            {r["centroid_id"] for r in
             ivf_search_index(spark, path, qvec, probes[0], k=5).collect()}
+
+
+def test_minhash_family_is_md5_of_seed_and_shingle(spark):
+    """Regression: the signature MUST be the documented family
+    h_j(s) = md5('j|' ‖ s) — a two-parameter lambda in the transform
+    binds its second arg to the ARRAY INDEX column and bakes a Column
+    repr into the prefix (still deterministic, so LSH keeps 'working',
+    but external reimplementations — the DuckDB oracle — diverge on
+    near-identical docs)."""
+    import hashlib
+    from slowly_changing_dimensions_data_engineering_spark.operators.dedup import (
+        minhash_signature, minhash_signatures, shingles,
+    )
+    d = spark.createDataFrame(
+        [(0, "one two three four five six seven eight")], ["doc_id", "text"])
+    shl = d.select(shingles("text", 5).alias("s")).head()["s"]
+    truth = [min(hashlib.md5(f"{j}|{s}".encode()).hexdigest() for s in shl)
+             for j in range(16)]
+    assert list(minhash_signatures(d).head()["mh"]) == truth
+    assert list(d.select(minhash_signature("text").alias("m")).head()["m"]) == truth
