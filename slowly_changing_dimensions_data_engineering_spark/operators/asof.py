@@ -120,8 +120,13 @@ def _asof_window(left: DataFrame, right: DataFrame, on: str, right_on: str,
         null_payload,
         *lcols,
     )
-    ordering = [F.col("__t").asc(), F.col("__side").asc()] \
-        if direction == "backward" else [F.col("__t").desc(), F.col("__side").asc()]
+    # Null left timestamps must sort BEFORE every right row in both
+    # directions, so the running last() gives them no match (a plain
+    # desc sort puts nulls last, where they would inherit the final
+    # right payload).
+    ordering = [F.col("__t").asc_nulls_first(), F.col("__side").asc()] \
+        if direction == "backward" \
+        else [F.col("__t").desc_nulls_first(), F.col("__side").asc()]
     w = (Window.partitionBy("__k").orderBy(*ordering)
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     merged = (

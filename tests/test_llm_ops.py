@@ -209,3 +209,24 @@ def test_minhash_family_is_md5_of_seed_and_shingle(spark):
              for j in range(16)]
     assert list(minhash_signatures(d).head()["mh"]) == truth
     assert list(d.select(minhash_signature("text").alias("m")).head()["m"]) == truth
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_window_null_left_timestamp_gets_no_match(spark, direction):
+    """A left row with a NULL timestamp must never inherit a match —
+    in the desc (forward) ordering nulls would otherwise sort last and
+    pick up the running right payload."""
+    from slowly_changing_dimensions_data_engineering_spark.operators.asof import (
+        asof_join,
+    )
+    ts = dt.datetime
+    left = spark.createDataFrame([
+        Row(ev=1, k=1, t=ts(2024, 1, 10)),
+        Row(ev=2, k=1, t=None),
+    ])
+    right = spark.createDataFrame([Row(k=1, rt=ts(2024, 1, 5), val="a")])
+    out = asof_join(left, right, on="t", right_on="rt", by="k", right_by="k",
+                    right_cols=["val"], direction=direction, strategy="window")
+    rows = {r["ev"]: r["val"] for r in out.collect()}
+    assert rows[2] is None
+    assert rows[1] == ("a" if direction == "backward" else None)
