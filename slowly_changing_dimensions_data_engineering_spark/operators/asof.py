@@ -47,6 +47,13 @@ def asof_join(
     Returns left columns + ``right_cols`` (null when no match — left-join
     semantics; filter afterwards for inner).
     """
+    # A NULL right key can never legally match (pandas.merge_asof rejects
+    # null keys outright); drop such rows up front so BOTH strategies
+    # agree. In the window strategy a null __t would otherwise sort first
+    # (nulls_first + side tiebreak) and its payload would be carried by
+    # the running last() into every left row before the first real right
+    # row; in the pandas strategy merge_asof would raise.
+    right = right.filter(F.col(right_on).isNotNull())
     if strategy == "window":
         return _asof_window(left, right, on, right_on, by, right_by,
                             right_cols, direction)

@@ -69,16 +69,13 @@ def interval_join(
         (F.col(f"l.{time_col}") >= F.col(f"r.{start_col}").cast("timestamp"))
         & (F.col(f"l.{time_col}") < F.col(f"r.{end_col}").cast("timestamp"))
     )
-    joined = la.join(ra, cond & refine, "inner").select(
+    # 'left' rides the SAME single join: a left-outer theta join emits an
+    # unmatched left row exactly once (null-padded right side), and a
+    # matched left row once per containing interval (its bucket id hits
+    # exactly one exploded copy of each interval), so no restore pass is
+    # needed. This is also null/dup-safe: no equality on left columns, so
+    # NULL-bearing or duplicated left rows cannot be double-emitted.
+    return la.join(ra, cond & refine, how).select(
         *[F.col(f"l.{c}") for c in left.columns],
         *[F.col(f"r.{c}") for c in right.columns],
     )
-    if how == "inner":
-        return joined
-    # left join: restore unmatched left rows with null right columns
-    matched_keys = joined.select(*left.columns)
-    unmatched = left.join(matched_keys, left.columns, "left_anti")
-    for c in right.columns:
-        unmatched = unmatched.withColumn(
-            c, F.lit(None).cast(right.schema[c].dataType))
-    return joined.unionByName(unmatched)

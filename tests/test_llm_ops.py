@@ -211,6 +211,55 @@ def test_minhash_family_is_md5_of_seed_and_shingle(spark):
     assert list(d.select(minhash_signature("text").alias("m")).head()["m"]) == truth
 
 
+def test_interval_join_left_null_and_dup_safe(spark):
+    """ADVICE coverage (rangejoin.py): the left-outer path must emit a
+    matched left row exactly once even when it carries a NULL column or
+    is duplicated — the old anti-join restore used null-unsafe equality
+    and double-emitted NULL-bearing matched rows."""
+    from slowly_changing_dimensions_data_engineering_spark.operators.rangejoin import (
+        interval_join,
+    )
+    ts = dt.datetime
+    left = spark.createDataFrame(
+        [Row(ev=1, note=None, t=ts(2024, 1, 5, 12)),      # matches, has NULL col
+         Row(ev=2, note="x", t=ts(2024, 3, 1)),           # no match
+         Row(ev=3, note="y", t=ts(2024, 1, 5)),           # duplicated left row
+         Row(ev=3, note="y", t=ts(2024, 1, 5))],
+    )
+    right = spark.createDataFrame(
+        [Row(tag="w1", s=ts(2024, 1, 1), e=ts(2024, 1, 10))])
+    out = interval_join(left, right, "t", "s", "e", how="left").collect()
+    by_ev = {}
+    for r in out:
+        by_ev.setdefault(r["ev"], []).append(r["tag"])
+    assert by_ev[1] == ["w1"]          # exactly once despite NULL note
+    assert by_ev[2] == [None]          # unmatched → single null-padded row
+    assert by_ev[3] == ["w1", "w1"]    # dup left rows each matched once
+
+
+@pytest.mark.parametrize("strategy", ["window", "pandas"])
+def test_asof_null_right_key_rejected(spark, strategy):
+    """ADVICE coverage (asof.py): a right row with a NULL key must be
+    ignored by both strategies — in the window formulation it would
+    otherwise sort first and leak its payload into early left rows."""
+    from slowly_changing_dimensions_data_engineering_spark.operators.asof import (
+        asof_join,
+    )
+    ts = dt.datetime
+    left = spark.createDataFrame([
+        Row(ev=1, k=1, t=ts(2024, 1, 2)),    # before the only real right row
+        Row(ev=2, k=1, t=ts(2024, 1, 10)),   # after it
+    ])
+    right = spark.createDataFrame([
+        Row(k=1, rt=None, val="leak"),
+        Row(k=1, rt=ts(2024, 1, 5), val="a"),
+    ], "k int, rt timestamp, val string")
+    out = asof_join(left, right, on="t", right_on="rt", by="k", right_by="k",
+                    right_cols=["val"], strategy=strategy)
+    rows = {r["ev"]: r["val"] for r in out.collect()}
+    assert rows == {1: None, 2: "a"}
+
+
 @pytest.mark.parametrize("direction", ["backward", "forward"])
 def test_asof_window_null_left_timestamp_gets_no_match(spark, direction):
     """A left row with a NULL timestamp must never inherit a match —
