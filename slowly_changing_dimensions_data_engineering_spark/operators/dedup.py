@@ -42,33 +42,57 @@ def shingles(col: Column | str, n: int = 5) -> Column:
     return F.array_distinct(grams)
 
 
-def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
-                        text_col: str = "text", n: int = 5,
-                        threshold: float = 0.2) -> DataFrame:
-    """All pairs (d1 < d2) with shingle-set Jaccard >= threshold.
+def ngram_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", n: int = 5,
+                          max_df: int | None = 500) -> DataFrame:
+    """Distinct candidate pairs (d1 < d2) sharing >= 1 shingle with
+    document frequency <= ``max_df``.
 
-    Candidate generation = self-join on shingle (only docs sharing at
-    least one shingle are compared); verification = exact
-    |∩| / (|A|+|B|-|∩|) from group counts.
+    The df cap is the 100 TB guard: a shingle occurring in d documents
+    emits d²/2 pairs from ONE join key — a web-scale boilerplate 5-gram
+    is a single-reducer d² bomb. Shingles above the cap carry ~0 Jaccard
+    signal (they are corpus-wide stop-shingles), so dropping them from
+    CANDIDATE GENERATION is the standard fix; pass ``max_df=None`` to
+    disable. The df aggregation shuffles on the uniform shingle hash and
+    the filtered df frame joins back shingle-keyed — both skew-free.
     """
-    sh = docs.select(F.col(id_col), F.explode(shingles(text_col, n)).alias("sh"))
-    sizes = sh.groupBy(id_col).agg(F.count("*").alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
+    ex = docs.select(F.col(id_col), F.explode(shingles(text_col, n)).alias("sh"))
+    if max_df is not None:
+        # shingles() is array_distinct per doc, so count(*) == df
+        keep = (ex.groupBy("sh").agg(F.count("*").alias("df"))
+                .filter(F.col("df") <= max_df).select("sh"))
+        ex = ex.join(keep, "sh")
+    a, b = ex.alias("a"), ex.alias("b")
+    return (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) &
                (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .groupBy(F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2"))
-        .agg(F.count("*").alias("inter"))
+        .select(F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2"))
+        .distinct()
     )
-    # sizes scales with the corpus — no forced broadcast; AQE picks the
-    # join strategy from runtime stats.
-    s1 = sizes.select(F.col(id_col).alias("d1"), F.col("sz").alias("sz1"))
-    s2 = sizes.select(F.col(id_col).alias("d2"), F.col("sz").alias("sz2"))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 5,
+                        threshold: float = 0.2,
+                        max_df: int | None = 500) -> DataFrame:
+    """All pairs (d1 < d2) with shingle-set Jaccard >= threshold.
+
+    Two-phase: df-capped candidate generation (:func:`ngram_candidate_pairs`
+    — only docs sharing a sub-cap shingle are compared), then EXACT
+    verification |∩| / (|A|+|B|-|∩|) on the FULL shingle sets — the df
+    cap bounds the join but never changes a reported jaccard value; only
+    a pair whose entire overlap is stop-shingles can be missed (such a
+    pair has ~0 Jaccard anyway).
+    """
+    cands = ngram_candidate_pairs(docs, id_col, text_col, n, max_df)
+    sh = docs.select(F.col(id_col), shingles(text_col, n).alias("shl"))
+    s1 = sh.select(F.col(id_col).alias("d1"), F.col("shl").alias("shl1"))
+    s2 = sh.select(F.col(id_col).alias("d2"), F.col("shl").alias("shl2"))
+    inter = F.size(F.array_intersect("shl1", "shl2"))
+    union = F.size("shl1") + F.size("shl2") - inter
     return (
-        inter.join(s1, "d1").join(s2, "d2")
-        .withColumn("jaccard",
-                    F.col("inter").cast("double")
-                    / (F.col("sz1") + F.col("sz2") - F.col("inter")))
+        cands.join(s1, "d1").join(s2, "d2")
+        .withColumn("jaccard", inter.cast("double") / union)
         .filter(F.col("jaccard") >= threshold)
         .select("d1", "d2", "jaccard")
     )

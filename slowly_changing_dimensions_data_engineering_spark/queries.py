@@ -717,28 +717,34 @@ sh AS (
   FROM toks
 )"""
 
+#: Mirrors dedup.ngram_candidate_pairs + ngram_jaccard_pairs: candidates
+#: from shingles with df <= 500 (the hot-shingle d² guard), EXACT Jaccard
+#: on the full shingle lists.
 _JACCARD_TAIL = """,
 ex AS (SELECT doc_id, unnest(shl) AS s FROM sh),
-sizes AS (SELECT doc_id, len(shl) AS sz FROM sh),
-inter AS (
-  SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS i
-  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
+keep AS (SELECT s FROM ex GROUP BY s HAVING COUNT(*) <= 500),
+cand AS (
+  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+  FROM ex a JOIN keep USING (s) JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
 )
-SELECT d1, d2, CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) AS jaccard
-FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
-WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= 0.2
+SELECT d1, d2,
+  CAST(len(list_intersect(s1.shl, s2.shl)) AS DOUBLE)
+    / (len(s1.shl) + len(s2.shl) - len(list_intersect(s1.shl, s2.shl))) AS jaccard
+FROM cand JOIN sh s1 ON d1 = s1.doc_id JOIN sh s2 ON d2 = s2.doc_id
+WHERE CAST(len(list_intersect(s1.shl, s2.shl)) AS DOUBLE)
+    / (len(s1.shl) + len(s2.shl) - len(list_intersect(s1.shl, s2.shl))) >= 0.2
 """
 
 
 @register("ngram_jaccard_pairs", _SHINGLE_CTES + _JACCARD_TAIL)
 def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shingle-keyed candidate join + exact Jaccard verification
-    (operators/dedup.py) — never all-pairs; the only shuffle keys on the
+    """Shingle-keyed candidate join (df <= 500 cap — hot-shingle d²
+    guard) + exact Jaccard verification on full shingle sets
+    (operators/dedup.py) — never all-pairs; the only shuffles key on the
     uniformly-distributed shingle hash."""
     from .operators.dedup import ngram_jaccard_pairs
     d = _spread(spark, _t(spark, sf_dir, "documents")["documents"])
-    return ngram_jaccard_pairs(d, n=5, threshold=0.2)
+    return ngram_jaccard_pairs(d, n=5, threshold=0.2, max_df=500)
 
 
 def _minhash_sql(num_hashes: int = 16, bands: int = 4) -> str:

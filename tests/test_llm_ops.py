@@ -42,6 +42,33 @@ def test_ngram_jaccard_identical_docs(docs):
     assert not any(3 in p for p in pairs)  # unrelated doc pairs with nothing
 
 
+def test_ngram_df_cap_bounds_hot_shingle_candidates(spark):
+    """100 TB guard: a boilerplate shingle shared by d docs must not
+    produce d²/2 candidate pairs. 30 docs share one 5-gram prefix (plus
+    one genuine duplicate pair); with the df cap the candidate set is
+    exactly the duplicate pair, and its jaccard is unchanged (the cap
+    only gates candidate generation — verification uses full sets)."""
+    from slowly_changing_dimensions_data_engineering_spark.operators.dedup import (
+        ngram_candidate_pairs, ngram_jaccard_pairs,
+    )
+    boiler = "alpha beta gamma delta epsilon"
+    rows = [(i, f"{boiler} u{i} v{i} w{i} x{i} y{i}") for i in range(30)]
+    rows.append((30, rows[0][1]))  # exact duplicate of doc 0
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    uncapped = ngram_candidate_pairs(d, max_df=None).count()
+    assert uncapped >= 30 * 31 // 2  # the d² bomb, demonstrated
+
+    capped = {(r["d1"], r["d2"]) for r in
+              ngram_candidate_pairs(d, max_df=10).collect()}
+    assert capped == {(0, 30)}  # bounded: only the real near-dup survives
+
+    # recall + exactness: the true pair is still found with jaccard 1.0
+    pairs = {(r["d1"], r["d2"]): r["jaccard"] for r in
+             ngram_jaccard_pairs(d, threshold=0.5, max_df=10).collect()}
+    assert pairs == {(0, 30): 1.0}
+
+
 def test_minhash_lsh_and_verify(docs):
     from slowly_changing_dimensions_data_engineering_spark.operators.dedup import (
         minhash_lsh_candidates, minhash_near_dups,
