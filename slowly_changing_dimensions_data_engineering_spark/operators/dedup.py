@@ -200,18 +200,30 @@ def minhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
 
 def _simhash_fold(hashes: Column, bits: int) -> Column:
     """Per-bit ±1 fold of a materialized token-hash array into the
-    ``bits``-wide SimHash signature."""
-    def bit_sum(i: int) -> Column:
-        return F.aggregate(
-            hashes, F.lit(0),
-            lambda acc, h: acc + F.when(F.shiftright(h, i).bitwiseAND(1) == 1,
-                                        F.lit(1)).otherwise(F.lit(-1)),
-        )
-    out = F.lit(0).cast("long")
-    for i in range(bits):
-        out = out + F.when(bit_sum(i) > 0,
-                           F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-    return out
+    ``bits``-wide SimHash signature — ONE pass over the array.
+
+    A single ``aggregate`` accumulates an array of ``bits`` counts
+    (zip_with the running counts against the element's ±1 bit vector),
+    then the signature is assembled by summing the masks of positive
+    counts. The previous formulation ran ``bits`` separate aggregate
+    passes per row and was the most CPU-dense query in the bench."""
+    masks = F.array(*[F.lit(1 << i).cast("long") for i in range(bits)])
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(masks, lambda m: F.when(h.bitwiseAND(m) != 0,
+                                                F.lit(1)).otherwise(F.lit(-1))),
+            lambda a, b: a + b,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(counts, masks,
+                   lambda c, m: F.when(c > 0, m).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
 
 
 def _token_hashes(col: Column | str, bits: int) -> Column:
