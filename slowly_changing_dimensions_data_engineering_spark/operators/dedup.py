@@ -145,27 +145,37 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
-def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
-                           text_col: str = "text", num_hashes: int = 16,
-                           bands: int = 4, n: int = 5) -> DataFrame:
-    """Candidate near-dup pairs: docs sharing >= 1 LSH band bucket.
-
-    band signature = md5(concat of the band's minhashes); the band join
-    shuffles on (band_idx, signature) — uniform keys, no skew. The two
-    sides of the self-join shuffle identically, so Spark's
-    ReusedExchange evaluates the signature pipeline once.
-    """
+def minhash_band_frame(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", num_hashes: int = 16,
+                       bands: int = 4, n: int = 5) -> DataFrame:
+    """(id, mh, band, bsig): the full minhash signature plus one row per
+    LSH band — band signature = md5(concat of the band's minhashes).
+    This is the unit of the persisted dedup index (each doc is shingled
+    exactly once, here)."""
     rows = num_hashes // bands
     sig = minhash_signatures(docs, id_col, text_col, num_hashes, n)
-    bands_df = sig.select(
-        id_col,
+    return sig.select(
+        id_col, "mh",
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("band"),
                      F.md5(F.concat_ws("|", *[F.col("mh")[i * rows + r]
                                               for r in range(rows)])).alias("bsig"))
             for i in range(bands)
         ])).alias("b"),
-    ).select(id_col, "b.band", "b.bsig")
+    ).select(id_col, "b.band", "b.bsig", "mh")
+
+
+def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", num_hashes: int = 16,
+                           bands: int = 4, n: int = 5) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing >= 1 LSH band bucket.
+
+    The band join shuffles on (band_idx, signature) — uniform keys, no
+    skew. The two sides of the self-join shuffle identically, so Spark's
+    ReusedExchange evaluates the signature pipeline once.
+    """
+    bands_df = minhash_band_frame(docs, id_col, text_col, num_hashes,
+                                  bands, n).drop("mh")
     x, y = bands_df.alias("x"), bands_df.alias("y")
     return (
         x.join(y, (F.col("x.band") == F.col("y.band")) &
@@ -266,6 +276,62 @@ def simhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
         .filter(F.col("hamming") <= max_hamming)
         .select(F.col(f"a.{id_col}").alias("d1"), F.col(f"b.{id_col}").alias("d2"),
                 F.col("hamming").cast("long").alias("hamming"))
+    )
+
+
+def minhash_build_index(docs: DataFrame, path: str, id_col: str = "doc_id",
+                        text_col: str = "text", num_hashes: int = 16,
+                        bands: int = 4, n: int = 5) -> None:
+    """Materialize the MinHash dedup index: the corpus' band frame
+    (id, band, bsig, mh) written partitioned by ``band``.
+
+    This is the 100 TB incremental-dedup layout: the corpus is shingled
+    and minhashed EXACTLY ONCE, at build time; every later batch of new
+    documents joins its own (small) band frame against these stored
+    signatures — never re-reading, let alone re-shingling, the corpus
+    text. Mirrors ``ivf_build_index`` for the embedding side. Readers
+    must use the same (num_hashes, bands, n) parameters."""
+    (minhash_band_frame(docs, id_col, text_col, num_hashes, bands, n)
+     .write.mode("overwrite").partitionBy("band").parquet(path))
+
+
+def minhash_near_dups_incremental(spark, new_docs: DataFrame, path: str,
+                                  id_col: str = "doc_id",
+                                  text_col: str = "text",
+                                  num_hashes: int = 16, bands: int = 4,
+                                  n: int = 5,
+                                  threshold: float = 0.5) -> DataFrame:
+    """Near-dup pairs (d1 < d2, jaccard_est) with at least one side in
+    ``new_docs``: new-vs-corpus via the stored index at ``path``, plus
+    new-vs-new.
+
+    The new batch is shingled once (``minhash_band_frame``); the corpus
+    side is ONLY the stored signatures — the candidate join keys on
+    (band, bsig), so corpus rows in non-matching buckets never leave the
+    shuffle. Verification uses the MinHash Jaccard ESTIMATE (fraction of
+    equal signature components, the unbiased minhash estimator): exact
+    shingle verification would require re-reading corpus text, which is
+    exactly what the incremental path exists to avoid. Ids must be
+    unique across corpus ∪ new batch."""
+    new_bf = minhash_band_frame(new_docs, id_col, text_col, num_hashes,
+                                bands, n)
+    idx = spark.read.parquet(path).select(id_col, "band", "bsig", "mh")
+    both = idx.unionByName(new_bf.select(id_col, "band", "bsig", "mh"))
+    a, b = new_bf.alias("a"), both.alias("b")
+    matches = F.size(F.filter(
+        F.zip_with(F.col("a.mh"), F.col("b.mh"), lambda x, y: x == y),
+        lambda eq: eq))
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) &
+               (F.col("a.bsig") == F.col("b.bsig")) &
+               (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")))
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("d1"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("d2"),
+            (matches.cast("double") / F.lit(float(num_hashes))).alias("jaccard_est"),
+        )
+        .distinct()
+        .filter(F.col("jaccard_est") >= threshold)
     )
 
 

@@ -800,6 +800,73 @@ def minhash_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dups(d, num_hashes=16, bands=4, n=5, threshold=0.5)
 
 
+def _minhash_inc_sql(num_hashes: int = 16, bands: int = 4,
+                     new_mod: int = 5, threshold: float = 0.5) -> str:
+    """DuckDB mirror of dedup.minhash_near_dups_incremental: full-corpus
+    signature recompute RESTRICTED to pairs with >= 1 'new' side
+    (doc_id % new_mod = 0); jaccard_est = fraction of equal signature
+    components."""
+    rows = num_hashes // bands
+    mh = ",\n         ".join(
+        f"list_min(list_transform(shl, s -> md5('{j}|' || s))) AS mh{j}"
+        for j in range(num_hashes))
+    pipe = " || '|' || "
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band, "
+        f"md5({pipe.join(f'mh{i * rows + r}' for r in range(rows))}) AS bsig FROM mh"
+        for i in range(bands))
+    est = "(" + " + ".join(
+        f"CASE WHEN m1.mh{j} = m2.mh{j} THEN 1 ELSE 0 END"
+        for j in range(num_hashes)) + f") / {num_hashes}.0"
+    return f""",
+mh AS (
+  SELECT doc_id, {mh}
+  FROM sh
+),
+bands AS (
+  {band_selects}
+),
+cand AS (
+  SELECT DISTINCT least(x.doc_id, y.doc_id) AS d1,
+                  greatest(x.doc_id, y.doc_id) AS d2
+  FROM bands x JOIN bands y
+    ON x.band = y.band AND x.bsig = y.bsig AND x.doc_id != y.doc_id
+  WHERE x.doc_id % {new_mod} = 0
+)
+SELECT d1, d2, {est} AS jaccard_est
+FROM cand JOIN mh m1 ON d1 = m1.doc_id JOIN mh m2 ON d2 = m2.doc_id
+WHERE {est} >= {threshold}
+"""
+
+
+#: sf_dir -> materialized MinHash index path (built once per process).
+_MINHASH_INDEX_CACHE: dict[str, str] = {}
+
+
+@register("minhash_incremental_dedup", _SHINGLE_CTES + _minhash_inc_sql())
+def minhash_incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against a PERSISTED signature index
+    (operators/dedup.py): the corpus (doc_id % 5 != 0) is shingled once
+    into a band-partitioned parquet index; the 'new' batch
+    (doc_id % 5 == 0) is shingled once and its band frame joins the
+    stored signatures — the 100 TB path where a daily batch never
+    re-reads corpus text. Verification = minhash Jaccard estimate from
+    the stored signatures."""
+    import os
+
+    from .operators.dedup import minhash_build_index, minhash_near_dups_incremental
+
+    d = _spread(spark, _t(spark, sf_dir, "documents")["documents"])
+    corpus = d.filter(F.col("doc_id") % 5 != 0)
+    new = d.filter(F.col("doc_id") % 5 == 0)
+    path = _MINHASH_INDEX_CACHE.get(sf_dir)
+    if not (path and os.path.exists(path)):
+        path = tempfile.mkdtemp(prefix="sds_mh_") + "/index"
+        minhash_build_index(corpus, path)
+        _MINHASH_INDEX_CACHE[sf_dir] = path
+    return minhash_near_dups_incremental(spark, new, path, threshold=0.5)
+
+
 def _simhash_sql(bits: int = 48, bucket_bits: int = 12, max_hamming: int = 3) -> str:
     """DuckDB mirror of dedup.simhash/simhash_near_dups: token hash =
     first ceil(bits/4) md5 hex chars base-16; per-bit ±1 fold; block on

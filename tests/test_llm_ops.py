@@ -238,6 +238,53 @@ def test_minhash_family_is_md5_of_seed_and_shingle(spark):
     assert list(d.select(minhash_signature("text").alias("m")).head()["m"]) == truth
 
 
+def test_minhash_incremental_matches_full_recompute(spark, tmp_path):
+    """Incremental dedup against the persisted signature index must find
+    exactly the (>=1-new-side) pairs a full recompute finds, with the
+    same signature-estimate values — and its plan must read the INDEX,
+    not the corpus text (the corpus frame is not even an input)."""
+    from slowly_changing_dimensions_data_engineering_spark.operators.dedup import (
+        minhash_band_frame, minhash_build_index, minhash_near_dups_incremental,
+    )
+    corpus_rows = DOCS[:3]                     # ids 0,1,2 (0≈1 near-dups)
+    new_rows = [(10, DOCS[2][1]),              # dup of corpus doc 2
+                (11, "entirely novel content nothing shared with anyone else"),
+                (12, DOCS[2][1])]              # dup of corpus doc 2 AND new doc 10
+    corpus = spark.createDataFrame(corpus_rows, ["doc_id", "text"])
+    new = spark.createDataFrame(new_rows, ["doc_id", "text"])
+    path = str(tmp_path / "mhidx")
+    minhash_build_index(corpus, path)
+
+    out = minhash_near_dups_incremental(spark, new, path, threshold=0.5)
+    got = {(r["d1"], r["d2"]): r["jaccard_est"] for r in out.collect()}
+
+    # full recompute on corpus ∪ new, restricted to pairs with a new side
+    full = minhash_band_frame(corpus.unionByName(new))
+    sigs = {r["doc_id"]: tuple(r["mh"]) for r in
+            full.select("doc_id", "mh").distinct().collect()}
+    buckets = {}
+    for r in full.collect():
+        buckets.setdefault((r["band"], r["bsig"]), set()).add(r["doc_id"])
+    expect = {}
+    new_ids = {10, 11, 12}
+    for ids in buckets.values():
+        for d1 in ids:
+            for d2 in ids:
+                if d1 < d2 and (d1 in new_ids or d2 in new_ids):
+                    est = sum(a == b for a, b in
+                              zip(sigs[d1], sigs[d2])) / 16.0
+                    if est >= 0.5:
+                        expect[(d1, d2)] = est
+    assert got == expect
+    assert (2, 10) in got and (10, 12) in got and (2, 12) in got
+    assert not any(11 in p for p in got)
+
+    # IO contract: the executed plan scans the parquet index — corpus
+    # text is not an input to the incremental path at all.
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "mhidx" in plan
+
+
 def test_interval_join_left_null_and_dup_safe(spark):
     """ADVICE coverage (rangejoin.py): the left-outer path must emit a
     matched left row exactly once even when it carries a NULL column or
