@@ -141,16 +141,30 @@ def ivf_search_index(spark, path: str, query_vec: list[float],
     )
 
 
-def embedding_near_dup_pairs(vectors: DataFrame, block_col: str,
-                             threshold: float, id_col: str = "vec_id",
-                             vec_col: str = "embedding") -> DataFrame:
+def embedding_near_dup_pairs(vectors: DataFrame, block_col: str | None = None,
+                             threshold: float = 0.3, id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             centroids: DataFrame | None = None) -> DataFrame:
     """Pairs (v1 < v2) within a block with cosine >= threshold.
+
+    Blocking defaults to **IVF clusters** (``centroids`` required):
+    geometry-derived blocks keep sizes bounded by cluster population
+    regardless of payload skew — a payload label with n/5 rows is an
+    O(n²/25) block, while k-means-style cells shrink as k grows. Pass
+    ``block_col`` to override with a precomputed/payload block.
 
     Norms are computed ONCE per row before the self-join (a per-pair
     ``cosine()`` would re-evaluate dot(a,a)/dot(b,b) per candidate —
     3× the array passes). ``sqrt(dot(x,x))`` is the identical IEEE
     expression either way, so results are bit-equal to the naive form.
     """
+    if block_col is None:
+        if centroids is None:
+            raise ValueError("embedding_near_dup_pairs: pass centroids for "
+                             "IVF-cluster blocking or an explicit block_col")
+        assign = ivf_assign(vectors, centroids, id_col, vec_col)
+        vectors = vectors.join(assign, id_col)
+        block_col = "centroid_id"
     v = vectors.select(F.col(id_col), F.col(block_col).alias("_blk"),
                        as_double(vec_col).alias("_v"))
     v = v.withColumn("_n", F.sqrt(dot(F.col("_v"), F.col("_v"))))

@@ -1025,21 +1025,42 @@ def ivf_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("centroid_id", F.col("centroid_id").cast("long"))
 
 
-@register("embedding_near_dup_pairs", """
-WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS ve FROM embeddings)
+@register("embedding_near_dup_pairs", f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings
+      WHERE vec_id < {_IVF_N_CENTROIDS}),
+scored AS (
+  SELECT v.vec_id, c.cid,
+         round(list_dot_product(
+                 list_transform(range(1, len(ve)+1), i -> ve[i] - ce[i]),
+                 list_transform(range(1, len(ve)+1), i -> ve[i] - ce[i])), 9) AS d
+  FROM v, c
+),
+assign AS (
+  SELECT vec_id, cid FROM scored
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+)
 SELECT a.vec_id AS v1, b.vec_id AS v2,
        round(list_dot_product(a.ve, b.ve) /
              (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))), 9) AS cosine
-FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+FROM v a JOIN assign ca ON a.vec_id = ca.vec_id
+     JOIN assign cb ON ca.cid = cb.cid
+     JOIN v b ON b.vec_id = cb.vec_id AND a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.ve, b.ve) /
             (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))), 9) >= 0.3
 """)
 def embedding_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs (operators/similarity.py): label-blocked
-    self-join + exact cosine threshold — O(n²/k), never all-pairs."""
+    """Embedding near-dup pairs (operators/similarity.py): IVF-cluster
+    blocked self-join + exact cosine threshold. Geometry-derived blocks
+    stay bounded as k grows (O(n²/k²) expected pair work for balanced
+    cells) — unlike payload labels, whose cardinality is fixed by the
+    data owner, not the engine."""
     from .operators.similarity import embedding_near_dup_pairs
     e = _spread(spark, _t(spark, sf_dir, "embeddings")["embeddings"])
-    return embedding_near_dup_pairs(e, block_col="label", threshold=0.3)
+    cents = (e.filter(F.col("vec_id") < _IVF_N_CENTROIDS)
+             .select(F.col("vec_id").alias("centroid_id"), "embedding"))
+    return embedding_near_dup_pairs(e.select("vec_id", "embedding"),
+                                    threshold=0.3, centroids=cents)
 
 
 # =====================================================================

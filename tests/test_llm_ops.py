@@ -185,6 +185,39 @@ def test_embedding_near_dup_pairs_blocked(spark):
     assert pairs == {(0, 1)}
 
 
+def test_embedding_near_dup_pairs_ivf_blocking_bounds_candidates(spark):
+    """Default blocking = IVF clusters: a single payload label (one giant
+    O(n²) block) is split by geometry into per-cluster blocks, so the
+    candidate count is the sum of within-cluster pairs, not n*(n-1)/2."""
+    import pytest
+
+    from slowly_changing_dimensions_data_engineering_spark.operators.similarity import (
+        embedding_near_dup_pairs, ivf_assign,
+    )
+    # 30 vectors, all one label, clustered tightly around 3 far-apart
+    # centers -> cluster blocking yields 3 blocks of 10.
+    rows = [(i, "all", [float(10 * (i % 3)) + 0.001 * i, 1.0])
+            for i in range(30)]
+    vecs = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    cents = spark.createDataFrame(
+        [(c, [float(10 * c), 1.0]) for c in range(3)],
+        ["centroid_id", "embedding"])
+
+    assign = ivf_assign(vecs, cents)
+    sizes = [r["n"] for r in assign.groupBy("centroid_id").count()
+             .withColumnRenamed("count", "n").collect()]
+    assert sizes and max(sizes) == 10  # geometry bounds each block
+
+    # threshold=-1 keeps every candidate pair -> pair count == sum of
+    # within-block pairs (3 * C(10,2) = 135), NOT C(30,2) = 435.
+    pairs = embedding_near_dup_pairs(
+        vecs.select("vec_id", "embedding"), threshold=-1.0, centroids=cents)
+    assert pairs.count() == 3 * (10 * 9 // 2)
+
+    with pytest.raises(ValueError):
+        embedding_near_dup_pairs(vecs.select("vec_id", "embedding"))
+
+
 def test_ivf_multi_probe_improves_recall(spark, tmp_path):
     """nprobe: probing p clusters prunes to p partitions (plan still
     carries partition filters) and its top-k is at least as close to the
