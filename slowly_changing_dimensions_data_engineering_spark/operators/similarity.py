@@ -141,6 +141,34 @@ def ivf_search_index(spark, path: str, query_vec: list[float],
     )
 
 
+def ivf_search_index_inplan(spark, path: str, query_df: DataFrame,
+                            centroids: DataFrame, k: int = 5,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> DataFrame:
+    """ANN top-k over a materialized IVF index with the query row
+    resolved INSIDE the plan — no driver ``.head()``/``collect`` in the
+    build path. The query's cluster is computed by the same
+    ``ivf_assign`` the index was built with, then the (1-row, broadcast)
+    query frame is joined against the centroid-partitioned index on the
+    partition column: Spark's dynamic partition pruning rewrites that
+    join into a runtime partition filter, so only the query's cluster
+    directory is scanned (assert: ``dynamicpruning`` in the plan).
+    Prefer this for registered/production queries; the literal-probe
+    ``ivf_search_index`` remains for multi-probe recall tuning."""
+    q = (query_df.join(ivf_assign(query_df, centroids, id_col, vec_col), id_col)
+         .select(F.col(id_col).alias("_qid"), as_double(vec_col).alias("_qv"),
+                 F.col("centroid_id").alias("_qc")))
+    idx = spark.read.parquet(path)
+    return (
+        idx.join(F.broadcast(q), (idx["centroid_id"] == q["_qc"]) &
+                 (idx[id_col] != q["_qid"]))
+        .select(id_col, "centroid_id",
+                cosine(as_double(vec_col), F.col("_qv")).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def embedding_near_dup_pairs(vectors: DataFrame, block_col: str | None = None,
                              threshold: float = 0.3, id_col: str = "vec_id",
                              vec_col: str = "embedding",

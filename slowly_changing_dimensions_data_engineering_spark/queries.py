@@ -1008,20 +1008,21 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> str:
 @register("ivf_search_ann", _IVF_ORACLE)
 def ivf_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-k (operators/similarity.py): the corpus is stored
-    partitioned by centroid_id, the query's cluster is resolved
-    driver-side against the dict-sized centroid set, and the scan
-    carries a literal PartitionFilter — only one cluster directory is
-    read (the 100 TB path; see tests/test_llm_ops.py plan assertion)."""
-    from .operators.similarity import ivf_search_index, nearest_centroid
+    partitioned by centroid_id and the query row is resolved INSIDE the
+    plan — its cluster comes from the same ivf_assign the index was
+    built with, and dynamic partition pruning turns the 1-row broadcast
+    join into a runtime partition filter (only the query's cluster
+    directory is read; plan-asserted in tests/test_llm_ops.py). No
+    driver .head() in the build path."""
+    from .operators.similarity import ivf_search_index_inplan
 
     e = _t(spark, sf_dir, "embeddings")["embeddings"]
-    qvec = [float(x) for x in
-            e.filter(F.col("vec_id") == _IVF_QUERY_ID).select("embedding").head()[0]]
     cents = (e.filter(F.col("vec_id") < _IVF_N_CENTROIDS)
              .select(F.col("vec_id").alias("centroid_id"), "embedding"))
-    qc = nearest_centroid(cents, qvec)
+    qrow = (e.filter(F.col("vec_id") == _IVF_QUERY_ID)
+            .select("vec_id", "embedding"))
     path = _ivf_index(spark, sf_dir)
-    out = ivf_search_index(spark, path, qvec, qc, query_id=_IVF_QUERY_ID, k=10)
+    out = ivf_search_index_inplan(spark, path, qrow, cents, k=10)
     return out.withColumn("centroid_id", F.col("centroid_id").cast("long"))
 
 

@@ -218,6 +218,35 @@ def test_embedding_near_dup_pairs_ivf_blocking_bounds_candidates(spark):
         embedding_near_dup_pairs(vecs.select("vec_id", "embedding"))
 
 
+def test_ivf_search_inplan_dpp_matches_literal(spark, tmp_path):
+    """ivf_search_index_inplan: the query row rides the plan (no driver
+    .head()); the 1-row broadcast join on the partition column must
+    trigger dynamic partition pruning, and results must equal the
+    literal-probe path for the same query."""
+    from slowly_changing_dimensions_data_engineering_spark.operators.similarity import (
+        ivf_build_index, ivf_search_index, ivf_search_index_inplan,
+        nearest_centroid,
+    )
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 3), float(i % 7), 1.0]) for i in range(60)],
+        ["vec_id", "embedding"])
+    cents = spark.createDataFrame(
+        [(c, [float(c), 3.0, 1.0]) for c in range(3)],
+        ["centroid_id", "embedding"])
+    path = str(tmp_path / "ivf")
+    ivf_build_index(vecs, cents, path)
+
+    qrow = vecs.filter("vec_id = 7")
+    out = ivf_search_index_inplan(spark, path, qrow, cents, k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+
+    qvec = [float(x) for x in qrow.head()["embedding"]]  # test-only
+    qc = nearest_centroid(cents, qvec)
+    lit = ivf_search_index(spark, path, qvec, qc, query_id=7, k=5)
+    assert [tuple(r) for r in out.collect()] == [tuple(r) for r in lit.collect()]
+
+
 def test_ivf_multi_probe_improves_recall(spark, tmp_path):
     """nprobe: probing p clusters prunes to p partitions (plan still
     carries partition filters) and its top-k is at least as close to the
