@@ -82,13 +82,14 @@ def copy_into(store, spark: SparkSession, table: str, stage: Stage,
               purge: bool = False) -> int:
     """S6 — COPY INTO table FROM @stage [PURGE=…].
 
-    Appends all staged files into ``table`` (the pipeline truncates RAW
-    first, so the observable result matches the reference's load-once
-    behavior without needing per-file load history)."""
+    A TRUE append: the staged files are committed as a new segment
+    without reading or rewriting the table's current contents
+    (``TableStore.commit_append``) — standalone-safe regardless of
+    whether the caller truncated first, and O(staged bytes) at any
+    table size."""
     files = stage.list()
     df = read_staged_csv(spark, stage, store.schema(table), files)
-    current = store.read(spark, table)
-    v = store.commit(table, current.unionByName(df))
+    v = store.commit_append(table, df)
     if purge:
         for f in files:
             os.remove(f)

@@ -151,7 +151,9 @@ class TableStore:
         """Read the latest snapshot, or time-travel to ``version``. On a
         bucketed table a historical version is reconstructed from the
         per-bucket pointer map recorded at that commit (a version dir
-        alone holds only the buckets that commit rewrote)."""
+        alone holds only the buckets that commit rewrote); on a plain
+        table, from the segment list recorded at that commit (an append
+        commit's dir holds only the appended rows)."""
         meta = self._read_meta(name)
         v = meta["latest"] if version is None else version
         schema = T.StructType.fromJson(json.loads(meta["schema"]))
@@ -168,7 +170,15 @@ class TableStore:
             if not paths:
                 return spark.createDataFrame([], schema)
             return spark.read.schema(schema).parquet(*paths)
-        return spark.read.schema(schema).parquet(self._vdir(name, v))
+        segs = [v]
+        if version is not None and version != meta["latest"]:
+            hist = {h["v"]: h["segments"] for h in meta.get("history", [])
+                    if "segments" in h}
+            segs = hist.get(version, [version])
+        else:
+            segs = meta.get("segments", [v])
+        return spark.read.schema(schema).parquet(
+            *[self._vdir(name, s) for s in segs])
 
     def read_buckets(self, spark: SparkSession, name: str,
                      bucket_ids: Iterable[int]) -> DataFrame:
@@ -203,11 +213,30 @@ class TableStore:
                 shutil.rmtree(orphan)
         return v
 
+    def _check_schema(self, name: str, meta: dict, df: DataFrame) -> DataFrame:
+        """A commit must match the declared schema (names + types;
+        nullability is advisory, column order is canonicalized to the
+        declaration). The reference's tables are Snowflake DDL-typed —
+        silently adopting a DataFrame's schema (or silently dropping its
+        new columns on the bucketed path) would be accidental schema
+        evolution in either direction."""
+        declared = T.StructType.fromJson(json.loads(meta["schema"]))
+        got = {f.name: f.dataType for f in df.schema.fields}
+        want = {f.name: f.dataType for f in declared.fields}
+        if got != want:
+            raise ValueError(
+                f"commit to {name!r} does not match declared schema:\n"
+                f"  declared: {sorted(want.items())}\n"
+                f"  got:      {sorted(got.items())}\n"
+                "Recreate the table (CREATE OR REPLACE) to evolve its schema.")
+        return df.select(*[f.name for f in declared.fields])
+
     def commit(self, name: str, df: DataFrame, changes: DataFrame | None = None) -> int:
         """Write a new immutable snapshot (+ optional change batch) and swap
         the pointer. One commit == one reference DML statement (Snowflake's
         per-statement transactionality, SURVEY.md §3.1)."""
         meta = self._read_meta(name)
+        df = self._check_schema(name, meta, df)
         v = self._prep_version(name, meta)
         if meta.get("bucket"):
             cols, n = meta["bucket"]["cols"], meta["bucket"]["n"]
@@ -219,7 +248,34 @@ class TableStore:
                 {"v": v, "buckets": dict(meta["buckets"])})
         else:
             df.write.mode("errorifexists").parquet(self._vdir(name, v))
-            meta["schema"] = df.schema.json()
+            meta["segments"] = [v]
+            meta.setdefault("history", []).append({"v": v, "segments": [v]})
+        if changes is not None:
+            changes.write.mode("errorifexists").parquet(self._cdir(name, v))
+        meta["latest"] = v
+        self._write_meta(name, meta)
+        return v
+
+    def commit_append(self, name: str, df: DataFrame,
+                      changes: DataFrame | None = None) -> int:
+        """True append: write ONLY the new rows as a segment dir and add
+        it to the snapshot's segment list — the append cost is the new
+        data's size, never a rewrite of current contents (at 100 TB a
+        load appends gigabytes without touching the table). Bucketed
+        tables keep the 'one dir = whole bucket' invariant instead —
+        append there via merge/commit_buckets."""
+        meta = self._read_meta(name)
+        if meta.get("bucket"):
+            raise ValueError(
+                f"table {name!r} is bucketed; append via merge_upsert/"
+                "commit_buckets so bucket dirs stay complete")
+        df = self._check_schema(name, meta, df)
+        v = self._prep_version(name, meta)
+        df.write.mode("errorifexists").parquet(self._vdir(name, v))
+        segs = list(meta.get("segments", [meta["latest"]] if meta["latest"] >= 0 else []))
+        segs.append(v)
+        meta["segments"] = segs
+        meta.setdefault("history", []).append({"v": v, "segments": list(segs)})
         if changes is not None:
             changes.write.mode("errorifexists").parquet(self._cdir(name, v))
         meta["latest"] = v
@@ -269,6 +325,14 @@ class TableStore:
             kept = hist[-keep_last:] if keep_last > 0 else hist[-1:]
             for h in kept:
                 live |= {int(bv) for bv in h["buckets"].values()}
+            meta["history"] = kept
+        elif meta.get("history"):
+            # Liveness = union of the kept snapshots' segment lists (an
+            # append-built snapshot references OLD version dirs).
+            hist = meta["history"]
+            kept = hist[-keep_last:] if keep_last > 0 else hist[-1:]
+            for h in kept:
+                live |= {int(s) for s in h.get("segments", [h["v"]])}
             meta["history"] = kept
         else:
             live = {v for v in range(max(latest - keep_last + 1, 0), latest + 1)}

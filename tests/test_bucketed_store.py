@@ -115,6 +115,61 @@ def test_truncate_and_empty_bucket_handling(spark, tmp_path):
     assert store.read(spark, "t").count() == 1
 
 
+def test_commit_append_is_segment_based(spark, tmp_path):
+    """commit_append writes ONLY the new rows (O(appended bytes), never
+    a table rewrite): the new version dir holds just the appended
+    segment, the snapshot is the segment union, time travel resolves
+    per-commit segment lists, and vacuum keeps old dirs the latest
+    snapshot still references."""
+    store = TableStore(str(tmp_path))
+    store.create("t", schemas.SUPPLIER)
+    v0 = store.commit("t", _supplier_rows(spark, range(4)))
+    v1 = store.commit_append("t", _supplier_rows(spark, range(4, 6)))
+
+    assert store.read(spark, "t").count() == 6
+    assert store.read(spark, "t", version=v0).count() == 4
+    # on disk, v1 holds only the appended rows
+    assert spark.read.parquet(store._vdir("t", v1)).count() == 2
+
+    # vacuum must NOT reclaim v0 — the latest snapshot references it
+    assert store.vacuum("t", keep_last=1) == []
+    assert store.read(spark, "t").count() == 6
+
+    # a full-snapshot commit resets the segment list; old dirs reclaimable
+    store.commit("t", _supplier_rows(spark, range(3)))
+    removed = store.vacuum("t", keep_last=1)
+    assert set(removed) == {v0, v1}
+    assert store.read(spark, "t").count() == 3
+
+
+def test_commit_append_rejects_bucketed(spark, tmp_path):
+    import pytest
+    store = TableStore(str(tmp_path))
+    store.create("t", schemas.SUPPLIER, bucket_by=(KEY, 4))
+    with pytest.raises(ValueError, match="bucketed"):
+        store.commit_append("t", _supplier_rows(spark, range(2)))
+
+
+def test_commit_validates_declared_schema(spark, tmp_path):
+    """Neither commit path may drift the declared schema: a DataFrame
+    with extra/renamed/retyped columns is rejected (plain AND bucketed),
+    instead of the schema silently following the DataFrame (plain) or
+    the new column silently reading back null (bucketed)."""
+    import pytest
+    store = TableStore(str(tmp_path))
+    store.create("plain", schemas.SUPPLIER)
+    store.create("bucketed", schemas.SUPPLIER, bucket_by=(KEY, 4))
+    good = _supplier_rows(spark, range(2))
+    bad = good.withColumn("extra", F.lit(1))
+    for t in ("plain", "bucketed"):
+        store.commit(t, good)
+        with pytest.raises(ValueError, match="declared schema"):
+            store.commit(t, bad)
+        with pytest.raises(ValueError, match="declared schema"):
+            store.commit(t, good.withColumnRenamed("supplier_name", "sname"))
+        assert store.read(spark, t).count() == 2  # table unharmed
+
+
 def test_time_travel_and_vacuum(spark, tmp_path):
     """read(version=) on a bucketed table reconstructs the bucket map as
     of that commit; vacuum() drops dirs no kept version references while
