@@ -165,7 +165,11 @@ def merge_upsert(store, spark, target_name: str, source: DataFrame,
             F.lit(False).alias(CDC_ISUPDATE), rid.alias(CDC_ROW_ID))
         return store.commit(target_name, src, changes=changes)
     spec = store.bucket_spec(target_name)
-    if spec is not None:
+    # The pruned path is only sound when the bucket columns are a subset
+    # of the merge key — otherwise a matched target row can live OUTSIDE
+    # the source-key buckets and would be re-inserted as a duplicate. A
+    # table bucketed on non-key columns falls back to the full merge.
+    if spec is not None and set(spec[0]) <= set(key):
         bcols, n = spec
         ids = touched_buckets(source, bcols, n)
         target = store.read_buckets(spark, target_name, ids)

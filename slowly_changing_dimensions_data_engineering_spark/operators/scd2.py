@@ -135,7 +135,9 @@ def scd2_merge(store, spark, staging_name: str, stream: DataFrame,
         )
         return store.commit(staging_name, opened)
     spec = store.bucket_spec(staging_name)
-    if spec is not None:
+    # Pruning requires bucket cols ⊆ merge key (see merge.merge_upsert);
+    # a staging table bucketed otherwise takes the full-read path.
+    if spec is not None and set(spec[0]) <= set(key):
         from .merge import touched_buckets
         bcols, n = spec
         ids = touched_buckets(stream, bcols, n)

@@ -125,6 +125,9 @@ class SupplierPipeline:
     def run_scheduled(self, interval_sec: float = 60.0, max_cycles: int | None = None,
                       stop_when_stage_empty: bool = False) -> list[dict]:
         """T1 — the 1-minute schedule loop (Automation:36), foreground."""
+        # Snapshot the stop handle ONCE: suspend() may null self._stop
+        # concurrently, and a worker must never observe it half-cleared.
+        stop = self._stop
         runs = []
         while max_cycles is None or len(runs) < max_cycles:
             if stop_when_stage_empty and not self.stage.list():
@@ -132,9 +135,10 @@ class SupplierPipeline:
             runs.append(self.run_cycle())
             if max_cycles is not None and len(runs) >= max_cycles:
                 break
-            if self._stop is not None and self._stop.wait(interval_sec):
-                break
-            if self._stop is None:
+            if stop is not None:
+                if stop.wait(interval_sec):
+                    break
+            else:
                 time.sleep(interval_sec)
         return runs
 
@@ -156,15 +160,24 @@ class SupplierPipeline:
             daemon=True)
         self._thread.start()
 
-    def suspend(self, timeout: float = 60.0) -> None:
+    def suspend(self, timeout: float = 60.0) -> bool:
         """ALTER TASK SUSPEND — stop after the in-flight cycle (tasks
-        are never killed mid-statement, matching Snowflake)."""
+        are never killed mid-statement, matching Snowflake).
+
+        Returns True when the worker actually stopped. If the in-flight
+        cycle outlives ``timeout``, the handles are KEPT (the stop flag
+        stays set, so the worker still exits after its cycle) and a later
+        suspend() — or is_running — can re-check; clearing them while the
+        thread lives would orphan an unstoppable loop."""
         if self._stop is not None:
             self._stop.set()
         if self._thread is not None:
             self._thread.join(timeout)
+            if self._thread.is_alive():
+                return False
             self._thread = None
         self._stop = None
+        return True
 
     @property
     def is_running(self) -> bool:

@@ -115,6 +115,24 @@ def test_truncate_and_empty_bucket_handling(spark, tmp_path):
     assert store.read(spark, "t").count() == 1
 
 
+def test_merge_on_table_bucketed_outside_key_falls_back(spark, tmp_path):
+    """A table bucketed on a NON-key column must not take the pruned
+    path: a source row whose bucket column changed would miss its match
+    (it lives in an un-probed bucket) and re-insert as a duplicate. The
+    merge detects bucket_cols ⊄ key and falls back to the full read."""
+    store = TableStore(str(tmp_path))
+    store.create("t", schemas.SUPPLIER, bucket_by=(["supplier_state"], 4))
+    merge_upsert(store, spark, "t", _supplier_rows(spark, range(8)), KEY, CMP)
+    # S3 moves state: its OLD row's bucket is not a source-key bucket
+    delta = _supplier_rows(spark, [3]).withColumn(
+        "supplier_state", F.lit("moved"))
+    merge_upsert(store, spark, "t", delta, KEY, CMP)
+    rows = store.read(spark, "t").collect()
+    assert len(rows) == 8  # no duplicate S3
+    states = {r["supplier_code"]: r["supplier_state"] for r in rows}
+    assert states["S3"] == "moved"
+
+
 def test_commit_append_is_segment_based(spark, tmp_path):
     """commit_append writes ONLY the new rows (O(appended bytes), never
     a table rewrite): the new version dir holds just the appended

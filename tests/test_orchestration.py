@@ -70,8 +70,40 @@ def test_resume_suspend_lifecycle(spark, tmp_path):
     deadline = time.time() + 60
     while p.store.read(spark, STAGING).count() != 10 and time.time() < deadline:
         time.sleep(0.2)
-    p.suspend()
+    assert p.suspend() is True
     assert p.store.read(spark, STAGING).count() == 10
+
+
+def test_suspend_timeout_keeps_handles(tmp_path):
+    """A suspend that times out while a cycle is in flight must NOT
+    clear the stop/thread handles (the worker would re-read a None stop
+    and the loop would become unstoppable). It reports False, the flag
+    stays set, and a later suspend completes the shutdown."""
+    import time as _time
+
+    from slowly_changing_dimensions_data_engineering_spark.pipeline import SupplierPipeline
+
+    class SlowPipeline(SupplierPipeline):
+        def __init__(self, root):  # no Spark needed — cycles are faked
+            self.cycles = 0
+            self._runs_path = str(root / "runs.jsonl")
+
+        def run_cycle(self, now=None, purge=True):
+            self.cycles += 1
+            _time.sleep(0.5)
+            return {"state": "SUCCEEDED"}
+
+        @property
+        def stage(self):
+            raise AssertionError("not used")
+
+    p = SlowPipeline(tmp_path)
+    p.resume(interval_sec=30.0)
+    _time.sleep(0.1)  # worker is inside its first (slow) cycle
+    assert p.suspend(timeout=0.05) is False
+    assert p.is_running  # handles kept, flag set
+    assert p.suspend(timeout=10.0) is True
+    assert not p.is_running and p.cycles == 1
 
 
 def test_gzip_staged_load(spark, tmp_path):
