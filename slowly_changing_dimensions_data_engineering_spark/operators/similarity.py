@@ -143,25 +143,35 @@ def ivf_search_index(spark, path: str, query_vec: list[float],
 
 def ivf_search_index_inplan(spark, path: str, query_df: DataFrame,
                             centroids: DataFrame, k: int = 5,
-                            id_col: str = "vec_id",
+                            nprobe: int = 1, id_col: str = "vec_id",
                             vec_col: str = "embedding") -> DataFrame:
     """ANN top-k over a materialized IVF index with the query row
     resolved INSIDE the plan — no driver ``.head()``/``collect`` in the
-    build path. The query's cluster is computed by the same
-    ``ivf_assign`` the index was built with, then the (1-row, broadcast)
-    query frame is joined against the centroid-partitioned index on the
-    partition column: Spark's dynamic partition pruning rewrites that
-    join into a runtime partition filter, so only the query's cluster
-    directory is scanned (assert: ``dynamicpruning`` in the plan).
-    Prefer this for registered/production queries; the literal-probe
-    ``ivf_search_index`` remains for multi-probe recall tuning."""
-    q = (query_df.join(ivf_assign(query_df, centroids, id_col, vec_col), id_col)
-         .select(F.col(id_col).alias("_qid"), as_double(vec_col).alias("_qv"),
-                 F.col("centroid_id").alias("_qc")))
+    build path. The query's ``nprobe`` nearest clusters are ranked with
+    the same rounded squared-L2 + lowest-id tie-break ``ivf_assign``
+    uses, then the tiny probe frame is broadcast-joined against the
+    centroid-partitioned index on the partition column: Spark's dynamic
+    partition pruning rewrites that join into a runtime partition
+    filter, so only the probed cluster directories are scanned (assert:
+    ``dynamicpruning`` in the plan). Prefer this for registered /
+    production queries; the literal-probe ``ivf_search_index`` remains
+    for precomputed probe lists."""
+    from pyspark.sql import Window
+
+    q = query_df.select(F.col(id_col).alias("_qid"),
+                        as_double(vec_col).alias("_qv"))
+    c = centroids.select(F.col("centroid_id").alias("_qc"),
+                         as_double("embedding").alias("_ce"))
+    scored = (q.crossJoin(F.broadcast(c))
+              .withColumn("_d", F.round(l2sq(F.col("_qv"), F.col("_ce")), 9)))
+    w = Window.partitionBy("_qid").orderBy(F.asc("_d"), F.asc("_qc"))
+    probes = (scored.withColumn("_r", F.row_number().over(w))
+              .filter(F.col("_r") <= nprobe)
+              .select("_qid", "_qv", "_qc"))
     idx = spark.read.parquet(path)
     return (
-        idx.join(F.broadcast(q), (idx["centroid_id"] == q["_qc"]) &
-                 (idx[id_col] != q["_qid"]))
+        idx.join(F.broadcast(probes), (idx["centroid_id"] == probes["_qc"]) &
+                 (idx[id_col] != probes["_qid"]))
         .select(id_col, "centroid_id",
                 cosine(as_double(vec_col), F.col("_qv")).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc(id_col))

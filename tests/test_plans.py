@@ -16,7 +16,11 @@ SF = "/root/testdata/sf0.001"
 
 #: Queries allowed to contain a nested-loop join: a deliberate 1-row
 #: broadcast side (the query vector), which is O(|corpus|), not O(n²).
-NESTED_LOOP_ALLOWED = {"embed_topk_cosine"}
+# Queries whose nested-loop join is a BOUNDED broadcast against a
+# 1-row query frame or the dictionary-sized centroid set (IVF assign is
+# inherently n×k centroid scoring — k≤8 here; the big side streams once).
+NESTED_LOOP_ALLOWED = {"embed_topk_cosine", "ivf_search_ann",
+                       "ivf_recall_at10", "embedding_near_dup_pairs"}
 
 
 def _plan(spark, name: str) -> str:
