@@ -206,6 +206,10 @@ def embedding_near_dup_pairs(vectors: DataFrame, block_col: str | None = None,
     v = vectors.select(F.col(id_col), F.col(block_col).alias("_blk"),
                        as_double(vec_col).alias("_v"))
     v = v.withColumn("_n", F.sqrt(dot(F.col("_v"), F.col("_v"))))
+    # Both self-join sides derive from v — materialize it once (it embeds
+    # the ivf_assign scoring pass when cluster blocking is on; without
+    # this the assign sub-plan executes twice).
+    v = v.localCheckpoint(eager=False)
     a, b = v.alias("a"), v.alias("b")
     cos = F.round(dot(F.col("a._v"), F.col("b._v"))
                   / (F.col("a._n") * F.col("b._n")), 9)
