@@ -43,12 +43,34 @@ def register(name: str, oracle: str | None):
     return deco
 
 
+# The driver's correctness board records at most the FIRST 50 entries of
+# queries(), in iteration order.  Board order is therefore an explicit,
+# documented decision rather than an accident of registration position:
+# queries that do not yet have a driver-confirmed green row are promoted
+# into the first 50, displacing queries already confirmed green in two
+# consecutive prior rounds (r2 + r3).  Rotate per round until every
+# registered query has at least one green driver row on record.
+_BOARD_DEMOTE = [
+    "events_sliding_1h_15m",    # green r2 + r3
+    "events_session_30m",       # green r2 + r3
+    "approx_distinct_nations",  # green r2 + r3
+    "grouping_sets_orders",     # green r2 + r3
+    "full_outer_nation_activity",  # green r2 + r3
+    "right_outer_orders_customer",  # green r2 + r3
+]
+
+
+def _board_order() -> list[str]:
+    demoted = [n for n in _BOARD_DEMOTE if n in _REGISTRY]
+    return [n for n in _REGISTRY if n not in demoted] + demoted
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {k: v[0] for k, v in _REGISTRY.items()}
+    return {k: _REGISTRY[k][0] for k in _board_order()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {k: v[1] for k, v in _REGISTRY.items() if v[1] is not None}
+    return {k: _REGISTRY[k][1] for k in _board_order() if _REGISTRY[k][1] is not None}
 
 
 def _t(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
@@ -72,9 +94,16 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
     files arrive as ONE input split, serializing hash-dense operators
     (minhash/simhash) onto a single core. Repartition only when the scan
     yielded fewer splits than cores — at 100 TB the scan already gives
-    thousands of splits and this is a no-op."""
+    thousands of splits and this is a no-op.
+
+    The split count comes from the plan's scan metadata
+    (``df.inputFiles()``) — small local parquet never splits below file
+    granularity, so files < cores implies splits < cores.  This avoids
+    constructing the RDD converter (``df.rdd``) just to count partitions,
+    which pays non-trivial per-call JVM analysis for a registered-query
+    build."""
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if len(df.inputFiles()) < target:
         return df.repartition(target)
     return df
 

@@ -43,6 +43,22 @@ def test_no_cartesian_or_nested_loop_anywhere(spark):
     assert offenders == {}
 
 
+def test_board_order_covers_unconfirmed_queries():
+    """The driver records correctness rows for only the FIRST 50 entries
+    of queries().  Queries that still lack a driver-confirmed green row
+    must sit inside that window; demotion to 51+ is reserved for queries
+    already confirmed in two consecutive prior rounds."""
+    names = list(q.queries())
+    assert sorted(names) == sorted(q._REGISTRY)  # reorder loses nothing
+    board = set(names[:50])
+    for n in ("map_functions_events", "profile_orders_columns",
+              "array_functions_embeddings", "dedup_corpus_minhash"):
+        assert n in board, n
+    # oracle_sql() iterates in the same board order as queries()
+    oracle_names = list(q.oracle_sql())
+    assert oracle_names == [n for n in names if n in set(oracle_names)]
+
+
 def test_q1_filter_pushdown_and_column_pruning(spark):
     plan = _plan(spark, "q1_pricing_summary")
     # the shipdate predicate reaches the parquet scan
