@@ -144,7 +144,8 @@ def ivf_search_index(spark, path: str, query_vec: list[float],
 def ivf_search_index_inplan(spark, path: str, query_df: DataFrame,
                             centroids: DataFrame, k: int = 5,
                             nprobe: int = 1, id_col: str = "vec_id",
-                            vec_col: str = "embedding") -> DataFrame:
+                            vec_col: str = "embedding",
+                            single_query: bool = True) -> DataFrame:
     """ANN top-k over a materialized IVF index with the query row
     resolved INSIDE the plan — no driver ``.head()``/``collect`` in the
     build path. The query's ``nprobe`` nearest clusters are ranked with
@@ -155,9 +156,19 @@ def ivf_search_index_inplan(spark, path: str, query_df: DataFrame,
     filter, so only the probed cluster directories are scanned (assert:
     ``dynamicpruning`` in the plan). Prefer this for registered /
     production queries; the literal-probe ``ivf_search_index`` remains
-    for precomputed probe lists."""
+    for precomputed probe lists.
+
+    ``single_query=True`` (default) ENFORCES the one-query contract with
+    ``query_df.limit(1)`` and keeps the global top-k tail — a
+    TakeOrderedAndProject, which computes partial top-k per scan
+    partition before the merge (the shape you want when one query probes
+    a 100 TB cluster). ``single_query=False`` accepts a BATCH of query
+    rows and ranks per query (``row_number`` over ``query_id``),
+    returning k rows per query with a ``query_id`` column."""
     from pyspark.sql import Window
 
+    if single_query:
+        query_df = query_df.limit(1)
     q = query_df.select(F.col(id_col).alias("_qid"),
                         as_double(vec_col).alias("_qv"))
     c = centroids.select(F.col("centroid_id").alias("_qc"),
@@ -169,14 +180,23 @@ def ivf_search_index_inplan(spark, path: str, query_df: DataFrame,
               .filter(F.col("_r") <= nprobe)
               .select("_qid", "_qv", "_qc"))
     idx = spark.read.parquet(path)
-    return (
-        idx.join(F.broadcast(probes), (idx["centroid_id"] == probes["_qc"]) &
-                 (idx[id_col] != probes["_qid"]))
-        .select(id_col, "centroid_id",
-                cosine(as_double(vec_col), F.col("_qv")).alias("cosine"))
-        .orderBy(F.desc("cosine"), F.asc(id_col))
-        .limit(k)
-    )
+    joined = idx.join(
+        F.broadcast(probes), (idx["centroid_id"] == probes["_qc"]) &
+        (idx[id_col] != probes["_qid"]))
+    if single_query:
+        return (
+            joined.select(id_col, "centroid_id",
+                          cosine(as_double(vec_col), F.col("_qv")).alias("cosine"))
+            .orderBy(F.desc("cosine"), F.asc(id_col))
+            .limit(k)
+        )
+    scored_all = joined.select(
+        F.col("_qid").alias("query_id"), F.col(id_col), F.col("centroid_id"),
+        cosine(as_double(vec_col), F.col("_qv")).alias("cosine"))
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (scored_all.withColumn("_rk", F.row_number().over(wk))
+            .filter(F.col("_rk") <= k).drop("_rk")
+            .orderBy("query_id", F.desc("cosine"), F.asc(id_col)))
 
 
 def embedding_near_dup_pairs(vectors: DataFrame, block_col: str | None = None,
@@ -189,13 +209,18 @@ def embedding_near_dup_pairs(vectors: DataFrame, block_col: str | None = None,
     geometry-derived blocks keep sizes bounded by cluster population
     regardless of payload skew — a payload label with n/5 rows is an
     O(n²/25) block, while k-means-style cells shrink as k grows. Pass
-    ``block_col`` to override with a precomputed/payload block.
+    ``block_col`` to override with a precomputed/payload block — in
+    particular, a frame read from ``ivf_build_index``'s output already
+    carries ``centroid_id`` as a column, so blocking costs ZERO extra
+    passes (the preferred production path; recomputing the assignment
+    here is a full corpus × centroids scoring pass per run).
 
     Norms are computed ONCE per row before the self-join (a per-pair
     ``cosine()`` would re-evaluate dot(a,a)/dot(b,b) per candidate —
     3× the array passes). ``sqrt(dot(x,x))`` is the identical IEEE
     expression either way, so results are bit-equal to the naive form.
     """
+    computed_assign = False
     if block_col is None:
         if centroids is None:
             raise ValueError("embedding_near_dup_pairs: pass centroids for "
@@ -203,13 +228,18 @@ def embedding_near_dup_pairs(vectors: DataFrame, block_col: str | None = None,
         assign = ivf_assign(vectors, centroids, id_col, vec_col)
         vectors = vectors.join(assign, id_col)
         block_col = "centroid_id"
+        computed_assign = True
     v = vectors.select(F.col(id_col), F.col(block_col).alias("_blk"),
                        as_double(vec_col).alias("_v"))
     v = v.withColumn("_n", F.sqrt(dot(F.col("_v"), F.col("_v"))))
-    # Both self-join sides derive from v — materialize it once (it embeds
-    # the ivf_assign scoring pass when cluster blocking is on; without
-    # this the assign sub-plan executes twice).
-    v = v.localCheckpoint(eager=False)
+    if computed_assign:
+        # Both self-join sides embed the ivf_assign scoring pass —
+        # materialize it once instead of running it twice. With a
+        # caller-provided block column the duplicated sub-plan is just a
+        # scan + cheap projections: re-reading beats materializing the
+        # whole corpus in executor block storage (and keeps the lineage
+        # recomputable on executor loss).
+        v = v.localCheckpoint(eager=False)
     a, b = v.alias("a"), v.alias("b")
     cos = F.round(dot(F.col("a._v"), F.col("b._v"))
                   / (F.col("a._n") * F.col("b._n")), 9)

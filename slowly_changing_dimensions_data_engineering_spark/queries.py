@@ -1173,13 +1173,18 @@ def embedding_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocked self-join + exact cosine threshold. Geometry-derived blocks
     stay bounded as k grows (O(n²/k²) expected pair work for balanced
     cells) — unlike payload labels, whose cardinality is fixed by the
-    data owner, not the engine."""
+    data owner, not the engine.
+
+    Blocking REUSES the persisted IVF index (`_ivf_index`): the stored
+    layout already carries every row's ``centroid_id``, so the block is
+    a scanned column, not a recomputed corpus × centroids scoring pass —
+    the executed plan contains no nested-loop assign (plan-asserted in
+    tests/test_plans.py)."""
     from .operators.similarity import embedding_near_dup_pairs
-    e = _spread(spark, _t(spark, sf_dir, "embeddings")["embeddings"])
-    cents = (e.filter(F.col("vec_id") < _IVF_N_CENTROIDS)
-             .select(F.col("vec_id").alias("centroid_id"), "embedding"))
-    return embedding_near_dup_pairs(e.select("vec_id", "embedding"),
-                                    threshold=0.3, centroids=cents)
+    idx = _spread(spark, spark.read.parquet(_ivf_index(spark, sf_dir)))
+    return embedding_near_dup_pairs(
+        idx.select("vec_id", "embedding", "centroid_id"),
+        block_col="centroid_id", threshold=0.3)
 
 
 # =====================================================================

@@ -247,6 +247,44 @@ def test_ivf_search_inplan_dpp_matches_literal(spark, tmp_path):
     assert [tuple(r) for r in out.collect()] == [tuple(r) for r in lit.collect()]
 
 
+def test_ivf_search_inplan_batch_per_query_topk(spark, tmp_path):
+    """ADVICE coverage (similarity.py): a multi-row query frame must not
+    collapse into one merged top-k. single_query=False ranks per query
+    (k rows EACH, tagged with query_id, each equal to that query's solo
+    search); the default single_query=True enforces the one-row contract
+    via limit(1) instead of silently merging."""
+    from slowly_changing_dimensions_data_engineering_spark.operators.similarity import (
+        ivf_build_index, ivf_search_index_inplan,
+    )
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 3), float(i % 7), 1.0]) for i in range(60)],
+        ["vec_id", "embedding"])
+    cents = spark.createDataFrame(
+        [(c, [float(c), 3.0, 1.0]) for c in range(3)],
+        ["centroid_id", "embedding"])
+    path = str(tmp_path / "ivf")
+    ivf_build_index(vecs, cents, path)
+
+    batch = vecs.filter("vec_id IN (7, 11)")
+    out = ivf_search_index_inplan(spark, path, batch, cents, k=5,
+                                  single_query=False)
+    rows = out.collect()
+    assert "query_id" in out.columns
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {7, 11} and all(len(v) == 5 for v in by_q.values())
+    for qid in (7, 11):
+        solo = ivf_search_index_inplan(
+            spark, path, vecs.filter(f"vec_id = {qid}"), cents, k=5).collect()
+        assert [(r["vec_id"], r["cosine"]) for r in by_q[qid]] == \
+               [(r["vec_id"], r["cosine"]) for r in solo]
+
+    # default path: one-query contract enforced in-plan, not silently merged
+    merged = ivf_search_index_inplan(spark, path, batch, cents, k=5)
+    assert merged.count() == 5
+
+
 def test_ivf_multi_probe_improves_recall(spark, tmp_path):
     """nprobe: probing p clusters prunes to p partitions (plan still
     carries partition filters) and its top-k is at least as close to the

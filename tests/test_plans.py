@@ -20,7 +20,7 @@ SF = "/root/testdata/sf0.001"
 # 1-row query frame or the dictionary-sized centroid set (IVF assign is
 # inherently n×k centroid scoring — k≤8 here; the big side streams once).
 NESTED_LOOP_ALLOWED = {"embed_topk_cosine", "ivf_search_ann",
-                       "ivf_recall_at10", "embedding_near_dup_pairs"}
+                       "ivf_recall_at10"}
 
 
 def _plan(spark, name: str) -> str:
@@ -57,6 +57,16 @@ def test_board_order_covers_unconfirmed_queries():
     # oracle_sql() iterates in the same board order as queries()
     oracle_names = list(q.oracle_sql())
     assert oracle_names == [n for n in names if n in set(oracle_names)]
+
+
+def test_embedding_near_dup_reuses_index_assignment(spark):
+    """Cluster blocking for the registered near-dup query must come from
+    the persisted IVF index's ``centroid_id`` column, NOT a recomputed
+    ``ivf_assign``: the executed plan carries no nested-loop centroid
+    scoring and exactly one equi self-join."""
+    plan = _plan(spark, "embedding_near_dup_pairs")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_q1_filter_pushdown_and_column_pruning(spark):
