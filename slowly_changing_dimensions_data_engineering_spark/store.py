@@ -170,11 +170,23 @@ class TableStore:
             if not paths:
                 return spark.createDataFrame([], schema)
             return spark.read.schema(schema).parquet(*paths)
-        segs = [v]
         if version is not None and version != meta["latest"]:
-            hist = {h["v"]: h["segments"] for h in meta.get("history", [])
-                    if "segments" in h}
-            segs = hist.get(version, [version])
+            hist = meta.get("history", [])
+            if hist:
+                seg_map = {h["v"]: h.get("segments", [h["v"]]) for h in hist}
+                if version not in seg_map:
+                    # The version's history entry was pruned (vacuum):
+                    # falling back to [version] would silently read back
+                    # ONLY that commit's appended segment as if it were
+                    # the whole snapshot. Fail loudly instead, matching
+                    # the bucketed branch above.
+                    raise KeyError(
+                        f"no recorded segment list for {name!r} v{version} "
+                        "(history pruned by vacuum?)")
+                segs = seg_map[version]
+            else:
+                # pre-history meta: every version dir is a full snapshot
+                segs = [version]
         else:
             segs = meta.get("segments", [v])
         return spark.read.schema(schema).parquet(
@@ -213,16 +225,35 @@ class TableStore:
                 shutil.rmtree(orphan)
         return v
 
+    @staticmethod
+    def _denull(dt: T.DataType) -> T.DataType:
+        """Canonicalize nullability at EVERY nesting level (array
+        containsNull, map valueContainsNull, struct field nullable) so
+        schema comparison is 'names + types' as documented — top-level
+        nullability is already outside the comparison, and a commit
+        differing only in, say, array<double> containsNull must not be
+        rejected as drift."""
+        if isinstance(dt, T.ArrayType):
+            return T.ArrayType(TableStore._denull(dt.elementType), True)
+        if isinstance(dt, T.MapType):
+            return T.MapType(TableStore._denull(dt.keyType),
+                             TableStore._denull(dt.valueType), True)
+        if isinstance(dt, T.StructType):
+            return T.StructType([
+                T.StructField(f.name, TableStore._denull(f.dataType), True)
+                for f in dt.fields])
+        return dt
+
     def _check_schema(self, name: str, meta: dict, df: DataFrame) -> DataFrame:
         """A commit must match the declared schema (names + types;
-        nullability is advisory, column order is canonicalized to the
-        declaration). The reference's tables are Snowflake DDL-typed —
-        silently adopting a DataFrame's schema (or silently dropping its
-        new columns on the bucketed path) would be accidental schema
-        evolution in either direction."""
+        nullability is advisory at every nesting level, column order is
+        canonicalized to the declaration). The reference's tables are
+        Snowflake DDL-typed — silently adopting a DataFrame's schema (or
+        silently dropping its new columns on the bucketed path) would be
+        accidental schema evolution in either direction."""
         declared = T.StructType.fromJson(json.loads(meta["schema"]))
-        got = {f.name: f.dataType for f in df.schema.fields}
-        want = {f.name: f.dataType for f in declared.fields}
+        got = {f.name: self._denull(f.dataType) for f in df.schema.fields}
+        want = {f.name: self._denull(f.dataType) for f in declared.fields}
         if got != want:
             raise ValueError(
                 f"commit to {name!r} does not match declared schema:\n"

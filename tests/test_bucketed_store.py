@@ -11,7 +11,7 @@ from __future__ import annotations
 import datetime as dt
 import os
 
-from pyspark.sql import Row, functions as F
+from pyspark.sql import Row, functions as F, types as T
 
 from slowly_changing_dimensions_data_engineering_spark import schemas
 from slowly_changing_dimensions_data_engineering_spark.operators.merge import merge_upsert
@@ -158,6 +158,51 @@ def test_commit_append_is_segment_based(spark, tmp_path):
     removed = store.vacuum("t", keep_last=1)
     assert set(removed) == {v0, v1}
     assert store.read(spark, "t").count() == 3
+
+
+def test_time_travel_to_vacuumed_version_raises(spark, tmp_path):
+    """ADVICE coverage (store.py read): after vacuum prunes a version's
+    history entry, time travel to it must raise KeyError — the old
+    fallback read segs=[version], silently returning ONLY that commit's
+    appended segment as if it were the full snapshot."""
+    import pytest
+    store = TableStore(str(tmp_path))
+    store.create("t", schemas.SUPPLIER)
+    store.commit("t", _supplier_rows(spark, range(4)))
+    v1 = store.commit_append("t", _supplier_rows(spark, range(4, 6)))
+    store.commit("t", _supplier_rows(spark, range(3)))  # full rewrite
+    store.vacuum("t", keep_last=1)                      # prunes v0+v1 history
+    with pytest.raises(KeyError, match="segment list"):
+        store.read(spark, "t", version=v1)
+    assert store.read(spark, "t").count() == 3  # latest unharmed
+
+
+def test_commit_accepts_nested_nullability_drift(spark, tmp_path):
+    """ADVICE coverage (store.py _check_schema): nullability is advisory
+    at EVERY nesting level — a commit whose array column differs only in
+    containsNull must not be rejected as schema drift."""
+    emb = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding",
+                      T.ArrayType(T.DoubleType(), containsNull=True)),
+    ])
+    store = TableStore(str(tmp_path))
+    store.create("e", emb)
+    rows = [(0, [1.0, 2.0]), (1, [3.0, 4.0])]
+    tight = spark.createDataFrame(rows, T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding",
+                      T.ArrayType(T.DoubleType(), containsNull=False)),
+    ]))
+    assert tight.schema["embedding"].dataType.containsNull is False
+    store.commit("e", tight)
+    assert store.read(spark, "e").count() == 2
+    # genuinely different element types are still rejected
+    import pytest
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    with pytest.raises(ValueError, match="declared schema"):
+        store.commit("e", df.withColumn(
+            "embedding", F.col("embedding").cast("array<string>")))
 
 
 def test_commit_append_rejects_bucketed(spark, tmp_path):
