@@ -385,6 +385,48 @@ def test_minhash_incremental_matches_full_recompute(spark, tmp_path):
     assert "mhidx" in plan
 
 
+def test_minhash_index_append_dedups_across_batches(spark, tmp_path):
+    """VERDICT coverage (dedup.py): the index must GROW with each batch —
+    batch 2 must pair against batch 1's surviving docs, not just the
+    original corpus. minhash_dedup_batch: drops corpus dups + keep-min
+    within the batch, appends survivors' band rows (new files into the
+    existing band= dirs, no rewrite), returns survivors."""
+    import os
+    from slowly_changing_dimensions_data_engineering_spark.operators.dedup import (
+        minhash_build_index, minhash_dedup_batch,
+    )
+    corpus = spark.createDataFrame(DOCS[:3], ["doc_id", "text"])  # ids 0,1,2
+    path = str(tmp_path / "mhidx")
+    minhash_build_index(corpus, path)
+    files_0 = {f for _, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")}
+
+    batch1 = spark.createDataFrame(
+        [(10, DOCS[2][1]),                                        # dup of corpus 2
+         (11, "entirely novel content nothing shared with anyone else here")],
+        ["doc_id", "text"])
+    s1 = {r["doc_id"] for r in minhash_dedup_batch(spark, batch1, path).collect()}
+    assert s1 == {11}  # corpus dup dropped, novel doc survives
+
+    # survivor 11's signatures are now IN the index: appended files only
+    files_1 = {f for _, _, fs in os.walk(path) for f in fs if f.endswith(".parquet")}
+    assert files_0 < files_1
+
+    batch2 = spark.createDataFrame(
+        [(20, batch1.collect()[1]["text"]),   # dup of batch-1 survivor 11
+         (21, "yet another brand new document with fresh unique words")],
+        ["doc_id", "text"])
+    s2 = {r["doc_id"] for r in minhash_dedup_batch(spark, batch2, path).collect()}
+    assert s2 == {21}  # 20 deduped against batch-1 doc 11 via the grown index
+
+    # keep-min within a batch: two copies of the same novel doc -> lower id wins
+    batch3 = spark.createDataFrame(
+        [(30, "completely separate text never seen in any earlier batch"),
+         (31, "completely separate text never seen in any earlier batch")],
+        ["doc_id", "text"])
+    s3 = {r["doc_id"] for r in minhash_dedup_batch(spark, batch3, path).collect()}
+    assert s3 == {30}
+
+
 def test_interval_join_left_null_and_dup_safe(spark):
     """ADVICE coverage (rangejoin.py): the left-outer path must emit a
     matched left row exactly once even when it carries a NULL column or
