@@ -52,11 +52,25 @@ def pack_fake_media(width: int, height: int, frames: list[bytes]) -> bytes:
             + b"".join(frames))
 
 
-def _parse_fake(buf: bytes) -> tuple[int, int, int, bytes]:
-    if buf[:5] != MAGIC:
+def _parse_headers_np(bufs: list[bytes]):
+    """Vectorized FAKE1 header parse for a whole Arrow batch: one
+    ``frombuffer`` over the concatenated fixed-width headers instead of
+    per-row struct.unpack — the batch's (w, h, n_frames) come back as a
+    single (rows, 3) big-endian uint32 view. Payloads are variable-width
+    so they stay per-row; the HEADER is the fixed-width part and the one
+    that vectorizes."""
+    import numpy as np
+
+    if not bufs:
+        return np.empty((0, 3), dtype=np.int64)
+    hdr = b"".join(b[:17] for b in bufs)
+    if len(hdr) != 17 * len(bufs):
+        raise ValueError("not a FAKE1 payload (truncated header)")
+    raw = np.frombuffer(hdr, dtype=np.uint8).reshape(len(bufs), 17)
+    if not (raw[:, :5] == np.frombuffer(MAGIC, dtype=np.uint8)).all():
         raise ValueError("not a FAKE1 payload")
-    w, h, n = struct.unpack(">III", buf[5:17])
-    return w, h, n, buf[17:]
+    return (raw[:, 5:17].copy().view(">u4").reshape(len(bufs), 3)
+            .astype(np.int64))
 
 
 def decode_media(df: DataFrame, content_col: str = "content",
@@ -80,20 +94,24 @@ def decode_media(df: DataFrame, content_col: str = "content",
     other_cols = [f.name for f in df.schema.fields if f.name != content_col]
 
     def decode(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                buf = bytes(r[content_col])
-                w, h, n, px = _parse_fake(buf)
-                frame0 = px[: w * h]
-                rows.append({
-                    **{c: r[c] for c in other_cols},
-                    "meta": {"media_type": "fake/v1", "width": w,
-                             "height": h, "n_frames": n},
-                    "mean_pixel": (sum(frame0) / len(frame0)) if frame0 else 0.0,
-                    "content_sha1": hashlib.sha1(buf).hexdigest(),
-                })
-            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+            bufs = [bytes(b) for b in pdf[content_col]]
+            whn = _parse_headers_np(bufs)          # (rows, 3), vectorized
+            sizes = whn[:, 0] * whn[:, 1]
+            means = [
+                float(np.frombuffer(b, np.uint8, count=int(sz),
+                                    offset=17).mean()) if sz else 0.0
+                for b, sz in zip(bufs, sizes)      # frame0 mean: one numpy
+            ]                                      # reduction per row
+            out = pdf[other_cols].copy()
+            out["meta"] = [
+                {"media_type": "fake/v1", "width": int(w), "height": int(h),
+                 "n_frames": int(n)} for w, h, n in whn]
+            out["mean_pixel"] = means
+            out["content_sha1"] = [hashlib.sha1(b).hexdigest() for b in bufs]
+            yield out[[f.name for f in out_schema.fields]]
 
     return df.mapInPandas(decode, schema=out_schema)
 
@@ -112,14 +130,20 @@ def sample_frames(df: DataFrame, every_k: int = 2, content_col: str = "content",
 
     def explode_frames(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, r in pdf.iterrows():
-                w, h, n, px = _parse_fake(bytes(r[content_col]))
-                sz = w * h
-                for i in range(0, n, every_k):
-                    rows.append({id_col: r[id_col], "frame_idx": i,
-                                 "frame": px[i * sz:(i + 1) * sz]})
-            yield pd.DataFrame(rows, columns=[f.name for f in out_schema.fields])
+            bufs = [bytes(b) for b in pdf[content_col]]
+            whn = _parse_headers_np(bufs)          # (rows, 3), vectorized
+            ids, idxs, frames = [], [], []
+            # zip over column arrays (no per-row Series construction);
+            # the slice loop itself is irreducibly per-frame — each kept
+            # frame is an independent variable-offset byte slice.
+            for mid, buf, (w, h, n) in zip(pdf[id_col].to_numpy(), bufs, whn):
+                sz = int(w) * int(h)
+                for i in range(0, int(n), every_k):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(buf[17 + i * sz: 17 + (i + 1) * sz])
+            yield pd.DataFrame({id_col: ids, "frame_idx": idxs, "frame": frames},
+                               columns=[f.name for f in out_schema.fields])
 
     return df.mapInPandas(explode_frames, schema=out_schema)
 
