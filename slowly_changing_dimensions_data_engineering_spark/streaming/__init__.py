@@ -1,1 +1,2 @@
+from .dedup_stream import start_streaming_dedup  # noqa: F401
 from .pipeline_stream import start_streaming_pipeline  # noqa: F401

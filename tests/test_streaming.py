@@ -308,3 +308,56 @@ def test_stream_stream_join_with_watermarks(spark, tmp_path):
 
     pairs = {(r["click_id"], r["view_id"]) for r in spark.table("ssj").collect()}
     assert pairs == {(1, 2), (4, 5)}
+
+
+# --------------------------------------------------------------------
+# streaming incremental dedup (foreachBatch over the MinHash index)
+# --------------------------------------------------------------------
+
+def test_streaming_dedup_batches_grow_index(spark, tmp_path):
+    """VERDICT coverage (streaming/dedup_stream.py): each micro-batch
+    dedups against the stored index AND grows it — a doc arriving in a
+    later batch that near-dups an earlier batch's survivor is dropped,
+    with consume-once on the input files via the streaming checkpoint."""
+    import json as _json
+
+    from slowly_changing_dimensions_data_engineering_spark.streaming import (
+        start_streaming_dedup,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    index = str(tmp_path / "mhidx")
+    out = str(tmp_path / "survivors")
+    ck = str(tmp_path / "ck")
+
+    def put(name, rows):
+        with open(src / name, "w") as f:
+            for doc_id, text in rows:
+                f.write(_json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+    def run_once():
+        q = start_streaming_dedup(spark, str(src), index, out, ck,
+                                  available_now=True, threshold=0.5)
+        _drain(q)
+
+    novel = "the quick brown fox jumps over the lazy dog again and again"
+    # batch 1 bootstraps the index: two copies of one doc -> keep-min
+    put("b1.json", [(0, novel), (1, novel),
+                    (2, "completely different words with zero overlap whatsoever")])
+    run_once()
+    s1 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert s1 == {0, 2}  # 1 deduped within the bootstrap batch
+
+    # batch 2: dup of batch-1 survivor 0 + a novel doc
+    put("b2.json", [(10, novel),
+                    (11, "entirely new content sharing nothing with anything")])
+    run_once()
+    s2 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert s2 == {0, 2, 11}  # 10 dropped against the GROWN index
+
+    # batch 3: dup of batch-2 survivor 11 -> the index grew again
+    put("b3.json", [(20, "entirely new content sharing nothing with anything")])
+    run_once()
+    s3 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert s3 == {0, 2, 11}  # 20 dropped; consume-once: 0/2/11 not re-emitted
