@@ -98,6 +98,21 @@ def ivf_build_index(vectors: DataFrame, centroids: DataFrame, path: str,
      .write.mode("overwrite").partitionBy("centroid_id").parquet(path))
 
 
+def ivf_index_append(new_vectors: DataFrame, centroids: DataFrame, path: str,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> None:
+    """Grow the stored IVF index with a batch of new vectors: assign the
+    BATCH (one broadcast scoring pass over the new rows only — the
+    stored corpus is never re-read or re-assigned) and append into the
+    existing ``centroid_id=`` partition directories as new files. Same
+    cost profile as ``minhash_index_append``: O(batch), never a rewrite.
+    Centroids must be the index's own (frozen) centroid set — appending
+    under re-trained centroids would mis-partition the history; retrain
+    = rebuild (``ivf_build_index``)."""
+    assign = ivf_assign(new_vectors, centroids, id_col, vec_col)
+    (new_vectors.join(assign, id_col)
+     .write.mode("append").partitionBy("centroid_id").parquet(path))
+
+
 def nearest_centroids(centroids: DataFrame, query_vec: list[float],
                       nprobe: int = 1, cid_col: str = "centroid_id") -> list[int]:
     """Driver-side top-``nprobe`` centroids for a query — query planning,

@@ -1144,6 +1144,58 @@ def ivf_recall_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ANN_BATCH_IDS = (42, 137, 256)
+
+@register("ann_batch_topk", f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings
+      WHERE vec_id < {_IVF_N_CENTROIDS}),
+scored AS (
+  SELECT v.vec_id, c.cid,
+         round(list_dot_product(
+                 list_transform(range(1, len(ve)+1), i -> ve[i] - ce[i]),
+                 list_transform(range(1, len(ve)+1), i -> ve[i] - ce[i])), 9) AS d
+  FROM v, c
+),
+assign AS (
+  SELECT vec_id, cid FROM scored
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+),
+q AS (SELECT vec_id AS qid, ve AS qv FROM v
+      WHERE vec_id IN {_ANN_BATCH_IDS}),
+probes AS (SELECT a.vec_id AS qid, a.cid AS qcid FROM assign a
+           WHERE a.vec_id IN {_ANN_BATCH_IDS})
+SELECT q.qid AS query_id, v.vec_id, CAST(a.cid AS BIGINT) AS centroid_id,
+       round(list_dot_product(ve, qv) /
+             (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(qv, qv))), 9) AS cosine
+FROM v JOIN assign a USING (vec_id)
+     JOIN probes p ON a.cid = p.qcid
+     JOIN q ON q.qid = p.qid
+WHERE v.vec_id != q.qid
+QUALIFY row_number() OVER (PARTITION BY q.qid ORDER BY cosine DESC, v.vec_id) <= 5
+""")
+def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH ANN over the persisted IVF index: three query vectors ride
+    ONE plan (broadcast probe frame → dynamic partition pruning over the
+    probed cluster directories), ranked per query with a window instead
+    of a global top-k — the ``single_query=False`` contract of
+    ``ivf_search_index_inplan`` (ADVICE r3: a multi-row query frame must
+    yield per-query top-k, not a silently merged one). At 100 TB this is
+    the shape batch inference retrieval runs: q queries scan the union
+    of their probed partitions once, never the corpus."""
+    from .operators.similarity import ivf_search_index_inplan
+
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    cents = (e.filter(F.col("vec_id") < _IVF_N_CENTROIDS)
+             .select(F.col("vec_id").alias("centroid_id"), "embedding"))
+    qrows = (e.filter(F.col("vec_id").isin(*_ANN_BATCH_IDS))
+             .select("vec_id", "embedding"))
+    path = _ivf_index(spark, sf_dir)
+    out = ivf_search_index_inplan(spark, path, qrows, cents, k=5,
+                                  single_query=False)
+    return out.withColumn("centroid_id", F.col("centroid_id").cast("long"))
+
+
 @register("embedding_near_dup_pairs", f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
 c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings

@@ -318,6 +318,46 @@ def test_ivf_multi_probe_improves_recall(spark, tmp_path):
             ivf_search_index(spark, path, qvec, probes[0], k=5).collect()}
 
 
+def test_ivf_index_append_searchable_and_partitioned(spark, tmp_path):
+    """ivf_index_append: new vectors are assigned with the index's own
+    centroids and appended as new files inside the existing centroid_id=
+    dirs (no rewrite); a subsequent search finds them under the same
+    partition pruning."""
+    import os
+    from slowly_changing_dimensions_data_engineering_spark.operators.similarity import (
+        ivf_build_index, ivf_index_append, ivf_search_index, nearest_centroid,
+    )
+    vecs = spark.createDataFrame(
+        [(i, [float(i % 4), float((i * 7) % 5), 1.0]) for i in range(40)],
+        ["vec_id", "embedding"])
+    cents = spark.createDataFrame(
+        [(c, [float(c), float(c), 1.0]) for c in range(4)],
+        ["centroid_id", "embedding"])
+    path = str(tmp_path / "ivf")
+    ivf_build_index(vecs, cents, path)
+    files_0 = {os.path.join(r, f) for r, _, fs in os.walk(path)
+               for f in fs if f.endswith(".parquet")}
+
+    qvec = [1.0, 2.0, 1.0]
+    qc = nearest_centroid(cents, qvec)
+    # append a batch containing an exact match for the query vector
+    ivf_index_append(spark.createDataFrame(
+        [(100, qvec), (101, [3.0, 3.0, 1.0])], ["vec_id", "embedding"]),
+        cents, path)
+
+    files_1 = {os.path.join(r, f) for r, _, fs in os.walk(path)
+               for f in fs if f.endswith(".parquet")}
+    assert files_0 < files_1  # old files untouched, new files appended
+
+    out = ivf_search_index(spark, path, qvec, qc, k=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan  # pruning survives the append
+    rows = out.collect()
+    # fixture vecs 1 and 21 are also exactly [1,2,1]; the appended 100
+    # must join them at cosine 1.0 inside the query's cluster
+    assert any(r["vec_id"] == 100 and r["cosine"] == 1.0 for r in rows)
+
+
 def test_minhash_family_is_md5_of_seed_and_shingle(spark):
     """Regression: the signature MUST be the documented family
     h_j(s) = md5('j|' ‖ s) — a two-parameter lambda in the transform

@@ -20,7 +20,7 @@ SF = "/root/testdata/sf0.001"
 # 1-row query frame or the dictionary-sized centroid set (IVF assign is
 # inherently n×k centroid scoring — k≤8 here; the big side streams once).
 NESTED_LOOP_ALLOWED = {"embed_topk_cosine", "ivf_search_ann",
-                       "ivf_recall_at10"}
+                       "ivf_recall_at10", "ann_batch_topk"}
 
 
 def _plan(spark, name: str) -> str:
