@@ -57,6 +57,10 @@ _BOARD_DEMOTE = [
     "grouping_sets_orders",     # green r2 + r3
     "full_outer_nation_activity",  # green r2 + r3
     "right_outer_orders_customer",  # green r2 + r3
+    "window_order_gaps",        # green r2 + r3
+    "set_except_finished_only",  # green r2 + r3
+    "set_intersect_segments",   # green r2 + r3
+    "string_functions_parts",   # green r2 + r3
 ]
 
 
@@ -1858,3 +1862,151 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_order"),
         F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_order"),
     )
+
+
+# =====================================================================
+# Round-4 additions: dedup cluster identity (connected components),
+# deterministic stratified sampling, pivot/unpivot reshaping, and
+# mergeable distinct-count sketches.
+# =====================================================================
+
+#: Recursive-CTE oracle for connected components: min reachable doc id
+#: through the symmetrized verified-pair graph. The pair set is the SAME
+#: minhash pipeline the Spark side runs (shingles → 16×4 LSH bands →
+#: exact Jaccard >= 0.5), so only the clustering step is under test.
+_CC_ORACLE = _SHINGLE_CTES.replace("WITH ", "WITH RECURSIVE ", 1) + _minhash_sql() + """
+, pairs AS (
+  SELECT d1, d2 FROM cands JOIN sh s1 ON d1 = s1.doc_id JOIN sh s2 ON d2 = s2.doc_id
+  WHERE CAST(len(list_intersect(s1.shl, s2.shl)) AS DOUBLE)
+        / (len(s1.shl) + len(s2.shl) - len(list_intersect(s1.shl, s2.shl))) >= 0.5
+),
+edges AS (SELECT d1 AS u, d2 AS v FROM pairs UNION SELECT d2 AS u, d1 AS v FROM pairs),
+reach AS (
+  SELECT u AS node, u AS comp FROM edges
+  UNION
+  SELECT e.u AS node, r.comp FROM edges e JOIN reach r ON e.v = r.node
+),
+lab AS (SELECT node, MIN(comp) AS comp FROM reach GROUP BY node)
+SELECT node AS doc_id, comp AS cluster_id,
+       COUNT(*) OVER (PARTITION BY comp) AS cluster_size
+FROM lab
+"""
+
+
+@register("dedup_clusters_cc", _CC_ORACLE)
+def dedup_clusters_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive-closure cluster identity for every near-duplicate
+    document: MinHash near-dup pairs → iterative min-label connected
+    components (operators/graph.py) → (doc_id, cluster_id, cluster_size).
+    Pairwise keep-min can DECIDE dedup but cannot NAME clusters when
+    similarity is transitive only through intermediates; this is the
+    step curation pipelines use for cluster sampling and per-cluster
+    quality votes. Oracle: DuckDB WITH RECURSIVE reachability."""
+    from .operators.dedup import minhash_near_dups
+    from .operators.graph import dedup_clusters
+    d = _spread(spark, _t(spark, sf_dir, "documents")["documents"])
+    pairs = minhash_near_dups(d, num_hashes=16, bands=4, n=5, threshold=0.5)
+    return dedup_clusters(pairs)
+
+
+@register("stratified_sample_docs", """
+SELECT doc_id, lang, source, n_chars FROM (
+  SELECT doc_id, lang, source, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents) t
+WHERE rn <= 20
+""")
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: exactly min(20, |stratum|) docs
+    per language, selected by rank over md5(doc_id) — a seeded-shuffle
+    order that is reproducible across engines and runs (TABLESAMPLE and
+    rand(seed) are neither). This is the training-mix quota step: hash
+    order approximates uniform sampling while staying a pure function of
+    the data. Scale shape: ONE hash-partitioned shuffle on the stratum
+    key; Spark's WindowGroupLimit pushes the rank<=k cutoff below the
+    shuffle, so each map task forwards at most k rows per stratum."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    rn = F.row_number().over(
+        W.partitionBy("lang").orderBy(F.md5(F.col("doc_id").cast("string")),
+                                      "doc_id"))
+    return (d.select("doc_id", "lang", "source", "n_chars",
+                     rn.alias("rn"))
+            .filter(F.col("rn") <= 20)
+            .drop("rn"))
+
+
+@register("pivot_status_revenue_by_year", """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS order_year,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(38,4)) END) AS DOUBLE) AS rev_F,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(38,4)) END) AS DOUBLE) AS rev_O,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(38,4)) END) AS DOUBLE) AS rev_P
+FROM orders GROUP BY order_year
+""")
+def pivot_status_revenue_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: revenue by order year × status, statuses spread to columns.
+    The pivot values are passed EXPLICITLY — without them Spark runs an
+    extra distinct-collect job over the full table just to discover the
+    column set, a hidden scan at 100 TB. With values given, the plan is
+    a single hash aggregate over (year), pivot expressions folded into
+    the aggregate — same cost as the CASE WHEN formulation the oracle
+    uses. Decimal-accumulated sums per the cross-engine rules."""
+    o = _t(spark, sf_dir, "orders")["orders"]
+    piv = (o.withColumn("order_year", F.year("o_orderdate").cast("int"))
+           .groupBy("order_year")
+           .pivot("o_orderstatus", ["F", "O", "P"])
+           .agg(F.sum(F.col("o_totalprice").cast("decimal(38,4)"))
+                .cast("double")))
+    return piv.select("order_year", F.col("F").alias("rev_F"),
+                      F.col("O").alias("rev_O"), F.col("P").alias("rev_P"))
+
+
+@register("unpivot_part_metrics", """
+SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val FROM part
+UNION ALL
+SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
+""")
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt: wide numeric columns to (key, metric, value) long
+    form — the shape feature stores and per-metric quality monitors
+    ingest. Spark's native unpivot is a zero-shuffle narrow transform
+    (each row expands locally); the oracle is the equivalent UNION ALL."""
+    p = _t(spark, sf_dir, "part")["part"]
+    return (p.select("p_partkey",
+                     F.col("p_retailprice").cast("double").alias("p_retailprice"),
+                     F.col("p_size").cast("double").alias("p_size"))
+            .unpivot("p_partkey", ["p_retailprice", "p_size"],
+                     "metric", "val"))
+
+
+@register("hll_sketch_region_customers", """
+SELECT r_name,
+       COUNT(DISTINCT c_custkey) AS n_exact,
+       TRUE AS merged_within_5pct
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""")
+def hll_sketch_region_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE distinct-count sketches (Apache DataSketches HLL, Spark
+    3.5+ built-ins): per-nation hll_sketch_agg partials are UNIONED to
+    region level with hll_union_agg — no raw re-scan. This is the 100 TB
+    distinct-count pattern: sketch once per partition/day, merge any
+    rollup later; approx_count_distinct can't do that (its partials are
+    query-internal). Cross-engine check is the CONTRACT (estimate within
+    5% of exact), same pattern as approx_distinct_nations."""
+    t = _t(spark, sf_dir, "customer", "nation", "region")
+    j = (t["customer"]
+         .join(t["nation"], F.col("c_nationkey") == F.col("n_nationkey"))
+         .join(t["region"], F.col("n_regionkey") == F.col("r_regionkey")))
+    per_nation = j.groupBy("r_name", "n_nationkey").agg(
+        F.hll_sketch_agg("c_custkey").alias("sk"))
+    merged = per_nation.groupBy("r_name").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_est"))
+    exact = j.groupBy("r_name").agg(
+        F.countDistinct("c_custkey").alias("n_exact"))
+    return (exact.join(merged, "r_name")
+            .select("r_name", "n_exact",
+                    (F.abs(F.col("_est") - F.col("n_exact"))
+                     <= 0.05 * F.col("n_exact")).alias("merged_within_5pct")))

@@ -1,0 +1,62 @@
+"""Unit tests for operators/graph.py — connected components over
+near-dup pairs and the cluster-canonical dedup decision. Complements the
+DuckDB recursive-CTE oracle check on the dedup_clusters_cc query."""
+
+from __future__ import annotations
+
+import pytest
+
+from slowly_changing_dimensions_data_engineering_spark.operators.graph import (
+    connected_components,
+    dedup_clusters,
+    keep_cluster_canonical,
+)
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, ["d1", "d2"])
+
+
+def test_transitive_chain_clusters_together(spark):
+    # a~b, b~c but never a~c: pairwise logic can't name the cluster;
+    # components must put all three under min id 1.
+    labels = {r["node"]: r["comp"] for r in connected_components(
+        _pairs(spark, [(1, 2), (2, 3), (7, 8)])).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+
+def test_direction_and_duplicates_ignored(spark):
+    labels = {r["node"]: r["comp"] for r in connected_components(
+        _pairs(spark, [(5, 4), (4, 5), (5, 4), (4, 6)])).collect()}
+    assert labels == {4: 4, 5: 4, 6: 4}
+
+
+def test_long_chain_converges_past_one_round(spark):
+    # A 12-node path has diameter 11 — label propagation needs several
+    # rounds; the min label must still flood the whole chain.
+    chain = [(i, i + 1) for i in range(11)]
+    labels = {r["node"]: r["comp"] for r in connected_components(
+        _pairs(spark, chain)).collect()}
+    assert set(labels.values()) == {0}
+    assert len(labels) == 12
+
+
+def test_max_iter_guard_raises(spark):
+    chain = [(i, i + 1) for i in range(11)]
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(_pairs(spark, chain), max_iter=1)
+
+
+def test_cluster_sizes(spark):
+    rows = dedup_clusters(_pairs(spark, [(1, 2), (2, 3), (7, 8)])).collect()
+    by_doc = {r["doc_id"]: (r["cluster_id"], r["cluster_size"]) for r in rows}
+    assert by_doc == {1: (1, 3), 2: (1, 3), 3: (1, 3), 7: (7, 2), 8: (7, 2)}
+
+
+def test_keep_cluster_canonical(spark):
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], ["doc_id", "text"])
+    # clusters {0,1,2} and {3,4}; 5 untouched → keep 0, 3, 5.
+    kept = keep_cluster_canonical(
+        docs, _pairs(spark, [(0, 1), (1, 2), (3, 4)]))
+    assert sorted(r["doc_id"] for r in kept.collect()) == [0, 3, 5]
