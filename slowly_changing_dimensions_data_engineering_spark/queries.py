@@ -1947,10 +1947,14 @@ def pivot_status_revenue_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT: revenue by order year × status, statuses spread to columns.
     The pivot values are passed EXPLICITLY — without them Spark runs an
     extra distinct-collect job over the full table just to discover the
-    column set, a hidden scan at 100 TB. With values given, the plan is
-    a single hash aggregate over (year), pivot expressions folded into
-    the aggregate — same cost as the CASE WHEN formulation the oracle
-    uses. Decimal-accumulated sums per the cross-engine rules."""
+    column set, a hidden scan at 100 TB. Plan shape (verified with
+    .explain): Spark lowers pivot to TWO aggregates — partial sums per
+    (year, status) reduce the table to |years|×|statuses| rows, then a
+    PivotFirst aggregate per year spreads the columns; the second
+    shuffle moves only the already-aggregated tiny frame, so the scan
+    and the heavy shuffle happen exactly once, same as the oracle's
+    CASE WHEN formulation. Decimal-accumulated sums per the cross-engine
+    rules."""
     o = _t(spark, sf_dir, "orders")["orders"]
     piv = (o.withColumn("order_year", F.year("o_orderdate").cast("int"))
            .groupBy("order_year")
@@ -1995,7 +1999,10 @@ def hll_sketch_region_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-count pattern: sketch once per partition/day, merge any
     rollup later; approx_count_distinct can't do that (its partials are
     query-internal). Cross-engine check is the CONTRACT (estimate within
-    5% of exact), same pattern as approx_distinct_nations."""
+    5% of exact), same pattern as approx_distinct_nations. The exact
+    branch re-scans customer — it exists only for this contract check
+    (a production rollup reads just the sketches); the final 5-row
+    estimate side is broadcast so the contract join never sort-merges."""
     t = _t(spark, sf_dir, "customer", "nation", "region")
     j = (t["customer"]
          .join(t["nation"], F.col("c_nationkey") == F.col("n_nationkey"))
@@ -2006,7 +2013,7 @@ def hll_sketch_region_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_est"))
     exact = j.groupBy("r_name").agg(
         F.countDistinct("c_custkey").alias("n_exact"))
-    return (exact.join(merged, "r_name")
+    return (exact.join(F.broadcast(merged), "r_name")
             .select("r_name", "n_exact",
                     (F.abs(F.col("_est") - F.col("n_exact"))
                      <= 0.05 * F.col("n_exact")).alias("merged_within_5pct")))

@@ -52,7 +52,11 @@ def test_board_order_covers_unconfirmed_queries():
     assert sorted(names) == sorted(q._REGISTRY)  # reorder loses nothing
     board = set(names[:50])
     for n in ("map_functions_events", "profile_orders_columns",
-              "array_functions_embeddings", "dedup_corpus_minhash"):
+              "array_functions_embeddings", "dedup_corpus_minhash",
+              # r4-new queries: no driver row exists yet for any of these
+              "ann_batch_topk", "dedup_clusters_cc", "stratified_sample_docs",
+              "pivot_status_revenue_by_year", "unpivot_part_metrics",
+              "hll_sketch_region_customers"):
         assert n in board, n
     # oracle_sql() iterates in the same board order as queries()
     oracle_names = list(q.oracle_sql())
