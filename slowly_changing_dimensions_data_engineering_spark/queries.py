@@ -61,6 +61,8 @@ _BOARD_DEMOTE = [
     "set_except_finished_only",  # green r2 + r3
     "set_intersect_segments",   # green r2 + r3
     "string_functions_parts",   # green r2 + r3
+    "date_parts_orders",        # green r2 + r3
+    "json_extract_events",      # green r2 + r3
 ]
 
 
@@ -2017,3 +2019,77 @@ def hll_sketch_region_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("r_name", "n_exact",
                     (F.abs(F.col("_est") - F.col("n_exact"))
                      <= 0.05 * F.col("n_exact")).alias("merged_within_5pct")))
+
+
+#: The semantic-dedup oracle nests the ALREADY-REGISTERED embedding
+#: near-dup pair SQL as a CTE body (no drift possible), then runs the
+#: same recursive reachability as _CC_ORACLE over vector ids.
+_SEMANTIC_CC_ORACLE = f"""
+WITH RECURSIVE pairs AS ({_REGISTRY["embedding_near_dup_pairs"][1]}),
+edges AS (SELECT v1 AS u, v2 AS v FROM pairs UNION SELECT v2 AS u, v1 AS v FROM pairs),
+reach AS (
+  SELECT u AS node, u AS comp FROM edges
+  UNION
+  SELECT e.u AS node, r.comp FROM edges e JOIN reach r ON e.v = r.node
+),
+lab AS (SELECT node, MIN(comp) AS comp FROM reach GROUP BY node)
+SELECT (SELECT COUNT(*) FROM embeddings) AS n_vectors,
+       (SELECT COUNT(*) FROM embeddings)
+         - (SELECT COUNT(*) FROM lab WHERE node != comp) AS n_kept,
+       (SELECT COUNT(DISTINCT comp) FROM lab) AS n_dup_clusters,
+       (SELECT COUNT(*) FROM lab WHERE node != comp) AS n_dropped
+"""
+
+
+@register("semantic_dedup_summary", _SEMANTIC_CC_ORACLE)
+def semantic_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup, end-to-end: embedding near-dup
+    pairs (IVF-cluster blocked, cosine >= 0.3, read from the persisted
+    index) → connected components → keep ONE vector per semantic cluster
+    (the minimum id) → corpus budget summary. Composes the geometry side
+    (operators/similarity.py) with the graph side (operators/graph.py):
+    the same clustering used for text MinHash dedup names duplicate
+    groups in embedding space. Scale shape: pair generation is index-
+    blocked (never all-pairs), CC shuffles only the pair-graph nodes —
+    a tiny fraction of the corpus — and the summary is pure aggregation."""
+    from .operators.graph import connected_components
+    from .operators.similarity import embedding_near_dup_pairs
+    idx = _spread(spark, spark.read.parquet(_ivf_index(spark, sf_dir)))
+    pairs = embedding_near_dup_pairs(
+        idx.select("vec_id", "embedding", "centroid_id"),
+        block_col="centroid_id", threshold=0.3)
+    labels = connected_components(pairs, src="v1", dst="v2")
+    stats = labels.agg(
+        F.countDistinct("comp").alias("n_dup_clusters"),
+        F.sum((F.col("node") != F.col("comp")).cast("long")).alias("n_dropped"))
+    tot = idx.agg(F.count("*").alias("n_vectors"))
+    return (tot.crossJoin(stats)
+            .select("n_vectors",
+                    (F.col("n_vectors") - F.col("n_dropped")).alias("n_kept"),
+                    "n_dup_clusters", "n_dropped"))
+
+
+@register("quantile_sketch_prices", """
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS p50_exact,
+       TRUE AS approx_within_1pct
+FROM orders GROUP BY o_orderstatus
+""")
+def quantile_sketch_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile SKETCHES (percentile_approx — Greenwald-Khanna, the
+    mergeable partial-aggregate form) against the exact interpolated
+    percentile: the distribution-profiling step a pipeline runs per
+    column at 100 TB, where exact quantiles would force a full sort per
+    group and the sketch is a single streaming pass with bounded rank
+    error. Cross-engine check: the exact median matches DuckDB's
+    quantile_cont (both interpolate at rank (n-1)·q), and the CONTRACT
+    asserts the sketch lands within 1% of it."""
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50_exact"),
+             F.percentile_approx("o_totalprice", 0.5, 10000).alias("_p50a"))
+        .select("o_orderstatus", "p50_exact",
+                (F.abs(F.col("_p50a") - F.col("p50_exact"))
+                 <= 0.01 * F.col("p50_exact")).alias("approx_within_1pct"))
+    )

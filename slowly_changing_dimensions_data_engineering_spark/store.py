@@ -338,6 +338,63 @@ class TableStore:
         self._write_meta(name, meta)
         return v
 
+    # ---- compaction (OPTIMIZE analogue) -----------------------------------
+    @staticmethod
+    def _parquet_files(path: str) -> list[str]:
+        out = []
+        for root, _dirs, files in os.walk(path):
+            out.extend(os.path.join(root, f) for f in files
+                       if f.endswith(".parquet"))
+        return out
+
+    def compact(self, spark: SparkSession, name: str,
+                target_file_bytes: int = 128 * 1024 * 1024,
+                max_files_per_bucket: int = 4) -> int:
+        """OPTIMIZE analogue: rewrite fragmented storage into few
+        size-targeted files, leaving table CONTENTS bit-identical.
+
+        Plain tables: an append-built snapshot is a list of segment dirs
+        (one per COPY/insert — at 100 TB a day of micro-batches is
+        thousands of small files, and every read pays the per-file open
+        cost). Compaction reads the current snapshot once, coalesces to
+        ceil(bytes / target_file_bytes) files and commits it as a single
+        segment. Bucketed tables: only buckets whose dir holds more than
+        ``max_files_per_bucket`` files are rewritten (commit_buckets);
+        untouched buckets keep their current pointers, so the cost
+        scales with the fragmented footprint, not the table.
+
+        Data-neutral by construction: no change batch is written (a
+        compaction must be INVISIBLE to the CDC stream — consumers would
+        otherwise re-process the whole table as phantom updates), and
+        time travel to pre-compaction versions still resolves through
+        their recorded segment/bucket maps until vacuum prunes them.
+        Returns the new version, or the current one if nothing needed
+        compacting (no empty commit)."""
+        meta = self._read_meta(name)
+        latest = meta["latest"]
+        if latest < 0:
+            return latest
+        if meta.get("bucket"):
+            frag = []
+            for k, bv in meta.get("buckets", {}).items():
+                p = os.path.join(self._vdir(name, bv), f"_bucket={k}")
+                if os.path.isdir(p) and \
+                        len(self._parquet_files(p)) > max_files_per_bucket:
+                    frag.append(int(k))
+            if not frag:
+                return latest
+            return self.commit_buckets(
+                name, self.read_buckets(spark, name, frag), frag)
+        segs = meta.get("segments", [latest])
+        files: list[str] = []
+        for s in segs:
+            files.extend(self._parquet_files(self._vdir(name, s)))
+        nbytes = sum(os.path.getsize(f) for f in files)
+        need = max(1, -(-nbytes // target_file_bytes))  # ceil
+        if len(segs) <= 1 and len(files) <= need:
+            return latest
+        return self.commit(name, self.read(spark, name).coalesce(int(need)))
+
     # ---- history cleanup (VACUUM analogue) --------------------------------
     def vacuum(self, name: str, keep_last: int = 1) -> list[int]:
         """Delete snapshot version dirs no longer referenced by the last

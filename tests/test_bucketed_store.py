@@ -274,3 +274,74 @@ def test_time_travel_and_vacuum(spark, tmp_path):
     after = sorted(d for d in os.listdir(store._tdir("t")) if d.startswith("v"))
     assert removed and len(after) < len(before)
     assert store.read(spark, "t").count() == 16
+
+
+def test_compact_plain_merges_segments_without_cdc(spark, tmp_path):
+    """compact() on an append-built plain table: one segment after, same
+    contents, file count reduced, NO change batch emitted, and time
+    travel to the pre-compaction version still works."""
+    store = TableStore(str(tmp_path))
+    store.create("raw", schemas.SUPPLIER)
+    store.commit("raw", _supplier_rows(spark, range(4)))
+    for batch in (range(4, 8), range(8, 12)):
+        store.commit_append("raw", _supplier_rows(spark, batch))
+    v_before = store.version("raw")
+    meta = store._read_meta("raw")
+    assert len(meta["segments"]) == 3
+    files_before = sum(
+        len(store._parquet_files(store._vdir("raw", s)))
+        for s in meta["segments"])
+    changes_before = store.change_versions("raw", -1)
+
+    v = store.compact(spark, "raw")
+    assert v == v_before + 1
+    meta = store._read_meta("raw")
+    assert meta["segments"] == [v]
+    assert len(store._parquet_files(store._vdir("raw", v))) < files_before
+    # contents identical; compaction invisible to the CDC stream
+    assert sorted(r["supplier_key"] for r in store.read(spark, "raw").collect()) \
+        == list(range(12))
+    assert store.change_versions("raw", -1) == changes_before
+    # pre-compaction snapshot still time-travels through its segment list
+    assert store.read(spark, "raw", version=v_before).count() == 12
+    # idempotent: nothing left to compact → no empty commit
+    assert store.compact(spark, "raw") == v
+
+
+def test_compact_bucketed_rewrites_only_fragmented_buckets(spark, tmp_path):
+    """Bucketed compact(): buckets fragmented past max_files_per_bucket
+    are rewritten in one commit; healthy buckets keep their pointers."""
+    store = TableStore(str(tmp_path))
+    store.create("landing", schemas.SUPPLIER, bucket_by=(KEY, N_BUCKETS))
+    merge_upsert(store, spark, "landing", _supplier_rows(spark, range(64)),
+                 KEY, CMP)
+
+    # fragment ONE bucket: repeated single-key merges rewrite its dir
+    # each time with however many files the writer emits; force the
+    # fragmentation by dropping max_files_per_bucket below that count.
+    for i in range(3):
+        delta = _supplier_rows(spark, [7]).withColumn(
+            "supplier_name", F.lit(f"rename{i}"))
+        merge_upsert(store, spark, "landing", delta, KEY, CMP)
+    meta = store._read_meta("landing")
+    frag_bucket = spark.createDataFrame([("S7",)], ["supplier_code"]) \
+        .select(bucket_id(KEY, N_BUCKETS).alias("b")).head()["b"]
+    pointers_before = dict(meta["buckets"])
+
+    v = store.compact(spark, "landing", max_files_per_bucket=0)
+    meta = store._read_meta("landing")
+    # every bucket with >0 files was rewritten to the new version,
+    # and the fragmented bucket is among them with exactly one file
+    assert meta["buckets"][str(frag_bucket)] == v
+    p = os.path.join(store._vdir("landing", v), f"_bucket={frag_bucket}")
+    assert len(store._parquet_files(p)) == 1
+    # contents unchanged
+    got = {r["supplier_code"]: r["supplier_name"]
+           for r in store.read(spark, "landing").collect()}
+    assert got["S7"] == "rename2" and len(got) == 64
+
+    # healthy-threshold call: nothing fragmented → no-op, pointers frozen
+    pointers_after = dict(store._read_meta("landing")["buckets"])
+    assert store.compact(spark, "landing", max_files_per_bucket=4) == v
+    assert dict(store._read_meta("landing")["buckets"]) == pointers_after
+    assert pointers_after != pointers_before

@@ -53,6 +53,12 @@ def test_cluster_sizes(spark):
     assert by_doc == {1: (1, 3), 2: (1, 3), 3: (1, 3), 7: (7, 2), 8: (7, 2)}
 
 
+def test_empty_pairs_yield_empty_labels(spark):
+    empty = spark.createDataFrame([], "d1 long, d2 long")
+    assert connected_components(empty).count() == 0
+    assert dedup_clusters(empty).count() == 0
+
+
 def test_keep_cluster_canonical(spark):
     docs = spark.createDataFrame(
         [(i, f"doc {i}") for i in range(6)], ["doc_id", "text"])
@@ -60,3 +66,38 @@ def test_keep_cluster_canonical(spark):
     kept = keep_cluster_canonical(
         docs, _pairs(spark, [(0, 1), (1, 2), (3, 4)]))
     assert sorted(r["doc_id"] for r in kept.collect()) == [0, 3, 5]
+
+
+def test_random_graphs_match_union_find(spark):
+    """Property check: on random graphs, the distributed min-label
+    propagation must agree with a driver-side union-find."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 40
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(35)]
+        edges = [(a, b) for a, b in edges if a != b]
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {}
+        for a, b in edges:
+            for x in (a, b):
+                # canonical id = min member of the component
+                expected[x] = min(m for m in range(n)
+                                  if find(m) == find(x))
+
+        got = {r["node"]: r["comp"] for r in connected_components(
+            _pairs(spark, edges)).collect()}
+        assert got == expected, f"trial {trial}"

@@ -20,7 +20,9 @@ SF = "/root/testdata/sf0.001"
 # 1-row query frame or the dictionary-sized centroid set (IVF assign is
 # inherently n×k centroid scoring — k≤8 here; the big side streams once).
 NESTED_LOOP_ALLOWED = {"embed_topk_cosine", "ivf_search_ann",
-                       "ivf_recall_at10", "ann_batch_topk"}
+                       "ivf_recall_at10", "ann_batch_topk",
+                       # crossJoin of three 1-row aggregate frames
+                       "semantic_dedup_summary"}
 
 
 def _plan(spark, name: str) -> str:
@@ -56,7 +58,8 @@ def test_board_order_covers_unconfirmed_queries():
               # r4-new queries: no driver row exists yet for any of these
               "ann_batch_topk", "dedup_clusters_cc", "stratified_sample_docs",
               "pivot_status_revenue_by_year", "unpivot_part_metrics",
-              "hll_sketch_region_customers"):
+              "hll_sketch_region_customers", "semantic_dedup_summary",
+              "quantile_sketch_prices"):
         assert n in board, n
     # oracle_sql() iterates in the same board order as queries()
     oracle_names = list(q.oracle_sql())
