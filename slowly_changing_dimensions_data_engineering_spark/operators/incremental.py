@@ -1,0 +1,101 @@
+"""Incremental materialized-aggregate maintenance over the CDC stream.
+
+The reference keeps MASTER in sync with STAGING through the
+STREAM → TASK chain (SCD-Automation.sql:7-41 reads the stream,
+Setup.sql:155-161 rebuilds the projection). This module generalizes
+that pattern to ALGEBRAIC aggregates: a grouped SUM/COUNT table is
+maintained purely from the DELETE+INSERT change pairs the merge
+emitted (Setup.sql:127,218 — the stream's row encoding), never
+rescanning the base table.
+
+Why it matters at 100 TB: a nightly `GROUP BY` over the full base is a
+full scan + shuffle of everything; the incremental refresh touches only
+(a) the pending change batches — delta-sized — and (b) the MV itself —
+group-cardinality-sized. Both are orders of magnitude smaller than the
+base. The algebra: every INSERT change row contributes +1/+value to its
+group, every DELETE (an update's pre-image) contributes -1/-value; an
+update thus moves its row between groups exactly. SUM and COUNT are
+self-mergeable, so folding the signed delta into the MV is a re-
+aggregation of two partial frames — AVG derives as sum/count
+downstream.
+
+Only SUM/COUNT (and derived AVG) qualify: MIN/MAX are not subtractable
+— a DELETE of the current minimum would need the base to find the
+runner-up — so they are deliberately not offered here; recompute those
+per-group from the base or keep a sketch.
+"""
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..schemas import CDC_ACTION
+
+N_ROWS = "n_rows"
+
+
+def aggregate_delta(changes: DataFrame, group_cols: list[str],
+                    sum_cols: dict[str, str]) -> DataFrame:
+    """Signed per-group partials for one or more CDC batches.
+
+    ``sum_cols`` maps output column -> source column; output schema is
+    ``group_cols + [n_rows] + list(sum_cols)``. INSERT rows count +1,
+    DELETE rows (update pre-images) -1, so the frame is a mergeable
+    partial: summing it into the MV yields the post-change aggregate.
+    One map-side-combined groupBy over a delta-sized input — the base
+    table never appears in this plan.
+    """
+    sign = F.when(F.col(f"`{CDC_ACTION}`") == "INSERT", F.lit(1)) \
+            .otherwise(F.lit(-1))
+    aggs = [F.sum("_sign").alias(N_ROWS)]
+    aggs += [F.sum(F.col("_sign") * F.col(src)).alias(out)
+             for out, src in sum_cols.items()]
+    return (changes.withColumn("_sign", sign)
+            .groupBy(*group_cols).agg(*aggs))
+
+
+def apply_delta(mv: DataFrame | None, delta: DataFrame,
+                group_cols: list[str]) -> DataFrame:
+    """Fold a signed delta into the current MV contents.
+
+    Union-then-reaggregate (partials are mergeable) rather than a full
+    outer join: same single shuffle on the group key, no column-collision
+    bookkeeping, and AQE sizes it off MV + delta — the base is not an
+    input. Groups whose row count reaches 0 vanished from the base and
+    are dropped (their sums are exact zeros by the signed algebra).
+    """
+    merged = delta if mv is None else mv.unionByName(delta)
+    val_cols = [c for c in merged.columns if c not in group_cols]
+    out = (merged.groupBy(*group_cols)
+           .agg(*[F.sum(c).alias(c) for c in val_cols]))
+    return out.filter(F.col(N_ROWS) != 0)
+
+
+def refresh_aggregate(store, spark: SparkSession, mv_name: str,
+                      base_name: str, consumer: str,
+                      group_cols: list[str],
+                      sum_cols: dict[str, str]) -> int:
+    """Consume the base table's pending change batches (offset-tracked,
+    C3 consume-once — SCD-Automation.sql:43 advances the stream the same
+    way) and commit the refreshed MV. Returns the MV version; a call
+    with nothing pending is a no-op (no empty commit, offset untouched).
+
+    Crash safety mirrors the pipeline's task semantics: the offset
+    advances only AFTER the MV commit, so a crash between the two
+    replays the batch into a pre-refresh MV — same-or-older state, never
+    a skipped batch.
+    """
+    since = store.get_offset(consumer)
+    changes = store.read_changes(spark, base_name, since)
+    if changes is None:
+        return store.version(mv_name) if store.exists(mv_name) else -1
+    consumed_to = max(store.change_versions(base_name, since))
+    delta = aggregate_delta(changes, group_cols, sum_cols)
+    if not store.exists(mv_name) or store.version(mv_name) < 0:
+        if not store.exists(mv_name):
+            store.create(mv_name, delta.schema)
+        new = apply_delta(None, delta, group_cols)
+    else:
+        new = apply_delta(store.read(spark, mv_name), delta, group_cols)
+    v = store.commit(mv_name, new)
+    store.set_offset(consumer, consumed_to)
+    return v

@@ -89,7 +89,6 @@ def plan_upsert(
         .localCheckpoint(eager=False)
     )
     s_cols = [F.col(f"s.{c}").alias(c) for c in cols]
-    t_cols = [F.col(f"t.{c}").alias(c) for c in cols]
 
     # METADATA$ROW_ID: stable per logical row — hash of the merge key
     # (Snowflake's row id is opaque; a key hash preserves its contract:
@@ -108,23 +107,36 @@ def plan_upsert(
         .select(*s_cols, F.lit("INSERT").alias(CDC_ACTION),
                 F.lit(True).alias(CDC_ISUPDATE), row_id("s").alias(CDC_ROW_ID))
     )
-    upd_pre = (
-        cat.filter(F.col("_op") == "update")
-        .select(*t_cols, F.lit("DELETE").alias(CDC_ACTION),
-                F.lit(True).alias(CDC_ISUPDATE), row_id("t").alias(CDC_ROW_ID))
-    )
-    changes = inserts.unionByName(upd_post).unionByName(upd_pre)
-
-    # New snapshot: carry over target rows whose key was NOT touched,
-    # then add the updated images and the inserts. The touched-key set
-    # scales with the LOAD, not a constant — no unconditional broadcast
-    # hint (a 100× backfill would OOM the driver); AQE's dynamic join
-    # selection broadcasts it when it is in fact delta-sized.
+    # The touched-key set scales with the LOAD, not a constant — no
+    # unconditional broadcast hint (a 100× backfill would OOM the
+    # driver); AQE's dynamic join selection broadcasts it when it is in
+    # fact delta-sized.
     touched = (
         cat.filter(F.col("_op") == "update")
         .select(*[F.col(f"s.{k}").alias(k) for k in key])
         .distinct()
     )
+    # DELETE pre-images come from the TARGET side (semi join on touched
+    # keys), NOT from the source×target matched pairs: a duplicate-key
+    # source load matches one target row twice, and pair-derived
+    # pre-images would emit that row's DELETE twice — a change stream
+    # that no longer sums to the snapshot delta (a signed fold, e.g. an
+    # incremental MV, would over-subtract; caught by the sf0.01 S99
+    # key collision in the synthetic load-2). One pre-image per PHYSICAL
+    # target row keeps stream ≡ snapshot delta for both dup-source and
+    # dup-target edges. (Snowflake itself ERRORs on this nondeterministic
+    # merge; we keep all source images and a consistent stream instead.)
+    upd_pre = (
+        target.join(touched, key, "semi")
+        .select(*cols, F.lit("DELETE").alias(CDC_ACTION),
+                F.lit(True).alias(CDC_ISUPDATE),
+                F.md5(F.concat_ws("\x1f", *[F.col(k).cast("string")
+                                            for k in key])).alias(CDC_ROW_ID))
+    )
+    changes = inserts.unionByName(upd_post).unionByName(upd_pre)
+
+    # New snapshot: carry over target rows whose key was NOT touched,
+    # then add the updated images and the inserts.
     kept = target.join(touched, key, "left_anti")
     new_rows = cat.filter(F.col("_op").isin("update", "insert")).select(*s_cols)
     new_target = kept.unionByName(new_rows)

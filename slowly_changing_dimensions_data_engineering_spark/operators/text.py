@@ -95,3 +95,59 @@ def bpe_ish_tokens(col) -> Column:
     undercounts punctuation-dense text). JVM-side regexp_extract_all."""
     c = F.col(col) if isinstance(col, str) else col
     return F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0)
+
+
+def bigram_repetition(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals per document: the duplicate-2-gram
+    fraction and the top-2-gram share (Rae et al. 2021, §A1.1 repetition
+    filters — the signals that catch boilerplate and template spam).
+
+    Shape chosen for 100 TB: bigrams explode to rows and aggregate in
+    TWO map-side-combinable groupBys ((doc, bigram) then doc) — linear
+    in corpus size and shuffle-partitioned by doc — instead of an
+    in-array mode search, which is O(len²) per document and dies on long
+    documents. Documents with fewer than two tokens have no bigrams and
+    are absent from the result (no repetition evidence either way).
+
+    Output: (id, n_bigrams, dup_bigram_frac, top_bigram_frac)."""
+    toks = _tokens(text_col)
+    n = F.size(toks)
+    bigrams = F.zip_with(F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1),
+                         lambda a, b: F.concat_ws(" ", a, b))
+    ex = docs.select(F.col(id_col), F.explode(bigrams).alias("_bg"))
+    per = ex.groupBy(id_col, "_bg").agg(F.count("*").alias("_c"))
+    return per.groupBy(id_col).agg(
+        F.sum("_c").alias("n_bigrams"),
+        F.round((F.sum("_c") - F.count("*")) / F.sum("_c"), 6)
+         .alias("dup_bigram_frac"),
+        F.round(F.max("_c") / F.sum("_c"), 6).alias("top_bigram_frac"))
+
+
+#: PII patterns kept to the regex subset Java (Spark) and RE2 (DuckDB,
+#: Go) execute identically: classes, bounded repeats — no lookaround,
+#: no backrefs. Replacement token is [NAME] uppercased.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}",
+}
+
+
+def scrub_pii(df: DataFrame, text_col: str, id_cols: list[str],
+              patterns: dict[str, str] | None = None) -> DataFrame:
+    """Redact PII-shaped spans and count them per row — the scrub pass a
+    training-data pipeline runs over every document before the corpus
+    ships. All JVM-side (regexp_extract_all for counts on the ORIGINAL
+    text, chained regexp_replace for the redaction), so the pass stays
+    inside whole-stage codegen with zero Python in the row path; at
+    100 TB it is a pure map over the scan, no shuffle.
+
+    Output: ``id_cols + [scrubbed] + [n_<name> per pattern]``."""
+    pats = PII_PATTERNS if patterns is None else patterns
+    c = F.col(text_col)
+    counts = [F.size(F.regexp_extract_all(c, F.lit(p), 0)).cast("long")
+              .alias(f"n_{name}") for name, p in pats.items()]
+    scrubbed = c
+    for name, p in pats.items():
+        scrubbed = F.regexp_replace(scrubbed, p, f"[{name.upper()}]")
+    return df.select(*id_cols, scrubbed.alias("scrubbed"), *counts)

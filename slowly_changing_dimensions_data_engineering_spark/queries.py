@@ -63,6 +63,9 @@ _BOARD_DEMOTE = [
     "string_functions_parts",   # green r2 + r3
     "date_parts_orders",        # green r2 + r3
     "json_extract_events",      # green r2 + r3
+    "cube_part_brand",          # green r2 + r3
+    "rollup_order_status",      # green r2 + r3
+    "correlated_above_avg_orders",  # green r2 + r3
 ]
 
 
@@ -2093,3 +2096,100 @@ def quantile_sketch_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.abs(F.col("_p50a") - F.col("p50_exact"))
                  <= 0.01 * F.col("p50_exact")).alias("approx_within_1pct"))
     )
+
+
+@register("incremental_mv_state_stats", _SCD2_CTES + """
+, final AS (
+  SELECT l.supplier_key, l.supplier_state
+  FROM load1 l LEFT JOIN changed c ON l.supplier_code = c.supplier_code
+  WHERE c.supplier_code IS NULL
+  UNION ALL SELECT supplier_key, supplier_state FROM changed
+  UNION ALL SELECT supplier_key, supplier_state FROM newrows
+)
+SELECT supplier_state, COUNT(*) AS n_rows,
+       CAST(SUM(supplier_key) AS BIGINT) AS sum_key
+FROM final GROUP BY supplier_state
+""")
+def incremental_mv_state_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance over the CDC stream: a
+    per-state (COUNT, SUM) aggregate of the landing table kept in sync
+    purely from the merge's DELETE+INSERT change pairs — the base table
+    is never rescanned (plan-asserted in tests/test_incremental.py).
+    Generalizes the reference's STREAM → TASK refresh
+    (SCD-Automation.sql:7-41) from a projection to algebraic aggregates.
+    Oracle = full GROUP BY over the reconstructed final base state; the
+    MV matching it proves the signed fold is exact across the two loads'
+    inserts, updates (rows moving between groups), and group churn."""
+    from .operators.incremental import refresh_aggregate
+    store = _scd2_store(spark, sf_dir)
+    refresh_aggregate(store, spark, "mv_state", "landing", "mv_state",
+                      ["supplier_state"], {"sum_key": "supplier_key"})
+    return store.read(spark, "mv_state").select(
+        "supplier_state", "n_rows", "sum_key")
+
+
+@register("repetition_signals_docs", """
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents
+), bi AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS bg
+  FROM toks
+), per AS (
+  SELECT doc_id, bg, COUNT(*) AS c FROM bi GROUP BY doc_id, bg
+)
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+       round((SUM(c) - COUNT(*)) / SUM(c), 6) AS dup_bigram_frac,
+       round(MAX(c) / SUM(c), 6) AS top_bigram_frac
+FROM per GROUP BY doc_id
+""")
+def repetition_signals_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (duplicate-2-gram fraction,
+    top-2-gram share) per document — the boilerplate/template-spam
+    filters a pretraining pipeline runs corpus-wide. Linear explode +
+    two map-side-combinable groupBys (see operators/text.py:
+    bigram_repetition for the O(len²) alternative it avoids)."""
+    from .operators.text import bigram_repetition
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return bigram_repetition(d)
+
+
+@register("pii_scrub_customers", r"""
+WITH blurbs AS (
+  SELECT c_custkey,
+         'Contact ' || c_name || ' at user' || c_custkey ||
+         '@example.com or +1-555-' ||
+         lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ||
+         CASE WHEN c_custkey % 3 = 0 THEN ' cc admin@example.org' ELSE '' END ||
+         ' segment ' || c_mktsegment AS blurb
+  FROM customer
+)
+SELECT c_custkey,
+       regexp_replace(regexp_replace(blurb,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+         '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}', '[PHONE]', 'g') AS scrubbed,
+       CAST(len(regexp_extract_all(blurb,
+         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+       CAST(len(regexp_extract_all(blurb,
+         '\+[0-9]{1,2}-[0-9]{3}-[0-9]{3,4}')) AS BIGINT) AS n_phone
+FROM blurbs
+""")
+def pii_scrub_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction scrub — emails and phone numbers redacted with
+    per-row counts, the pre-ship privacy pass of a training-data
+    pipeline. PII-shaped text is constructed deterministically from the
+    customer table (the driver tables carry none), then scrubbed by
+    operators/text.py:scrub_pii: pure codegen'd map over the scan, no
+    shuffle, no Python. Oracle runs the identical RE2-safe patterns in
+    DuckDB ('g' flag — Spark regexp_replace is global by default)."""
+    from .operators.text import scrub_pii
+    c = _t(spark, sf_dir, "customer")["customer"]
+    blurb = F.concat(
+        F.lit("Contact "), F.col("c_name"), F.lit(" at user"),
+        F.col("c_custkey").cast("string"), F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"),
+        F.when(F.col("c_custkey") % 3 == 0, F.lit(" cc admin@example.org"))
+         .otherwise(F.lit("")),
+        F.lit(" segment "), F.col("c_mktsegment"))
+    return scrub_pii(c.select("c_custkey", blurb.alias("blurb")),
+                     "blurb", ["c_custkey"])

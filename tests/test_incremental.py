@@ -1,0 +1,139 @@
+"""Incremental materialized-aggregate maintenance from the CDC stream.
+
+The 100 TB contract: a refresh must read only the pending change
+batches plus the MV itself — never the base table. Assertions cover
+batch-at-a-time equivalence with a full recompute (inserts, updates
+that move rows between groups, group disappearance), consume-once
+offsets, and a plan check that the refreshed MV's scan inputs are the
+``_changes`` dirs, not the base snapshot.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Row, functions as F
+
+from slowly_changing_dimensions_data_engineering_spark import schemas
+from slowly_changing_dimensions_data_engineering_spark.operators.incremental import (
+    aggregate_delta, apply_delta, refresh_aggregate)
+from slowly_changing_dimensions_data_engineering_spark.operators.merge import merge_upsert
+from slowly_changing_dimensions_data_engineering_spark.store import TableStore
+
+KEY = ["supplier_code"]
+CMP = ["supplier_state", "supplier_name", "supplier_key"]
+GROUP = ["supplier_state"]
+SUMS = {"sum_key": "supplier_key"}
+
+
+def _rows(spark, spec):
+    """spec: iterable of (key, state)."""
+    return spark.createDataFrame(
+        [Row(supplier_key=k, supplier_code=f"S{k}", supplier_name=f"name{k}",
+             supplier_state=st) for k, st in spec],
+        schemas.SUPPLIER)
+
+
+def _mv(store, spark):
+    return {r["supplier_state"]: (r["n_rows"], r["sum_key"])
+            for r in store.read(spark, "mv").collect()}
+
+
+def _expected(store, spark):
+    return {r["supplier_state"]: (r["n"], r["s"])
+            for r in store.read(spark, "base")
+            .groupBy("supplier_state")
+            .agg(F.count("*").alias("n"), F.sum("supplier_key").alias("s"))
+            .collect()}
+
+
+def test_refresh_tracks_base_batch_by_batch(spark, tmp_path):
+    store = TableStore(str(tmp_path))
+    store.create("base", schemas.SUPPLIER)
+
+    # batch 1: pure inserts across two groups
+    merge_upsert(store, spark, "base",
+                 _rows(spark, [(1, "CA"), (2, "CA"), (3, "NY")]), KEY, CMP)
+    refresh_aggregate(store, spark, "mv", "base", "mv", GROUP, SUMS)
+    assert _mv(store, spark) == _expected(store, spark) \
+        == {"CA": (2, 3), "NY": (1, 3)}
+
+    # batch 2: update moves S3 NY→CA (NY vanishes), S2 re-keyed in place,
+    # S4 inserted into a new group
+    merge_upsert(store, spark, "base",
+                 _rows(spark, [(3, "CA"), (2, "CA"), (4, "TX")]), KEY, CMP)
+    refresh_aggregate(store, spark, "mv", "base", "mv", GROUP, SUMS)
+    exp = _expected(store, spark)
+    assert _mv(store, spark) == exp
+    assert "NY" not in exp  # zero-count group dropped, not kept as 0
+
+    # batch 3: no-op load (same values) → merge emits no effective change
+    # rows beyond noops; MV must stay equal to the recompute
+    merge_upsert(store, spark, "base",
+                 _rows(spark, [(3, "CA"), (4, "TX")]), KEY, CMP)
+    refresh_aggregate(store, spark, "mv", "base", "mv", GROUP, SUMS)
+    assert _mv(store, spark) == _expected(store, spark)
+
+
+def test_refresh_is_consume_once_and_noop_safe(spark, tmp_path):
+    store = TableStore(str(tmp_path))
+    store.create("base", schemas.SUPPLIER)
+    merge_upsert(store, spark, "base",
+                 _rows(spark, [(1, "CA"), (2, "NY")]), KEY, CMP)
+    v1 = refresh_aggregate(store, spark, "mv", "base", "mv", GROUP, SUMS)
+    # nothing pending → no empty commit, offset untouched
+    assert refresh_aggregate(store, spark, "mv", "base", "mv", GROUP, SUMS) == v1
+    assert store.version("mv") == v1
+    before = _mv(store, spark)
+    # a second INDEPENDENT consumer folds the same stream from scratch
+    v2 = refresh_aggregate(store, spark, "mv2", "base", "other", GROUP, SUMS)
+    assert v2 >= 0
+    assert {r["supplier_state"]: (r["n_rows"], r["sum_key"])
+            for r in store.read(spark, "mv2").collect()} == before
+
+
+def test_refresh_plan_never_scans_base(spark, tmp_path):
+    """The refreshed-MV plan's parquet inputs are the change batches and
+    the MV snapshot only — the base table's version dirs must not appear
+    (that absence IS the 100 TB win: refresh cost is delta + MV)."""
+    store = TableStore(str(tmp_path))
+    store.create("base", schemas.SUPPLIER)
+    merge_upsert(store, spark, "base",
+                 _rows(spark, [(1, "CA"), (2, "NY")]), KEY, CMP)
+    refresh_aggregate(store, spark, "mv", "base", "mv", GROUP, SUMS)
+    merge_upsert(store, spark, "base", _rows(spark, [(3, "CA")]), KEY, CMP)
+
+    changes = store.read_changes(spark, "base", store.get_offset("mv"))
+    delta = aggregate_delta(changes, GROUP, SUMS)
+    new = apply_delta(store.read(spark, "mv"), delta, GROUP)
+    plan = new._sc._jvm.PythonSQLUtils.explainString(
+        new._jdf.queryExecution(), "formatted")
+    assert "_changes" in plan
+    base_dirs = [f"base/v{v}" for v in range(store.version("base") + 1)]
+    assert not any(d in plan for d in base_dirs), plan
+
+
+def test_dup_key_source_stream_sums_to_snapshot_delta(spark, tmp_path):
+    """Regression: a duplicate-key source load matches one target row
+    twice; pair-derived pre-images used to emit that row's DELETE twice,
+    making the stream over-subtract vs the snapshot delta (caught by the
+    sf0.01 S99 collision). The signed fold of the stream must equal the
+    full recompute of the post-merge snapshot."""
+    store = TableStore(str(tmp_path))
+    store.create("base", schemas.SUPPLIER)
+    merge_upsert(store, spark, "base",
+                 _rows(spark, [(1, "CA"), (2, "NY")]), KEY, CMP)
+    # S1 appears TWICE in the load with different states (nondeterministic
+    # merge input — Snowflake errors; we keep both images + consistent CDC)
+    dup = spark.createDataFrame(
+        [Row(supplier_key=1, supplier_name="a", supplier_state="TX"),
+         Row(supplier_key=1, supplier_name="b", supplier_state="WA")],
+        "supplier_key long, supplier_name string, supplier_state string"
+    ).withColumn("supplier_code", F.lit("S1")) \
+     .select(*schemas.SUPPLIER.fieldNames())
+    merge_upsert(store, spark, "base", dup, KEY, CMP)
+
+    refresh_aggregate(store, spark, "mv", "base", "mv", GROUP, SUMS)
+    assert _mv(store, spark) == _expected(store, spark)
+    # exactly ONE pre-image for the single physical target row
+    ch = store.read_changes(spark, "base", 0)
+    assert ch.filter("`METADATA$ACTION` = 'DELETE'").count() == 1
+    assert ch.filter("`METADATA$ACTION` = 'INSERT'").count() == 2

@@ -535,3 +535,34 @@ def test_asof_window_null_left_timestamp_gets_no_match(spark, direction):
     rows = {r["ev"]: r["val"] for r in out.collect()}
     assert rows[2] is None
     assert rows[1] == ("a" if direction == "backward" else None)
+
+
+def test_bigram_repetition_counts(spark):
+    from slowly_changing_dimensions_data_engineering_spark.operators.text import bigram_repetition
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a"),       # bigrams: ab ba ab ba → dup 2/4, top 2/4
+         (2, "x y z w"),         # all distinct → dup 0, top 1/3
+         (3, "solo"),            # <2 tokens → absent
+         (4, "t t t t")],        # ttx3 → dup 2/3, top 3/3
+        ["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_bigrams"], r["dup_bigram_frac"],
+                         r["top_bigram_frac"])
+           for r in bigram_repetition(docs).collect()}
+    assert got == {1: (4, 0.5, 0.5),
+                   2: (3, 0.0, round(1 / 3, 6)),
+                   4: (3, round(2 / 3, 6), 1.0)}
+    assert 3 not in got
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    from slowly_changing_dimensions_data_engineering_spark.operators.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a@b.com and c.d+x@e.org, call +1-555-0199 now"),
+         (2, "no pii here at all")],
+        ["id", "t"])
+    got = {r["id"]: (r["scrubbed"], r["n_email"], r["n_phone"])
+           for r in scrub_pii(df, "t", ["id"]).collect()}
+    assert got[1] == ("mail [EMAIL] and [EMAIL], call [PHONE] now", 2, 1)
+    assert got[2] == ("no pii here at all", 0, 0)

@@ -59,7 +59,8 @@ def test_board_order_covers_unconfirmed_queries():
               "ann_batch_topk", "dedup_clusters_cc", "stratified_sample_docs",
               "pivot_status_revenue_by_year", "unpivot_part_metrics",
               "hll_sketch_region_customers", "semantic_dedup_summary",
-              "quantile_sketch_prices"):
+              "quantile_sketch_prices", "incremental_mv_state_stats",
+              "repetition_signals_docs", "pii_scrub_customers"):
         assert n in board, n
     # oracle_sql() iterates in the same board order as queries()
     oracle_names = list(q.oracle_sql())
