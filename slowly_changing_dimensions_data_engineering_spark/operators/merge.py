@@ -193,3 +193,51 @@ def merge_upsert(store, spark, target_name: str, source: DataFrame,
     # outputs would also work — for pipeline loads the source is a small
     # batch, so recomputation is cheaper than a cache of the big side.
     return store.commit(target_name, new_target, changes=changes)
+
+
+def delete_where(store, spark, target_name: str, predicate,
+                 key: list[str]) -> int:
+    """``DELETE FROM target WHERE predicate`` with CDC emission — the
+    DML statement the reference's MERGE surface lacks (its pipeline
+    never deletes: SURVEY.md edge case 5), but that any retention /
+    right-to-be-forgotten pass over a 100 TB corpus needs.
+
+    Change rows are the deleted images with METADATA$ACTION='DELETE',
+    ISUPDATE=false (a true removal, not an update's pre-image pair), and
+    the same key-hash ROW_ID the merge assigns — so a signed consumer
+    (e.g. operators/incremental.py) folds deletes exactly, and an SCD2
+    consumer can distinguish removal from update by the ISUPDATE flag.
+
+    Bucketed targets rewrite ONLY buckets holding matching rows (the
+    predicate still scans all buckets to FIND matches — predicates are
+    arbitrary; with the key in the predicate, pre-prune by reading only
+    those buckets). ``key`` names the ROW_ID columns; no key-coverage
+    requirement — deletion never moves rows across buckets.
+
+    Returns the new version; a predicate matching nothing is a no-op
+    (no empty commit, no empty change batch).
+    """
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    # SQL DELETE semantics: remove rows where the predicate is TRUE;
+    # NULL-predicate rows are KEPT (a bare ~pred would silently drop
+    # them — NULL negates to NULL, which filter discards).
+    pred = F.coalesce(pred.cast("boolean"), F.lit(False))
+    cols = store.schema(target_name).fieldNames()
+    rid = F.md5(F.concat_ws("\x1f", *[F.col(k).cast("string") for k in key]))
+
+    current = store.read(spark, target_name)
+    matched = current.filter(pred)
+    if matched.isEmpty():
+        return store.version(target_name)
+    changes = matched.select(
+        *cols, F.lit("DELETE").alias(CDC_ACTION),
+        F.lit(False).alias(CDC_ISUPDATE), rid.alias(CDC_ROW_ID))
+
+    spec = store.bucket_spec(target_name)
+    if spec is not None:
+        bcols, n = spec
+        ids = touched_buckets(matched, bcols, n)
+        remaining = store.read_buckets(spark, target_name, ids).filter(~pred)
+        return store.commit_buckets(target_name, remaining, ids,
+                                    changes=changes)
+    return store.commit(target_name, current.filter(~pred), changes=changes)

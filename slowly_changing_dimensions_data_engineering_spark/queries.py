@@ -66,6 +66,7 @@ _BOARD_DEMOTE = [
     "cube_part_brand",          # green r2 + r3
     "rollup_order_status",      # green r2 + r3
     "correlated_above_avg_orders",  # green r2 + r3
+    "salted_agg_event_values",  # green r2 + r3
 ]
 
 
@@ -2193,3 +2194,46 @@ def pii_scrub_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(" segment "), F.col("c_mktsegment"))
     return scrub_pii(c.select("c_custkey", blurb.alias("blurb")),
                      "blurb", ["c_custkey"])
+
+
+#: Cached store for the delete-DML query, separate from _scd2_store so
+#: the retention delete never mutates the table other queries read.
+_DELETE_STORE_CACHE: dict[str, str] = {}
+
+
+@register("delete_dml_state_stats", _SCD2_CTES + """
+SELECT supplier_state, COUNT(*) AS n_rows,
+       CAST(SUM(supplier_key) AS BIGINT) AS sum_key
+FROM load1 WHERE NOT (supplier_key % 7 = 0)
+GROUP BY supplier_state
+""")
+def delete_dml_state_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELETE ... WHERE as first-class DML (operators/merge.py:
+    delete_where): a retention pass removes every 7th supplier from a
+    landing table, emitting ISUPDATE=false DELETE change rows; the
+    result is the post-delete per-state aggregate. Oracle = the same
+    aggregate over the load with the predicate applied up front — equal
+    iff the delete removed exactly the matching rows and nothing else.
+    Bucketed layout: only buckets holding matching rows are rewritten
+    (layout-asserted in tests/test_bucketed_store.py)."""
+    import os as _os
+
+    from .operators.merge import delete_where, merge_upsert
+    from .store import TableStore
+
+    root = _DELETE_STORE_CACHE.get(sf_dir)
+    if root and _os.path.exists(_os.path.join(root, "_meta", "t.json")):
+        store = TableStore(root)
+    else:
+        store = TableStore(tempfile.mkdtemp(prefix="sds_del_"))
+        store.create("t", schemas.SUPPLIER, bucket_by=(["supplier_code"], 8))
+        merge_upsert(store, spark, "t", _supplier_load1(spark, sf_dir),
+                     ["supplier_code"],
+                     ["supplier_state", "supplier_name", "supplier_key"])
+        delete_where(store, spark, "t", "supplier_key % 7 = 0",
+                     ["supplier_code"])
+        _DELETE_STORE_CACHE[sf_dir] = store.root
+    return (store.read(spark, "t")
+            .groupBy("supplier_state")
+            .agg(F.count("*").alias("n_rows"),
+                 F.sum("supplier_key").alias("sum_key")))

@@ -49,6 +49,44 @@ def bucket_id(cols: list[str], n: int) -> F.Column:
     return F.pmod(F.hash(*[F.col(c) for c in cols]), F.lit(n))
 
 
+def zorder_cluster(df: DataFrame, cols: list[str], n_parts: int,
+                   bits: int = 16) -> DataFrame:
+    """Rows of ``df`` range-partitioned into ``n_parts`` splits and
+    sorted by the Z-ORDER key of ``cols`` (numeric): each column is
+    min/max-scaled to ``bits`` bits and the bit patterns are interleaved
+    (Morton code), so contiguous key ranges are small hyper-rectangles
+    in value space — every output file/row group gets tight min/max
+    stats on EVERY cluster column (multi-dimensional data skipping; the
+    OPTIMIZE ZORDER layout Delta/Iceberg apply before write).
+
+    All in-plan and JVM-side: the per-column min/max ride a broadcast
+    1-row aggregate (no driver action), the Morton code is a folded
+    shift/mask expression, and the only data movement is the range
+    shuffle the rewrite needs anyway. Constant columns scale to 0 and
+    simply drop out of the ordering."""
+    stats = df.agg(*[F.min(F.col(c).cast("double")).alias(f"_mn_{c}")
+                     for c in cols],
+                   *[F.max(F.col(c).cast("double")).alias(f"_mx_{c}")
+                     for c in cols])
+    top = (1 << bits) - 1
+    j = df.crossJoin(F.broadcast(stats))
+    scaled = []
+    for c in cols:
+        mn, mx = F.col(f"_mn_{c}"), F.col(f"_mx_{c}")
+        frac = (F.col(c).cast("double") - mn) / (mx - mn)
+        scaled.append(F.when(mx > mn, (frac * top).cast("long"))
+                       .otherwise(F.lit(0)))
+    k = len(cols)
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, s in enumerate(scaled):
+            z = z + F.shiftleft(F.shiftright(s, b).bitwiseAND(1), b * k + i)
+    return (j.withColumn("_z", z)
+            .repartitionByRange(n_parts, "_z")
+            .sortWithinPartitions("_z")
+            .select(*df.columns))
+
+
 class TableStore:
     def __init__(self, root: str):
         self.root = root
@@ -349,7 +387,8 @@ class TableStore:
 
     def compact(self, spark: SparkSession, name: str,
                 target_file_bytes: int = 128 * 1024 * 1024,
-                max_files_per_bucket: int = 4) -> int:
+                max_files_per_bucket: int = 4,
+                cluster_by: list[str] | None = None) -> int:
         """OPTIMIZE analogue: rewrite fragmented storage into few
         size-targeted files, leaving table CONTENTS bit-identical.
 
@@ -368,9 +407,24 @@ class TableStore:
         otherwise re-process the whole table as phantom updates), and
         time travel to pre-compaction versions still resolves through
         their recorded segment/bucket maps until vacuum prunes them.
+        ``cluster_by`` (plain tables only) additionally Z-ORDERS the
+        rewrite: rows are range-partitioned and sorted by the interleaved
+        bit key of the named numeric columns, so every output file —
+        and every parquet row group inside it — covers a NARROW value
+        range in EVERY cluster column. Parquet min/max (and any engine's
+        file-skipping on those stats) then prunes scans filtered on any
+        clustered column, not just a single sort leader; at 100 TB this
+        is the difference between reading one file and reading them all
+        for a point/range predicate on the second dimension. Clustering
+        forces the rewrite even if the file count is already compact
+        (layout, not just size, is the point).
+
         Returns the new version, or the current one if nothing needed
         compacting (no empty commit)."""
         meta = self._read_meta(name)
+        if cluster_by and meta.get("bucket"):
+            raise ValueError("cluster_by applies to plain tables; bucketed "
+                             "layout is already hash-clustered on its key")
         latest = meta["latest"]
         if latest < 0:
             return latest
@@ -391,6 +445,10 @@ class TableStore:
             files.extend(self._parquet_files(self._vdir(name, s)))
         nbytes = sum(os.path.getsize(f) for f in files)
         need = max(1, -(-nbytes // target_file_bytes))  # ceil
+        if cluster_by:
+            return self.commit(
+                name, zorder_cluster(self.read(spark, name),
+                                     cluster_by, int(need)))
         if len(segs) <= 1 and len(files) <= need:
             return latest
         return self.commit(name, self.read(spark, name).coalesce(int(need)))

@@ -345,3 +345,65 @@ def test_compact_bucketed_rewrites_only_fragmented_buckets(spark, tmp_path):
     assert store.compact(spark, "landing", max_files_per_bucket=4) == v
     assert dict(store._read_meta("landing")["buckets"]) == pointers_after
     assert pointers_after != pointers_before
+
+
+def test_delete_where_plain_cdc_and_time_travel(spark):
+    import tempfile
+    from slowly_changing_dimensions_data_engineering_spark.operators.merge import delete_where
+
+    store = TableStore(tempfile.mkdtemp())
+    store.create("t", schemas.SUPPLIER)
+    merge_upsert(store, spark, "t", _supplier_rows(spark, range(10)), KEY, CMP)
+    v0 = store.version("t")
+
+    v = delete_where(store, spark, "t", "supplier_key % 3 = 0", KEY)
+    assert v == v0 + 1
+    kept = sorted(r["supplier_key"] for r in store.read(spark, "t").collect())
+    assert kept == [k for k in range(10) if k % 3 != 0]
+    # CDC: one DELETE row per removed image, ISUPDATE=false
+    ch = store.read_changes(spark, "t", v0)
+    assert ch.count() == 4
+    rows = ch.collect()
+    assert all(r["METADATA$ACTION"] == "DELETE"
+               and r["METADATA$ISUPDATE"] is False for r in rows)
+    # pre-delete snapshot still readable
+    assert store.read(spark, "t", version=v0).count() == 10
+    # no-match predicate → no-op, no empty commit or change batch
+    assert delete_where(store, spark, "t", "supplier_key = 999", KEY) == v
+    assert store.change_versions("t", v) == []
+
+
+def test_delete_where_null_predicate_rows_are_kept(spark):
+    import tempfile
+    from slowly_changing_dimensions_data_engineering_spark.operators.merge import delete_where
+
+    store = TableStore(tempfile.mkdtemp())
+    store.create("t", schemas.SUPPLIER)
+    rows = spark.createDataFrame(
+        [Row(supplier_key=1, supplier_code="S1", supplier_name=None,
+             supplier_state="X"),
+         Row(supplier_key=2, supplier_code="S2", supplier_name="drop",
+             supplier_state="X")], schemas.SUPPLIER)
+    merge_upsert(store, spark, "t", rows, KEY, CMP)
+    delete_where(store, spark, "t", "supplier_name = 'drop'", KEY)
+    # S1's NULL name makes the predicate NULL — SQL DELETE keeps it
+    assert [r["supplier_code"] for r in store.read(spark, "t").collect()] == ["S1"]
+
+
+def test_delete_where_bucketed_rewrites_only_matching_buckets(spark):
+    import tempfile
+    from slowly_changing_dimensions_data_engineering_spark.operators.merge import delete_where
+
+    store = TableStore(tempfile.mkdtemp())
+    store.create("t", schemas.SUPPLIER, bucket_by=(KEY, N_BUCKETS))
+    merge_upsert(store, spark, "t", _supplier_rows(spark, range(64)), KEY, CMP)
+    pointers_before = dict(store._read_meta("t")["buckets"])
+
+    # delete exactly one key → exactly one bucket dir in the new version
+    v = delete_where(store, spark, "t", "supplier_code = 'S7'", KEY)
+    assert _written_buckets(store, "t", v) == [
+        f"_bucket={spark.createDataFrame([('S7',)], ['supplier_code']).select(bucket_id(KEY, N_BUCKETS).alias('b')).head()['b']}"]
+    after = store._read_meta("t")["buckets"]
+    moved = [k for k in after if after[k] != pointers_before[k]]
+    assert len(moved) == 1
+    assert store.read(spark, "t").count() == 63

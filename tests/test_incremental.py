@@ -137,3 +137,20 @@ def test_dup_key_source_stream_sums_to_snapshot_delta(spark, tmp_path):
     ch = store.read_changes(spark, "base", 0)
     assert ch.filter("`METADATA$ACTION` = 'DELETE'").count() == 1
     assert ch.filter("`METADATA$ACTION` = 'INSERT'").count() == 2
+
+
+def test_refresh_tracks_deletes(spark, tmp_path):
+    """delete_where emits ISUPDATE=false DELETE rows; the signed fold
+    must subtract them exactly (including dropping an emptied group)."""
+    from slowly_changing_dimensions_data_engineering_spark.operators.merge import delete_where
+
+    store = TableStore(str(tmp_path))
+    store.create("base", schemas.SUPPLIER)
+    merge_upsert(store, spark, "base",
+                 _rows(spark, [(1, "CA"), (2, "CA"), (3, "NY")]), KEY, CMP)
+    refresh_aggregate(store, spark, "mv", "base", "mv", GROUP, SUMS)
+    delete_where(store, spark, "base", "supplier_state = 'NY'", KEY)
+    delete_where(store, spark, "base", "supplier_key = 1", KEY)
+    refresh_aggregate(store, spark, "mv", "base", "mv", GROUP, SUMS)
+    exp = _expected(store, spark)
+    assert _mv(store, spark) == exp == {"CA": (1, 2)}
