@@ -36,6 +36,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 from typing import Iterable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -170,6 +171,31 @@ class TableStore:
             meta["buckets"] = {}  # bucket id (str) -> version it was last written
         self._write_meta(name, meta)
 
+    def add_column(self, name: str, field: T.StructField) -> None:
+        """``ALTER TABLE … ADD COLUMN`` — metadata-only schema evolution.
+
+        Snowflake evolves tables in place rather than CREATE-OR-REPLACE
+        round trips; here the declared schema gains the field and NO
+        data is rewritten: every read passes the declared schema to the
+        parquet reader explicitly, and columns absent from older files
+        materialize as NULL (at 100 TB, rewriting for an added column is
+        exactly the job you must not run). The next commit must already
+        carry the new column (schema validation is strict both ways).
+        The field must be nullable — existing rows have no value for it.
+        Time travel keeps the CURRENT declared schema (old snapshots
+        read with the new column NULL), matching the lakehouse
+        convention (Delta) rather than per-version schema archaeology."""
+        meta = self._read_meta(name)
+        schema = T.StructType.fromJson(json.loads(meta["schema"]))
+        if field.name in schema.fieldNames():
+            raise ValueError(f"column {field.name!r} already exists on {name!r}")
+        if not field.nullable:
+            raise ValueError(
+                f"added column {field.name!r} must be nullable: rows "
+                "committed before the ALTER have no value for it")
+        meta["schema"] = T.StructType(schema.fields + [field]).json()
+        self._write_meta(name, meta)
+
     # ---- read ------------------------------------------------------------
     def _bucket_paths(self, name: str, meta: dict,
                       bucket_ids: Iterable[int] | None = None) -> list[str]:
@@ -185,13 +211,37 @@ class TableStore:
                 paths.append(p)
         return paths
 
-    def read(self, spark: SparkSession, name: str, version: int | None = None) -> DataFrame:
-        """Read the latest snapshot, or time-travel to ``version``. On a
+    def version_at(self, name: str, ts: float) -> int:
+        """Resolve Snowflake ``AT(TIMESTAMP => …)`` time travel: the
+        latest version whose commit wall-time is ≤ ``ts`` (epoch
+        seconds; ``datetime`` accepted). Raises KeyError if the table
+        has no commit at or before ``ts`` (or its history predates
+        commit timestamps / was vacuumed away)."""
+        if hasattr(ts, "timestamp"):
+            ts = ts.timestamp()
+        hist = self._read_meta(name).get("history", [])
+        cands = [h["v"] for h in hist
+                 if h.get("ts") is not None and h["ts"] <= ts]
+        if not cands:
+            raise KeyError(
+                f"no commit of {name!r} at or before ts={ts} "
+                "(before first commit, or history pruned by vacuum?)")
+        return max(cands)
+
+    def read(self, spark: SparkSession, name: str, version: int | None = None,
+             as_of=None) -> DataFrame:
+        """Read the latest snapshot, or time-travel to ``version`` (the
+        reference's ``AT(STATEMENT/OFFSET)``) or to the wall-clock
+        ``as_of`` timestamp (``AT(TIMESTAMP => …)``). On a
         bucketed table a historical version is reconstructed from the
         per-bucket pointer map recorded at that commit (a version dir
         alone holds only the buckets that commit rewrote); on a plain
         table, from the segment list recorded at that commit (an append
         commit's dir holds only the appended rows)."""
+        if as_of is not None:
+            if version is not None:
+                raise ValueError("pass either version or as_of, not both")
+            version = self.version_at(name, as_of)
         meta = self._read_meta(name)
         v = meta["latest"] if version is None else version
         schema = T.StructType.fromJson(json.loads(meta["schema"]))
@@ -314,11 +364,12 @@ class TableStore:
              .parquet(self._vdir(name, v)))
             meta["buckets"] = {str(k): v for k in range(n)}
             meta.setdefault("history", []).append(
-                {"v": v, "buckets": dict(meta["buckets"])})
+                {"v": v, "buckets": dict(meta["buckets"]), "ts": time.time()})
         else:
             df.write.mode("errorifexists").parquet(self._vdir(name, v))
             meta["segments"] = [v]
-            meta.setdefault("history", []).append({"v": v, "segments": [v]})
+            meta.setdefault("history", []).append(
+                {"v": v, "segments": [v], "ts": time.time()})
         if changes is not None:
             changes.write.mode("errorifexists").parquet(self._cdir(name, v))
         meta["latest"] = v
@@ -344,7 +395,8 @@ class TableStore:
         segs = list(meta.get("segments", [meta["latest"]] if meta["latest"] >= 0 else []))
         segs.append(v)
         meta["segments"] = segs
-        meta.setdefault("history", []).append({"v": v, "segments": list(segs)})
+        meta.setdefault("history", []).append(
+                {"v": v, "segments": list(segs), "ts": time.time()})
         if changes is not None:
             changes.write.mode("errorifexists").parquet(self._cdir(name, v))
         meta["latest"] = v

@@ -1,2 +1,3 @@
 from .dedup_stream import start_streaming_dedup  # noqa: F401
 from .pipeline_stream import start_streaming_pipeline  # noqa: F401
+from .mv_stream import start_streaming_mv  # noqa: F401

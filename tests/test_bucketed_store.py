@@ -407,3 +407,58 @@ def test_delete_where_bucketed_rewrites_only_matching_buckets(spark):
     moved = [k for k in after if after[k] != pointers_before[k]]
     assert len(moved) == 1
     assert store.read(spark, "t").count() == 63
+
+
+def test_add_column_null_fills_old_segments(spark, tmp_path):
+    """ALTER TABLE ADD COLUMN: no rewrite — old parquet segments read
+    back with the new column NULL; the next commit must carry it; the
+    old schema is now rejected; time travel keeps the current schema."""
+    import pytest
+
+    store = TableStore(str(tmp_path))
+    store.create("t", schemas.SUPPLIER)
+    store.commit("t", _supplier_rows(spark, range(4)))
+    v0 = store.version("t")
+    files_before = store._parquet_files(store._vdir("t", v0))
+
+    store.add_column("t", T.StructField("tier", T.StringType(), True))
+    got = store.read(spark, "t")
+    assert got.schema["tier"].dataType == T.StringType()
+    assert got.filter("tier IS NULL").count() == 4
+    assert store._parquet_files(store._vdir("t", v0)) == files_before
+
+    # old-schema commits rejected; new-schema appends work
+    with pytest.raises(ValueError):
+        store.commit_append("t", _supplier_rows(spark, [9]))
+    store.commit_append(
+        "t", _supplier_rows(spark, [9]).withColumn("tier", F.lit("gold")))
+    assert store.read(spark, "t").filter("tier = 'gold'").count() == 1
+    assert store.read(spark, "t", version=v0).columns[-1] == "tier"
+
+    # duplicate / non-nullable adds rejected
+    with pytest.raises(ValueError):
+        store.add_column("t", T.StructField("tier", T.StringType(), True))
+    with pytest.raises(ValueError):
+        store.add_column("t", T.StructField("req", T.LongType(), False))
+
+
+def test_timestamp_time_travel(spark, tmp_path):
+    import time
+
+    import pytest
+
+    store = TableStore(str(tmp_path))
+    store.create("t", schemas.SUPPLIER)
+    t_before = time.time()
+    store.commit("t", _supplier_rows(spark, range(4)))
+    time.sleep(0.05)
+    t_mid = time.time()
+    time.sleep(0.05)
+    store.commit_append("t", _supplier_rows(spark, range(4, 8)))
+
+    assert store.read(spark, "t", as_of=t_mid).count() == 4
+    assert store.read(spark, "t", as_of=time.time()).count() == 8
+    with pytest.raises(KeyError):
+        store.version_at("t", t_before)
+    with pytest.raises(ValueError):
+        store.read(spark, "t", version=0, as_of=t_mid)

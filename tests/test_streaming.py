@@ -361,3 +361,65 @@ def test_streaming_dedup_batches_grow_index(spark, tmp_path):
     run_once()
     s3 = {r["doc_id"] for r in spark.read.parquet(out).collect()}
     assert s3 == {0, 2, 11}  # 20 dropped; consume-once: 0/2/11 not re-emitted
+
+
+def test_streaming_mv_tracks_base_across_batches(spark, tmp_path):
+    """streaming/mv_stream.py: each micro-batch merges a load file into
+    the base and folds its CDC batch into the MV — after every batch the
+    MV equals a full recompute, including updates that move rows between
+    groups, with consume-once on input files via the checkpoint."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from slowly_changing_dimensions_data_engineering_spark import schemas
+    from slowly_changing_dimensions_data_engineering_spark.store import TableStore
+    from slowly_changing_dimensions_data_engineering_spark.streaming import (
+        start_streaming_mv,
+    )
+
+    src = tmp_path / "loads"
+    src.mkdir()
+    ck = str(tmp_path / "ck")
+    store = TableStore(str(tmp_path / "store"))
+    store.create("base", schemas.SUPPLIER, bucket_by=(["supplier_code"], 4))
+
+    def put(name, rows):
+        with open(src / name, "w") as f:
+            for k, st in rows:
+                f.write(_json.dumps({
+                    "supplier_key": k, "supplier_code": f"S{k}",
+                    "supplier_name": f"n{k}", "supplier_state": st}) + "\n")
+
+    def run_once():
+        q = start_streaming_mv(
+            spark, str(src), store, "base", "mv", schemas.SUPPLIER,
+            key=["supplier_code"],
+            compare_cols=["supplier_state", "supplier_name", "supplier_key"],
+            group_cols=["supplier_state"], sum_cols={"sum_key": "supplier_key"},
+            checkpoint=ck, available_now=True)
+        _drain(q)
+
+    def mv():
+        return {r["supplier_state"]: (r["n_rows"], r["sum_key"])
+                for r in store.read(spark, "mv").collect()}
+
+    def recompute():
+        return {r["supplier_state"]: (r["n"], r["s"])
+                for r in store.read(spark, "base").groupBy("supplier_state")
+                .agg(F.count("*").alias("n"),
+                     F.sum("supplier_key").alias("s")).collect()}
+
+    put("l1.json", [(1, "CA"), (2, "CA"), (3, "NY")])
+    run_once()
+    assert mv() == recompute() == {"CA": (2, 3), "NY": (1, 3)}
+
+    # batch 2: S3 moves NY->CA (NY vanishes), S4 inserts
+    put("l2.json", [(3, "CA"), (4, "TX")])
+    run_once()
+    assert mv() == recompute()
+    assert "NY" not in mv()
+
+    # restart with same checkpoint: l1/l2 are NOT remerged (consume-once)
+    run_once()
+    assert mv() == recompute() == {"CA": (3, 6), "TX": (1, 4)}
