@@ -196,6 +196,83 @@ class TableStore:
         meta["schema"] = T.StructType(schema.fields + [field]).json()
         self._write_meta(name, meta)
 
+    def drop(self, name: str) -> None:
+        """``DROP TABLE`` — remove the table, its history, its change
+        feed, and its catalog entry. Missing table raises KeyError (use
+        ``exists`` for IF EXISTS semantics)."""
+        self._read_meta(name)  # raises for unknown tables
+        os.remove(self._meta_path(name))
+        shutil.rmtree(self._tdir(name), ignore_errors=True)
+
+    def rename(self, old: str, new: str) -> None:
+        """``ALTER TABLE … RENAME TO`` — pure catalog operation: the data
+        directory and meta file move; versions, history, change feed and
+        schema ride along untouched. Consumer offsets are store-global
+        names, not table-bound, so they are unaffected."""
+        if self.exists(new):
+            raise ValueError(f"table {new!r} already exists")
+        self._read_meta(old)
+        os.rename(self._tdir(old), self._tdir(new))
+        os.rename(self._meta_path(old), self._meta_path(new))
+
+    def clone(self, src: str, dst: str) -> None:
+        """``CREATE TABLE … CLONE`` — Snowflake's zero-copy clone: the
+        new table starts as a snapshot of ``src``'s CURRENT state and
+        diverges independently from there; no data is serialized.
+
+        Local implementation: the clone's v0 directory HARD-LINKS the
+        source snapshot's parquet files (O(#files) metadata ops, zero
+        bytes copied; vacuum on either side just unlinks, the filesystem
+        refcounts). On object storage the same contract is a manifest
+        pointer copy — the store's segment lists are exactly that
+        manifest, so only this link step would change. The clone gets
+        fresh history/stream state: cloning does not clone the change
+        feed (Snowflake: streams are not cloned), and the source's
+        un-consumed changes stay with the source."""
+        if self.exists(dst):
+            raise ValueError(f"table {dst!r} already exists")
+        meta = self._read_meta(src)
+        new_meta = {"latest": -1, "schema": meta["schema"]}
+        if meta.get("bucket"):
+            new_meta["bucket"] = dict(meta["bucket"])
+            new_meta["buckets"] = {}
+        self._write_meta(dst, new_meta)
+        os.makedirs(self._tdir(dst), exist_ok=True)
+        if meta["latest"] < 0:
+            return
+        dstdir = self._vdir(dst, 0)
+        if meta.get("bucket"):
+            # per-bucket dirs: link each bucket's current files
+            src_paths = {k: os.path.join(self._vdir(src, bv), f"_bucket={k}")
+                         for k, bv in meta.get("buckets", {}).items()}
+            for k, p in src_paths.items():
+                if os.path.isdir(p):
+                    self._link_tree(p, os.path.join(dstdir, f"_bucket={k}"))
+            new_meta["buckets"] = {k: 0 for k in meta.get("buckets", {})}
+            new_meta.setdefault("history", []).append(
+                {"v": 0, "buckets": dict(new_meta["buckets"]),
+                 "ts": time.time()})
+        else:
+            for s in meta.get("segments", [meta["latest"]]):
+                self._link_tree(self._vdir(src, s), dstdir)
+            new_meta.setdefault("history", []).append(
+                {"v": 0, "segments": [0], "ts": time.time()})
+        new_meta["latest"] = 0
+        if not meta.get("bucket"):
+            new_meta["segments"] = [0]
+        self._write_meta(dst, new_meta)
+
+    @staticmethod
+    def _link_tree(src_dir: str, dst_dir: str) -> None:
+        """Hard-link every parquet file of ``src_dir`` into ``dst_dir``
+        (flat: segment provenance is irrelevant once cloned; names are
+        prefixed with a counter to avoid collisions across segments)."""
+        os.makedirs(dst_dir, exist_ok=True)
+        n = len(os.listdir(dst_dir))
+        for f in sorted(TableStore._parquet_files(src_dir)):
+            os.link(f, os.path.join(dst_dir, f"c{n:04d}-{os.path.basename(f)}"))
+            n += 1
+
     # ---- read ------------------------------------------------------------
     def _bucket_paths(self, name: str, meta: dict,
                       bucket_ids: Iterable[int] | None = None) -> list[str]:

@@ -462,3 +462,73 @@ def test_timestamp_time_travel(spark, tmp_path):
         store.version_at("t", t_before)
     with pytest.raises(ValueError):
         store.read(spark, "t", version=0, as_of=t_mid)
+
+
+def test_drop_and_rename(spark, tmp_path):
+    import pytest
+
+    store = TableStore(str(tmp_path))
+    store.create("a", schemas.SUPPLIER)
+    store.commit("a", _supplier_rows(spark, range(4)))
+    store.rename("a", "b")
+    assert store.show_tables() == ["b"]
+    assert store.read(spark, "b").count() == 4
+    # renaming onto an existing table is rejected
+    store.create("c", schemas.SUPPLIER)
+    with pytest.raises(ValueError):
+        store.rename("b", "c")
+    store.drop("c")
+    store.drop("b")
+    assert store.show_tables() == []
+    with pytest.raises(KeyError):
+        store.drop("b")
+
+
+def test_clone_zero_copy_diverges_independently(spark, tmp_path):
+    """CREATE TABLE CLONE: snapshot of the source's current state, zero
+    bytes copied (hard links), fresh stream state, and writes to either
+    side never affect the other — including vacuum on the source."""
+    import os as _os
+
+    store = TableStore(str(tmp_path))
+    store.create("src", schemas.SUPPLIER)
+    store.commit("src", _supplier_rows(spark, range(6)))
+    store.commit_append("src", _supplier_rows(spark, range(6, 9)))
+
+    store.clone("src", "dup")
+    assert store.read(spark, "dup").count() == 9
+    # zero-copy: every clone file is a hard link (inode shared)
+    src_inodes = {_os.stat(f).st_ino
+                  for s in store._read_meta("src")["segments"]
+                  for f in store._parquet_files(store._vdir("src", s))}
+    dup_files = store._parquet_files(store._vdir("dup", 0))
+    assert dup_files and all(_os.stat(f).st_ino in src_inodes
+                             for f in dup_files)
+    # streams are not cloned
+    assert store.change_versions("dup", -1) == []
+
+    # divergence: writes to one side are invisible to the other
+    merge_upsert(store, spark, "dup", _supplier_rows(spark, [99]), KEY, CMP)
+    store.commit_append("src", _supplier_rows(spark, range(9, 11)))
+    assert store.read(spark, "dup").count() == 10
+    assert store.read(spark, "src").count() == 11
+    # vacuuming the source leaves the clone readable (refcounted links)
+    store.commit("src", _supplier_rows(spark, range(3)))
+    store.vacuum("src", keep_last=1)
+    assert store.read(spark, "dup").count() == 10
+
+
+def test_clone_bucketed_keeps_pruned_merges(spark, tmp_path):
+    store = TableStore(str(tmp_path))
+    store.create("src", schemas.SUPPLIER, bucket_by=(KEY, N_BUCKETS))
+    merge_upsert(store, spark, "src", _supplier_rows(spark, range(32)), KEY, CMP)
+    store.clone("src", "dup")
+    assert store.read(spark, "dup").count() == 32
+    # the clone stays a first-class bucketed table: a single-key merge
+    # rewrites one bucket of the CLONE, source untouched
+    delta = _supplier_rows(spark, [5]).withColumn("supplier_name", F.lit("x"))
+    v = merge_upsert(store, spark, "dup", delta, KEY, CMP)
+    assert len(_written_buckets(store, "dup", v)) == 1
+    assert {r["supplier_name"] for r in
+            store.read(spark, "src").filter("supplier_code = 'S5'").collect()} \
+        == {"name5"}
