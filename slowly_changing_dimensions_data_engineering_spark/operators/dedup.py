@@ -404,3 +404,32 @@ def remove_near_dups(docs: DataFrame, pairs: DataFrame,
     connected components needed for a keep-one guarantee."""
     losers = pairs.select(F.col("d2").alias(id_col)).distinct()
     return docs.join(losers, id_col, "left_anti")
+
+
+def benchmark_overlap(docs: DataFrame, bench: DataFrame,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      n: int = 5, threshold: float = 0.1) -> DataFrame:
+    """Benchmark DECONTAMINATION: per-document n-gram overlap of the
+    corpus against a benchmark/eval set — the leakage check every
+    pretraining pipeline runs before shipping a corpus (a doc sharing a
+    large shingle fraction with an eval set inflates downstream scores).
+
+    Scale shape: the benchmark side is eval-set-sized (MBs against a
+    100 TB corpus), so its distinct shingle set BROADCASTS and the
+    overlap count is a map-side broadcast join over the exploded corpus
+    shingles — the corpus shuffles only the per-doc count aggregation,
+    keyed by doc. Output: (id, n_shingles, n_overlap, overlap_frac,
+    contaminated >= threshold)."""
+    sh = docs.select(F.col(id_col), shingles(text_col, n).alias("shl"))
+    b = (bench.select(F.explode(shingles(text_col, n)).alias("s"))
+         .distinct())
+    ex = sh.select(id_col, F.explode("shl").alias("s"))
+    hits = (ex.join(F.broadcast(b), "s")
+            .groupBy(id_col).agg(F.count("*").alias("n_overlap")))
+    frac = F.coalesce(F.col("n_overlap"), F.lit(0)) / F.size("shl")
+    return (sh.join(hits, id_col, "left")
+            .select(id_col, F.size("shl").cast("long").alias("n_shingles"),
+                    F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long")
+                     .alias("n_overlap"),
+                    F.round(frac, 6).alias("overlap_frac"),
+                    (frac >= threshold).alias("contaminated")))

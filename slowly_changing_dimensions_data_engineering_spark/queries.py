@@ -67,6 +67,7 @@ _BOARD_DEMOTE = [
     "rollup_order_status",      # green r2 + r3
     "correlated_above_avg_orders",  # green r2 + r3
     "salted_agg_event_values",  # green r2 + r3
+    "window_running_spend",     # green r2 + r3
 ]
 
 
@@ -2237,3 +2238,36 @@ def delete_dml_state_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("supplier_state")
             .agg(F.count("*").alias("n_rows"),
                  F.sum("supplier_key").alias("sum_key")))
+
+
+@register("decontamination_overlap", """
+WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents),
+sh AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-4,1)+1),
+                 i -> md5(array_to_string(t[i:i+4], ' ')))) AS shl
+  FROM toks
+),
+bench AS (SELECT DISTINCT unnest(shl) AS s FROM sh WHERE doc_id % 97 = 0),
+corpus AS (SELECT doc_id, shl FROM sh WHERE doc_id % 97 <> 0),
+ex AS (SELECT doc_id, unnest(shl) AS s FROM corpus),
+hits AS (SELECT doc_id, COUNT(*) AS n_overlap
+         FROM ex JOIN bench USING (s) GROUP BY doc_id)
+SELECT c.doc_id, CAST(len(shl) AS BIGINT) AS n_shingles,
+       CAST(COALESCE(n_overlap, 0) AS BIGINT) AS n_overlap,
+       round(COALESCE(n_overlap, 0) / len(shl), 6) AS overlap_frac,
+       COALESCE(n_overlap, 0) / len(shl) >= 0.1 AS contaminated
+FROM corpus c LEFT JOIN hits USING (doc_id)
+""")
+def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.py:benchmark_overlap):
+    every 97th document plays the held-out eval set; each remaining doc
+    reports its 5-gram shingle overlap fraction against it and a
+    contaminated flag at 10%. The benchmark's distinct shingles
+    broadcast (eval sets are MBs against a 100 TB corpus), so the check
+    is a map-side join + one per-doc count shuffle. Shingling parameters
+    are shared verbatim with the near-dup oracles, so the SQL twin
+    cannot drift."""
+    from .operators.dedup import benchmark_overlap
+    d = _spread(spark, _t(spark, sf_dir, "documents")["documents"])
+    return benchmark_overlap(d.filter("doc_id % 97 != 0"),
+                             d.filter("doc_id % 97 = 0"))

@@ -571,3 +571,24 @@ def test_scrub_pii_redacts_and_counts(spark):
            for r in scrub_pii(df, "t", ["id"]).collect()}
     assert got[1] == ("mail [EMAIL] and [EMAIL], call [PHONE] now", 2, 1)
     assert got[2] == ("no pii here at all", 0, 0)
+
+
+def test_benchmark_overlap_flags_leaked_docs(spark):
+    from slowly_changing_dimensions_data_engineering_spark.operators.dedup import (
+        benchmark_overlap,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        ["doc_id", "text"])
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),   # verbatim leak
+         (2, "totally different words that never overlap at all here"),
+         (3, "alpha beta gamma delta epsilon unrelated tail words go on")],
+        ["doc_id", "text"])
+    got = {r["doc_id"]: (r["n_overlap"], r["overlap_frac"], r["contaminated"])
+           for r in benchmark_overlap(docs, bench, threshold=0.5).collect()}
+    assert got[1] == (4, 1.0, True)            # all 4 5-gram shingles shared
+    assert got[2][0] == 0 and got[2][2] is False
+    assert 0 < got[3][0] < got[3 - 2][0] + 4   # partial prefix overlap
+    assert got[3][2] is False                  # below the 0.5 threshold
