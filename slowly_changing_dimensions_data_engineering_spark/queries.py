@@ -68,6 +68,7 @@ _BOARD_DEMOTE = [
     "correlated_above_avg_orders",  # green r2 + r3
     "salted_agg_event_values",  # green r2 + r3
     "window_running_spend",     # green r2 + r3
+    "top_customers",            # green r2 + r3
 ]
 
 
@@ -2271,3 +2272,57 @@ def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _spread(spark, _t(spark, sf_dir, "documents")["documents"])
     return benchmark_overlap(d.filter("doc_id % 97 != 0"),
                              d.filter("doc_id % 97 = 0"))
+
+
+@register("domain_mix_quotas", """
+WITH tot AS (SELECT COUNT(*) AS n FROM documents),
+avail AS (
+  SELECT source, CAST(substr(source, 4) AS INTEGER) AS si,
+         COUNT(*) AS n_avail
+  FROM documents GROUP BY source
+),
+quota AS (
+  SELECT source, n_avail,
+         CAST(round(n * 0.4 * (CASE WHEN si % 2 = 0 THEN 0.075
+                                    ELSE 0.025 END), 0) AS BIGINT) AS quota
+  FROM avail, tot
+),
+ranked AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+)
+SELECT q.source, q.n_avail, q.quota,
+       CAST(COUNT(r.doc_id) AS BIGINT) AS n_kept
+FROM quota q LEFT JOIN ranked r ON r.source = q.source AND r.rn <= q.quota
+GROUP BY q.source, q.n_avail, q.quota
+""")
+def domain_mix_quotas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix resampling: each source domain gets a TARGET weight
+    (even-indexed sources 3×, a stand-in for 'books over web'), the
+    corpus budget is 40% of the total, and each domain keeps exactly
+    min(quota, available) docs by deterministic hash rank. This is the
+    domain-mixing step between curation and tokenization — unlike
+    stratified_sample_docs (uniform fraction per stratum) the quota here
+    is a per-domain policy times a corpus-wide budget, so the plan needs
+    the 1-row total broadcast into the per-domain quota computation.
+    Scale: one hash shuffle on source (WindowGroupLimit bounds rank
+    spill), one broadcast of the totals frame."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    tot = d.agg(F.count("*").alias("_n"))
+    si = F.substring("source", 4, 10).cast("int")
+    w = F.when(si % 2 == 0, F.lit(0.075)).otherwise(F.lit(0.025))
+    rn = F.row_number().over(
+        W.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")),
+                                        "doc_id"))
+    ranked = (d.crossJoin(F.broadcast(tot))
+              .select("doc_id", "source",
+                      F.round(F.col("_n") * 0.4 * w, 0).cast("long")
+                       .alias("quota"),
+                      rn.alias("rn")))
+    return (ranked.groupBy("source", "quota")
+            .agg(F.count("*").alias("n_avail"),
+                 F.sum((F.col("rn") <= F.col("quota")).cast("long"))
+                  .alias("n_kept"))
+            .select("source", "n_avail", "quota", "n_kept"))

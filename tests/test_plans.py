@@ -22,7 +22,9 @@ SF = "/root/testdata/sf0.001"
 NESTED_LOOP_ALLOWED = {"embed_topk_cosine", "ivf_search_ann",
                        "ivf_recall_at10", "ann_batch_topk",
                        # crossJoin of three 1-row aggregate frames
-                       "semantic_dedup_summary"}
+                       "semantic_dedup_summary",
+                       # 1-row corpus-total broadcast into quota math
+                       "domain_mix_quotas"}
 
 
 def _plan(spark, name: str) -> str:
@@ -61,7 +63,8 @@ def test_board_order_covers_unconfirmed_queries():
               "hll_sketch_region_customers", "semantic_dedup_summary",
               "quantile_sketch_prices", "incremental_mv_state_stats",
               "repetition_signals_docs", "pii_scrub_customers",
-              "delete_dml_state_stats", "decontamination_overlap"):
+              "delete_dml_state_stats", "decontamination_overlap",
+              "domain_mix_quotas"):
         assert n in board, n
     # oracle_sql() iterates in the same board order as queries()
     oracle_names = list(q.oracle_sql())
