@@ -151,3 +151,47 @@ def scrub_pii(df: DataFrame, text_col: str, id_cols: list[str],
     for name, p in pats.items():
         scrubbed = F.regexp_replace(scrubbed, p, f"[{name.upper()}]")
     return df.select(*id_cols, scrubbed.alias("scrubbed"), *counts)
+
+
+def pack_sequences(docs: DataFrame, budget: int, n_shards: int = 64,
+                   id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Greedy sequence PACKING: assign documents to fixed token-budget
+    training sequences (bins), the step between curation and
+    tokenization that turns a document set into dense model inputs
+    (padding waste = unused budget).
+
+    Greedy next-fit is inherently sequential (each bin depends on every
+    earlier doc), so it cannot be a window function; the scalable form
+    shards the corpus (documents are exchangeable) and packs each shard
+    independently in one Arrow ``applyInPandas`` pass — one shuffle on
+    the shard key, Python loops only over each shard's rows, bins named
+    (shard, local_bin) so ids never coordinate across shards.
+    Deterministic: shard = id mod n_shards (numeric ids; any
+    deterministic key function works), in-shard order = id. Docs longer
+    than the budget get a bin of their own (fill > 1.0 rather than
+    silent truncation — the pipeline decides whether to split or drop).
+
+    Output: one row per document — (id, n_tokens, shard, bin, with the
+    bin's fill computable by summing n_tokens over (shard, bin))."""
+    import pandas as pd
+
+    toks = F.size(_tokens(text_col)).cast("long")
+    base = docs.select(F.col(id_col), toks.alias("n_tokens"),
+                       F.pmod(F.col(id_col), F.lit(n_shards))
+                        .cast("int").alias("shard"))
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col).reset_index(drop=True)
+        bins, fill, b = [], 0, 0
+        for t in pdf["n_tokens"]:
+            if bins and fill + t > budget:
+                b += 1
+                fill = 0
+            fill += int(t)
+            bins.append(b)
+        pdf["bin"] = pd.Series(bins, dtype="int64")
+        return pdf
+
+    schema = ("{} long, n_tokens long, shard int, bin long"
+              .format(id_col))
+    return base.groupBy("shard").applyInPandas(pack, schema=schema)

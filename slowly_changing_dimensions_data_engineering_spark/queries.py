@@ -69,6 +69,7 @@ _BOARD_DEMOTE = [
     "salted_agg_event_values",  # green r2 + r3
     "window_running_spend",     # green r2 + r3
     "top_customers",            # green r2 + r3
+    "window_top3_orders_per_customer",  # green r2 + r3
 ]
 
 
@@ -2326,3 +2327,43 @@ def domain_mix_quotas(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum((F.col("rn") <= F.col("quota")).cast("long"))
                   .alias("n_kept"))
             .select("source", "n_avail", "quota", "n_kept"))
+
+
+@register("sequence_packing_bins", """
+WITH RECURSIVE base AS (
+  SELECT doc_id, len(string_split(trim(text), ' ')) AS n_tokens,
+         doc_id % 8 AS shard,
+         ROW_NUMBER() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+  FROM documents
+),
+packed AS (
+  SELECT shard, rn, doc_id, n_tokens,
+         CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.shard, b.rn, b.doc_id, b.n_tokens,
+         CASE WHEN p.fill + b.n_tokens > 512 THEN p.bin + 1 ELSE p.bin END,
+         CASE WHEN p.fill + b.n_tokens > 512 THEN b.n_tokens
+              ELSE p.fill + b.n_tokens END
+  FROM base b JOIN packed p ON b.shard = p.shard AND b.rn = p.rn + 1
+)
+SELECT CAST(shard AS INTEGER) AS shard, bin,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+FROM packed GROUP BY shard, bin
+""")
+def sequence_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/text.py:pack_sequences): documents
+    greedily next-fit into 512-token training bins, sharded so each
+    shard packs independently inside one Arrow applyInPandas pass — the
+    genuinely-sequential step where a Python loop is the right tool and
+    the shard key is what makes it scale. Returns per-bin density
+    (n_docs, bin_tokens). Oracle = the same next-fit recurrence as a
+    recursive CTE stepping row-by-row per shard — equal iff the
+    distributed packing is bit-identical to the sequential definition."""
+    from .operators.text import pack_sequences
+    d = _spread(spark, _t(spark, sf_dir, "documents")["documents"])
+    packed = pack_sequences(d, budget=512, n_shards=8)
+    return (packed.groupBy("shard", "bin")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("bin_tokens")))

@@ -592,3 +592,25 @@ def test_benchmark_overlap_flags_leaked_docs(spark):
     assert got[2][0] == 0 and got[2][2] is False
     assert 0 < got[3][0] < got[3 - 2][0] + 4   # partial prefix overlap
     assert got[3][2] is False                  # below the 0.5 threshold
+
+
+def test_pack_sequences_next_fit_edges(spark):
+    """Next-fit semantics: exact fits close a bin, oversize docs get a
+    bin of their own (fill > budget, never truncated), shards pack
+    independently."""
+    from slowly_changing_dimensions_data_engineering_spark.operators.text import (
+        pack_sequences,
+    )
+    mk = lambda n: " ".join(["w"] * n)
+    docs = spark.createDataFrame(
+        [(0, mk(6)), (2, mk(4)),      # shard 0: 6+4=10 fills budget exactly
+         (4, mk(3)),                  # shard 0: next bin
+         (6, mk(25)),                 # shard 0: oversize -> own bin, fill 25
+         (1, mk(9)), (3, mk(2))],     # shard 1: 9, then 9+2>10 -> new bin
+        ["doc_id", "text"])
+    out = {r["doc_id"]: (r["shard"], r["bin"], r["n_tokens"])
+           for r in pack_sequences(docs, budget=10, n_shards=2).collect()}
+    assert out[0] == (0, 0, 6) and out[2] == (0, 0, 4)
+    assert out[4] == (0, 1, 3)
+    assert out[6] == (0, 2, 25)      # oversize isolated, not split
+    assert out[1] == (1, 0, 9) and out[3] == (1, 1, 2)
