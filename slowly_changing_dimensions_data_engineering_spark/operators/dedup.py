@@ -420,16 +420,19 @@ def benchmark_overlap(docs: DataFrame, bench: DataFrame,
     shingles — the corpus shuffles only the per-doc count aggregation,
     keyed by doc. Output: (id, n_shingles, n_overlap, overlap_frac,
     contaminated >= threshold)."""
-    sh = docs.select(F.col(id_col), shingles(text_col, n).alias("shl"))
+    # ONE corpus shingle pass: explode, LEFT-join the broadcast benchmark
+    # set with a hit flag, and derive both the total (count) and the
+    # overlap (sum of hits) in the same per-doc aggregation — shingling
+    # (md5 per gram) is the expensive step, so the naive shape (separate
+    # size() branch + re-join) would md5 the corpus twice.
     b = (bench.select(F.explode(shingles(text_col, n)).alias("s"))
-         .distinct())
-    ex = sh.select(id_col, F.explode("shl").alias("s"))
-    hits = (ex.join(F.broadcast(b), "s")
-            .groupBy(id_col).agg(F.count("*").alias("n_overlap")))
-    frac = F.coalesce(F.col("n_overlap"), F.lit(0)) / F.size("shl")
-    return (sh.join(hits, id_col, "left")
-            .select(id_col, F.size("shl").cast("long").alias("n_shingles"),
-                    F.coalesce(F.col("n_overlap"), F.lit(0)).cast("long")
-                     .alias("n_overlap"),
-                    F.round(frac, 6).alias("overlap_frac"),
-                    (frac >= threshold).alias("contaminated")))
+         .distinct().withColumn("_hit", F.lit(1)))
+    ex = docs.select(F.col(id_col), F.explode(shingles(text_col, n)).alias("s"))
+    per = (ex.join(F.broadcast(b), "s", "left")
+           .groupBy(id_col)
+           .agg(F.count("*").alias("n_shingles"),
+                F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_overlap")))
+    frac = F.col("n_overlap") / F.col("n_shingles")
+    return per.select(id_col, "n_shingles", "n_overlap",
+                      F.round(frac, 6).alias("overlap_frac"),
+                      (frac >= threshold).alias("contaminated"))
