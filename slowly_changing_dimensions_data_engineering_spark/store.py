@@ -196,6 +196,18 @@ class TableStore:
         meta["schema"] = T.StructType(schema.fields + [field]).json()
         self._write_meta(name, meta)
 
+    def register_views(self, spark: SparkSession,
+                       names: Iterable[str] | None = None) -> list[str]:
+        """Expose store tables to ``spark.sql`` as temp views (the
+        reference's users write SQL against Snowflake tables; this is
+        the equivalent facade). Views pin the CURRENT snapshot — call
+        again after commits to advance, exactly the snapshot-isolation
+        contract ``read`` documents."""
+        ts = list(names) if names is not None else self.show_tables()
+        for t in ts:
+            self.read(spark, t).createOrReplaceTempView(t)
+        return ts
+
     def drop(self, name: str) -> None:
         """``DROP TABLE`` — remove the table, its history, its change
         feed, and its catalog entry. Missing table raises KeyError (use
