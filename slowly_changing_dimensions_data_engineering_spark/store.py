@@ -196,6 +196,26 @@ class TableStore:
         meta["schema"] = T.StructType(schema.fields + [field]).json()
         self._write_meta(name, meta)
 
+    def history_df(self, spark: SparkSession, name: str) -> DataFrame:
+        """``DESCRIBE HISTORY`` analogue (Snowflake: SHOW VERSIONS /
+        time-travel metadata): one row per still-referenced commit —
+        version, commit wall-time, whether a CDC batch was attached, and
+        the storage footprint kind (segments vs bucket map). Versions
+        pruned by vacuum disappear here exactly when time travel to them
+        stops working, so this is the discovery surface for ``read``'s
+        ``version=``/``as_of=`` parameters."""
+        meta = self._read_meta(name)
+        rows = []
+        for h in meta.get("history", []):
+            rows.append((int(h["v"]),
+                         float(h["ts"]) if h.get("ts") is not None else None,
+                         os.path.isdir(self._cdir(name, int(h["v"]))),
+                         len(h.get("segments", [])) or None,
+                         len(h.get("buckets", {})) or None))
+        schema = ("version long, commit_ts double, has_changes boolean, "
+                  "n_segments long, n_buckets long")
+        return spark.createDataFrame(rows, schema)
+
     def register_views(self, spark: SparkSession,
                        names: Iterable[str] | None = None) -> list[str]:
         """Expose store tables to ``spark.sql`` as temp views (the

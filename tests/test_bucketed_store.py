@@ -573,3 +573,22 @@ def test_register_views_sql_facade(spark, tmp_path):
     assert spark.sql("SELECT COUNT(*) AS n FROM sup").head()["n"] == 6
     store.register_views(spark, ["sup"])
     assert spark.sql("SELECT COUNT(*) AS n FROM sup").head()["n"] == 7
+
+
+def test_history_df_tracks_commits_and_vacuum(spark, tmp_path):
+    store = TableStore(str(tmp_path))
+    store.create("t", schemas.SUPPLIER)
+    merge_upsert(store, spark, "t", _supplier_rows(spark, range(4)), KEY, CMP)
+    store.commit_append("t", _supplier_rows(spark, range(4, 6)))
+    h = store.history_df(spark, "t").orderBy("version").collect()
+    assert [r["version"] for r in h] == [0, 1]
+    assert h[0]["has_changes"] is True        # merge attached a CDC batch
+    assert h[1]["has_changes"] is False       # bare append did not
+    assert h[0]["commit_ts"] <= h[1]["commit_ts"]
+    assert h[1]["n_segments"] == 2 and h[1]["n_buckets"] is None
+
+    # vacuum prunes history rows exactly when time travel stops working
+    store.commit("t", _supplier_rows(spark, range(2)))
+    store.vacuum("t", keep_last=1)
+    left = [r["version"] for r in store.history_df(spark, "t").collect()]
+    assert left == [2]
