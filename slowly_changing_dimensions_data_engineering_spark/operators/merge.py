@@ -57,32 +57,53 @@ def plan_upsert(
     source: DataFrame,
     key: list[str],
     compare_cols: list[str],
+    delete_match=None,
 ) -> tuple[DataFrame, DataFrame]:
     """Return ``(new_target, cdc_changes)`` as two lazy plans.
 
     ``new_target`` is the post-merge snapshot; ``cdc_changes`` carries the
     stream rows the merge generated (schema = target columns +
     METADATA$ACTION / METADATA$ISUPDATE / METADATA$ROW_ID).
+
+    ``delete_match`` (SQL string or Column over SOURCE columns) adds the
+    ``WHEN MATCHED AND <cond> THEN DELETE`` clause: a matched source row
+    satisfying it is a TOMBSTONE — the target row is removed and a
+    DELETE change row (ISUPDATE=false, a true removal) is emitted. An
+    unmatched tombstone is a no-op (nothing to delete), the same way the
+    reference MERGE has no effect for it. NULL conditions count as
+    not-matching (SQL semantics, as in ``delete_where``).
     """
     cols = target.columns
-    if source.columns != cols:
-        source = source.select(*cols)
+    if delete_match is not None:
+        pred = (F.expr(delete_match) if isinstance(delete_match, str)
+                else delete_match)
+        # evaluate on the raw source BEFORE aliasing: the predicate is
+        # over source columns, and inside the join frame the names are
+        # ambiguous between the s/t sides
+        source = source.withColumn(
+            "_del", F.coalesce(pred.cast("boolean"), F.lit(False)))
+    else:
+        source = source.withColumn("_del", F.lit(False))
+    if source.columns != cols + ["_del"]:
+        source = source.select(*cols, "_del")
 
     s = source.alias("s")
     t = target.alias("t")
     on = [F.col(f"s.{k}") == F.col(f"t.{k}") for k in key]
 
-    # Categorize every source row in ONE pass: update / insert / no-op.
-    # The categorized frame feeds FIVE downstream branches (3 CDC unions,
-    # the touched-key set, the new rows); a lazy localCheckpoint
-    # materializes the source⋈target join once instead of re-scanning the
-    # big target per branch — the same source-materialization step a
-    # Delta MERGE performs.
+    # Categorize every source row in ONE pass: delete / update / insert /
+    # no-op. The categorized frame feeds the CDC unions, the touched-key
+    # sets, and the new rows; a lazy localCheckpoint materializes the
+    # source⋈target join once instead of re-scanning the big target per
+    # branch — the same source-materialization step a Delta MERGE
+    # performs.
     cat = (
         s.join(t.withColumn("_t_present", F.lit(True)), on, "left")
         .withColumn(
             "_op",
-            F.when(F.col("_t_present").isNull(), F.lit("insert"))
+            F.when(F.col("_t_present").isNull() & F.col("s._del"), F.lit("skip"))
+            .when(F.col("_t_present").isNull(), F.lit("insert"))
+            .when(F.col("s._del"), F.lit("delete"))
             .when(_any_changed(compare_cols, "t", "s"), F.lit("update"))
             .otherwise(F.lit("noop")),
         )
@@ -126,18 +147,30 @@ def plan_upsert(
     # target row keeps stream ≡ snapshot delta for both dup-source and
     # dup-target edges. (Snowflake itself ERRORs on this nondeterministic
     # merge; we keep all source images and a consistent stream instead.)
-    upd_pre = (
-        target.join(touched, key, "semi")
-        .select(*cols, F.lit("DELETE").alias(CDC_ACTION),
-                F.lit(True).alias(CDC_ISUPDATE),
-                F.md5(F.concat_ws("\x1f", *[F.col(k).cast("string")
-                                            for k in key])).alias(CDC_ROW_ID))
-    )
-    changes = inserts.unionByName(upd_post).unionByName(upd_pre)
+    def t_side_images(keys_df, action, isupdate):
+        return (target.join(keys_df, key, "semi")
+                .select(*cols, F.lit(action).alias(CDC_ACTION),
+                        F.lit(isupdate).alias(CDC_ISUPDATE),
+                        F.md5(F.concat_ws("\x1f", *[F.col(k).cast("string")
+                                                    for k in key]))
+                        .alias(CDC_ROW_ID)))
 
-    # New snapshot: carry over target rows whose key was NOT touched,
-    # then add the updated images and the inserts.
-    kept = target.join(touched, key, "left_anti")
+    upd_pre = t_side_images(touched, "DELETE", True)
+    # WHEN MATCHED DELETE tombstones: target-side images, ISUPDATE=false
+    # (a true removal, distinguishable from an update's pre-image), one
+    # per physical target row by the same semi-join rule as upd_pre.
+    touched_del = (
+        cat.filter(F.col("_op") == "delete")
+        .select(*[F.col(f"s.{k}").alias(k) for k in key])
+        .distinct()
+    )
+    del_rows = t_side_images(touched_del, "DELETE", False)
+    changes = inserts.unionByName(upd_post).unionByName(upd_pre) \
+                     .unionByName(del_rows)
+
+    # New snapshot: carry over target rows whose key was NOT touched by
+    # an update OR a delete, then add the updated images and the inserts.
+    kept = target.join(touched.unionByName(touched_del), key, "left_anti")
     new_rows = cat.filter(F.col("_op").isin("update", "insert")).select(*s_cols)
     new_target = kept.unionByName(new_rows)
     return new_target, changes
@@ -152,25 +185,35 @@ def touched_buckets(source: DataFrame, bucket_cols: list[str], n: int) -> list[i
 
 
 def merge_upsert(store, spark, target_name: str, source: DataFrame,
-                 key: list[str], compare_cols: list[str]) -> int:
+                 key: list[str], compare_cols: list[str],
+                 delete_match=None) -> int:
     """Execute M1 against the store: one atomic commit carrying both the
     new snapshot and the CDC batch (Snowflake per-statement txn).
 
     On a bucketed target (store.create(..., bucket_by=...)) the merge is
     PRUNED: only buckets containing source keys are read and rewritten —
     valid because the merge key contains the bucket columns, so every
-    matched target row and every insert lands in a source-key bucket.
-    Untouched buckets keep their existing files (Delta-merge file
-    pruning; VERDICT r1 #4)."""
+    matched target row, every insert, AND every tombstoned row lands in
+    a source-key bucket. Untouched buckets keep their existing files
+    (Delta-merge file pruning; VERDICT r1 #4).
+
+    ``delete_match`` forwards the WHEN MATCHED DELETE clause of
+    ``plan_upsert`` — source rows satisfying it are tombstones."""
     # Evaluate the (delta-sized) source once; every consumer — bucket
     # probe, join, CDC branches — reuses the materialization.
     source = source.localCheckpoint(eager=False)
     if store.version(target_name) < 0:
-        # First load into an empty table: every row is an insert — skip
-        # the categorize join entirely (pure append; same fast path a
-        # Delta MERGE takes when there are no matched files).
+        # First load into an empty table: every surviving row is an
+        # insert — skip the categorize join entirely (pure append; same
+        # fast path a Delta MERGE takes when there are no matched
+        # files). Tombstones match nothing and drop out.
         cols = store.schema(target_name).fieldNames()
-        src = source.select(*cols)
+        src = source
+        if delete_match is not None:
+            pred = (F.expr(delete_match) if isinstance(delete_match, str)
+                    else delete_match)
+            src = src.filter(~F.coalesce(pred.cast("boolean"), F.lit(False)))
+        src = src.select(*cols)
         rid = F.md5(F.concat_ws("\x1f", *[F.col(k).cast("string") for k in key]))
         changes = src.select(
             *cols, F.lit("INSERT").alias(CDC_ACTION),
@@ -185,10 +228,12 @@ def merge_upsert(store, spark, target_name: str, source: DataFrame,
         bcols, n = spec
         ids = touched_buckets(source, bcols, n)
         target = store.read_buckets(spark, target_name, ids)
-        new_target, changes = plan_upsert(target, source, key, compare_cols)
+        new_target, changes = plan_upsert(target, source, key, compare_cols,
+                                          delete_match)
         return store.commit_buckets(target_name, new_target, ids, changes=changes)
     target = store.read(spark, target_name)
-    new_target, changes = plan_upsert(target, source, key, compare_cols)
+    new_target, changes = plan_upsert(target, source, key, compare_cols,
+                                      delete_match)
     # The source is re-read by both plans; localCheckpoint the categorized
     # outputs would also work — for pipeline loads the source is a small
     # batch, so recomputation is cheaper than a cache of the big side.

@@ -154,3 +154,52 @@ def test_refresh_tracks_deletes(spark, tmp_path):
     refresh_aggregate(store, spark, "mv", "base", "mv", GROUP, SUMS)
     exp = _expected(store, spark)
     assert _mv(store, spark) == exp == {"CA": (1, 2)}
+
+
+def test_merge_when_matched_delete_tombstones(spark, tmp_path):
+    """MERGE ... WHEN MATCHED AND <cond> THEN DELETE: tombstone source
+    rows remove their target row with an ISUPDATE=false DELETE change
+    row; unmatched tombstones are no-ops; non-tombstone rows in the same
+    load still update/insert; and the signed fold stays exact."""
+    store = TableStore(str(tmp_path))
+    store.create("base", schemas.SUPPLIER)
+    merge_upsert(store, spark, "base",
+                 _rows(spark, [(1, "CA"), (2, "NY"), (3, "NY")]), KEY, CMP)
+    refresh_aggregate(store, spark, "mv", "base", "mv", GROUP, SUMS)
+
+    # one load mixing: tombstone S2, update S3 NY->TX, insert S4,
+    # unmatched tombstone S9 (no-op)
+    load = _rows(spark, [(2, "NY"), (3, "TX"), (4, "CA"), (9, "WA")])
+    merge_upsert(store, spark, "base", load, KEY, CMP,
+                 delete_match="supplier_key IN (2, 9)")
+
+    got = {r["supplier_code"]: r["supplier_state"]
+           for r in store.read(spark, "base").collect()}
+    assert got == {"S1": "CA", "S3": "TX", "S4": "CA"}
+    ch = store.read_changes(spark, "base", 0)
+    dels = ch.filter("`METADATA$ACTION` = 'DELETE'").collect()
+    # S2's tombstone (ISUPDATE false) + S3's update pre-image (true)
+    assert {(r["supplier_code"], r["METADATA$ISUPDATE"]) for r in dels} \
+        == {("S2", False), ("S3", True)}
+
+    refresh_aggregate(store, spark, "mv", "base", "mv", GROUP, SUMS)
+    assert _mv(store, spark) == _expected(store, spark) \
+        == {"CA": (2, 5), "TX": (1, 3)}
+
+
+def test_merge_tombstones_first_load_and_bucketed_pruning(spark, tmp_path):
+    store = TableStore(str(tmp_path))
+    store.create("b", schemas.SUPPLIER, bucket_by=(KEY, 8))
+    # first load: tombstones drop out of the pure-insert fast path
+    merge_upsert(store, spark, "b", _rows(spark, [(1, "CA"), (2, "NY")]),
+                 KEY, CMP, delete_match="supplier_key = 2")
+    assert [r["supplier_code"] for r in store.read(spark, "b").collect()] \
+        == ["S1"]
+    # bucketed incremental: a lone tombstone rewrites only its bucket
+    merge_upsert(store, spark, "b", _rows(spark, [(1, "CA")]), KEY, CMP,
+                 delete_match="supplier_key = 1")
+    assert store.read(spark, "b").count() == 0
+    meta = store._read_meta("b")
+    v = meta["latest"]
+    rewritten = [k for k, bv in meta["buckets"].items() if bv == v]
+    assert len(rewritten) == 1

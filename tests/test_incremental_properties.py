@@ -25,13 +25,17 @@ from slowly_changing_dimensions_data_engineering_spark.store import TableStore
 KEY = ["supplier_code"]
 CMP = ["supplier_state", "supplier_name", "supplier_key"]
 
-# An op is a merge load (dict code -> state) or a delete of one state.
-# Tiny alphabets force group churn, re-inserts after delete, and no-ops.
-merge_op = st.dictionaries(
-    keys=st.sampled_from(["A", "B", "C", "D"]),
-    values=st.sampled_from(["s1", "s2", "s3"]),
-    min_size=1, max_size=4,
-).map(lambda d: ("merge", d))
+# An op is a merge load (dict code -> state, some rows tombstoned via
+# WHEN MATCHED DELETE) or a delete of one state. Tiny alphabets force
+# group churn, re-inserts after delete, no-ops, and unmatched tombstones.
+merge_op = st.tuples(
+    st.dictionaries(
+        keys=st.sampled_from(["A", "B", "C", "D"]),
+        values=st.sampled_from(["s1", "s2", "s3"]),
+        min_size=1, max_size=4,
+    ),
+    st.sets(st.sampled_from(["A", "B", "C", "D"]), max_size=2),
+).map(lambda t: ("merge", t))
 delete_op = st.sampled_from(["s1", "s2", "s3"]).map(lambda s: ("delete", s))
 ops_strategy = st.lists(st.one_of(merge_op, delete_op), min_size=1, max_size=6)
 
@@ -47,12 +51,15 @@ def test_mv_equals_recompute_after_every_op(spark, tmp_path_factory, ops):
 
     for kind, arg in ops:
         if kind == "merge":
+            load, tombs = arg
             rows = [Row(supplier_key=_CODE_KEY[c], supplier_code=c,
                         supplier_name=f"n{c}", supplier_state=s)
-                    for c, s in sorted(arg.items())]
+                    for c, s in sorted(load.items())]
+            codes = "', '".join(sorted(tombs)) or "NONE"
             merge_upsert(store, spark, "base",
                          spark.createDataFrame(rows, schemas.SUPPLIER),
-                         KEY, CMP)
+                         KEY, CMP,
+                         delete_match=f"supplier_code IN ('{codes}')")
         else:
             delete_where(store, spark, "base",
                          f"supplier_state = '{arg}'", KEY)
