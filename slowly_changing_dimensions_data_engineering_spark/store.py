@@ -655,6 +655,23 @@ class TableStore:
         self._write_meta(name, meta)
         return removed
 
+    def vacuum_changes(self, name: str, through_version: int) -> list[int]:
+        """Change-feed retention: delete change batches at versions
+        ≤ ``through_version``. Snowflake streams expire with the
+        retention window; here the caller states what is consumed —
+        pass ``min(get_offset(c) for c in <this table's consumers>)``
+        so no consumer loses unread batches (offsets are store-global
+        names; the store cannot know which consumers read which table).
+        At 100 TB the ``_changes`` tree otherwise grows with every merge
+        forever. Returns the versions removed. Unlike ``vacuum``, this
+        never touches snapshots — time travel is unaffected."""
+        removed = []
+        for v in self.change_versions(name, -1):
+            if v <= through_version:
+                shutil.rmtree(self._cdir(name, v))
+                removed.append(v)
+        return removed
+
     def truncate(self, spark: SparkSession, name: str) -> int:
         """S8: TRUNCATE TABLE (SCD-Automation.sql:38) — commit an empty
         snapshot; history (and any unconsumed changes) stays intact."""

@@ -592,3 +592,30 @@ def test_history_df_tracks_commits_and_vacuum(spark, tmp_path):
     store.vacuum("t", keep_last=1)
     left = [r["version"] for r in store.history_df(spark, "t").collect()]
     assert left == [2]
+
+
+def test_vacuum_changes_respects_consumer_offset(spark, tmp_path):
+    """Change-feed retention: batches at or below the consumed offset
+    are reclaimed; unread batches survive and the consumer resumes
+    exactly where it left off. Snapshots and time travel untouched."""
+    store = TableStore(str(tmp_path))
+    store.create("t", schemas.SUPPLIER)
+    merge_upsert(store, spark, "t", _supplier_rows(spark, range(4)), KEY, CMP)
+    merge_upsert(store, spark, "t",
+                 _supplier_rows(spark, [1]).withColumn(
+                     "supplier_name", F.lit("x")), KEY, CMP)
+    store.set_offset("c1", store.version("t"))  # c1 consumed everything
+    merge_upsert(store, spark, "t",
+                 _supplier_rows(spark, [2]).withColumn(
+                     "supplier_name", F.lit("y")), KEY, CMP)
+
+    removed = store.vacuum_changes("t", store.get_offset("c1"))
+    assert len(removed) == 2
+    # the unread batch is intact and is exactly what c1 reads next
+    remaining = store.read_changes(spark, "t", store.get_offset("c1"))
+    assert remaining.count() == 2  # S2's DELETE+INSERT pair
+    assert {r["supplier_code"] for r in remaining.collect()} == {"S2"}
+    # snapshots unaffected
+    assert store.read(spark, "t").count() == 4
+    # idempotent
+    assert store.vacuum_changes("t", store.get_offset("c1")) == []

@@ -197,3 +197,47 @@ def test_stream_replay_after_crash_is_flag_idempotent(spark, tmp_path):
     closed = [r for r in rows if r["current_flag"] == "N"]
     assert len(closed) == 2
     assert all(r["end_date"] == replay_now for r in closed)
+
+
+def test_true_delete_closes_scd2_version_permanently(spark, tmp_path):
+    """End-of-life integration: a delete_where on the landing table
+    emits a TRUE removal (ISUPDATE=false); consuming that stream closes
+    the SCD2 version (end_date set, flag N) with NO reopened row — the
+    entity's history simply ends, unlike an update's close+open pair."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from slowly_changing_dimensions_data_engineering_spark import schemas
+    from slowly_changing_dimensions_data_engineering_spark.operators.merge import (
+        delete_where, merge_upsert,
+    )
+    from slowly_changing_dimensions_data_engineering_spark.operators.scd2 import (
+        scd2_merge,
+    )
+    from slowly_changing_dimensions_data_engineering_spark.store import TableStore
+
+    key, scd2_key = ["supplier_code"], ["supplier_code", "supplier_state"]
+    cmp_cols = ["supplier_state", "supplier_name", "supplier_key"]
+    t1, t2 = dt.datetime(2024, 1, 1), dt.datetime(2024, 2, 1)
+
+    store = TableStore(str(tmp_path))
+    store.create("landing", schemas.SUPPLIER)
+    store.create("staging", schemas.SUPPLIER_STAGING)
+    rows = [Row(supplier_key=k, supplier_code=f"S{k}", supplier_name=f"n{k}",
+                supplier_state="CA") for k in (1, 2)]
+    merge_upsert(store, spark, "landing",
+                 spark.createDataFrame(rows, schemas.SUPPLIER), key, cmp_cols)
+    scd2_merge(store, spark, "staging",
+               store.read_changes(spark, "landing", -1), scd2_key, t1)
+    off = store.version("landing")
+
+    delete_where(store, spark, "landing", "supplier_code = 'S1'", key)
+    scd2_merge(store, spark, "staging",
+               store.read_changes(spark, "landing", off), scd2_key, t2)
+
+    hist = {(r["supplier_code"], r["current_flag"], r["end_date"] is None)
+            for r in store.read(spark, "staging").collect()}
+    # S1: one closed row, never reopened; S2 untouched and current
+    assert hist == {("S1", "N", False), ("S2", "Y", True)}
+    assert store.read(spark, "staging").count() == 2
