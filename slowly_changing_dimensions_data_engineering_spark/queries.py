@@ -70,6 +70,7 @@ _BOARD_DEMOTE = [
     "window_running_spend",     # green r2 + r3
     "top_customers",            # green r2 + r3
     "window_top3_orders_per_customer",  # green r2 + r3
+    "window_range_1h_user_spend",  # green r2 + r3
 ]
 
 
@@ -2367,3 +2368,43 @@ def sequence_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (packed.groupBy("shard", "bin")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n_tokens").alias("bin_tokens")))
+
+
+#: Deterministic 64-dim linear probe weights: w_i = ((7i+3) mod 11 - 5)/10
+#: — reproducible in both engines without shipping a literal array.
+_CLS_W = [((7 * i + 3) % 11 - 5) / 10.0 for i in range(64)]
+
+
+@register("classifier_quality_scores", f"""
+WITH w AS (
+  SELECT list_transform(range(0, 64),
+         i -> ((7*i + 3) % 11 - 5) / 10.0) AS wv
+)
+SELECT vec_id,
+       round(1 / (1 + exp(-(list_dot_product(
+             list_transform(embedding, x -> CAST(x AS DOUBLE)), wv) - 0.2))), 6)
+         AS score,
+       1 / (1 + exp(-(list_dot_product(
+             list_transform(embedding, x -> CAST(x AS DOUBLE)), wv) - 0.2)))
+         >= 0.5 AS kept
+FROM embeddings, w
+""")
+def classifier_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-scored quality filtering (the FineWeb-Edu pattern): a
+    trained linear probe over document embeddings gates the corpus. The
+    probe IS just a dot product + sigmoid, so at 100 TB it runs as pure
+    whole-stage-codegen arithmetic over the embedding column — no model
+    server, no Python, no shuffle (a map over the scan; the only reason
+    pipelines ship GPU scorers here is when the embedding doesn't exist
+    yet). Weights are a deterministic closed form so the DuckDB oracle
+    reproduces them without a shipped artifact."""
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    wv = F.array(*[F.lit(w) for w in _CLS_W])
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding").cast("array<double>"), wv,
+                   lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x)
+    logit = dot - F.lit(0.2)
+    score = 1 / (1 + F.exp(-logit))
+    return e.select("vec_id", F.round(score, 6).alias("score"),
+                    (score >= 0.5).alias("kept"))
