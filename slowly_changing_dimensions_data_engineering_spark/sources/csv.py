@@ -79,18 +79,74 @@ def read_staged_csv(spark: SparkSession, stage: Stage, schema: T.StructType,
 
 
 def copy_into(store, spark: SparkSession, table: str, stage: Stage,
-              purge: bool = False) -> int:
-    """S6 — COPY INTO table FROM @stage [PURGE=…].
+              purge: bool = False, on_error: str = "permissive") -> int:
+    """S6 — COPY INTO table FROM @stage [PURGE=…] [ON_ERROR=…].
 
     A TRUE append: the staged files are committed as a new segment
     without reading or rewriting the table's current contents
     (``TableStore.commit_append``) — standalone-safe regardless of
     whether the caller truncated first, and O(staged bytes) at any
-    table size."""
+    table size.
+
+    ``on_error`` maps Snowflake's ON_ERROR copy option:
+    ``"permissive"`` (the reference default here: malformed fields load
+    as NULLs), ``"skip"`` (ON_ERROR=CONTINUE: malformed ROWS are
+    dropped), ``"abort"`` (ON_ERROR=ABORT_STATEMENT: raise with the
+    offending lines — found via ``validate_staged`` — and commit
+    nothing)."""
     files = stage.list()
-    df = read_staged_csv(spark, stage, store.schema(table), files)
+    if on_error == "abort":
+        bad = validate_staged(spark, stage, store.schema(table), files)
+        errs = bad.limit(5).collect()
+        if errs:
+            raise ValueError(
+                "COPY INTO aborted, malformed staged rows: "
+                + "; ".join(f"{r['file']}: {r['line']!r}" for r in errs))
+        df = read_staged_csv(spark, stage, store.schema(table), files)
+    elif on_error == "skip":
+        if not files:
+            df = spark.createDataFrame([], store.schema(table))
+        else:
+            df = (spark.read.options(**{**CSV_LOAD_FORMAT,
+                                        "mode": "DROPMALFORMED"})
+                  .schema(store.schema(table)).csv(files))
+    else:
+        df = read_staged_csv(spark, stage, store.schema(table), files)
     v = store.commit_append(table, df)
     if purge:
         for f in files:
             os.remove(f)
     return v
+
+
+def validate_staged(spark: SparkSession, stage: Stage, schema: T.StructType,
+                    files: list[str] | None = None) -> DataFrame:
+    """``COPY INTO … VALIDATION_MODE = 'RETURN_ERRORS'`` — parse the
+    staged files and return the MALFORMED rows (source file + raw line)
+    without committing anything. PERMISSIVE parse with a corrupt-record
+    column; a row is malformed when the line cannot bind to the declared
+    schema (arity/type). Spark disallows projecting ONLY the corrupt
+    column from a CSV scan, so the filter keeps a real column in the
+    projection set."""
+    from pyspark.sql import functions as F
+
+    files = stage.list() if files is None else files
+    if not files:
+        return spark.createDataFrame([], "file string, line string")
+    # Read lines as TEXT and parse each with from_csv: a raw CSV scan
+    # refuses queries that reference only its corrupt-record column
+    # (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN — and column
+    # pruning reduces this projection to exactly that), while the text
+    # route keeps the raw line in hand for the error report anyway.
+    aug = T.StructType(list(schema.fields)
+                       + [T.StructField("_corrupt_record", T.StringType())])
+    opts = {k: v for k, v in CSV_LOAD_FORMAT.items()
+            if k in ("sep", "quote")}
+    opts["columnNameOfCorruptRecord"] = "_corrupt_record"
+    parsed = F.from_csv(F.col("value"), F.lit(aug.simpleString()), opts)
+    return (spark.read.text(files)
+            .select(F.input_file_name().alias("file"),
+                    F.col("value").alias("line"),
+                    parsed.alias("_p"))
+            .filter(F.col("_p._corrupt_record").isNotNull())
+            .select("file", "line"))

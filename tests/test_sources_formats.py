@@ -64,3 +64,44 @@ def test_stage_rm(spark, tmp_path):
     assert [p.split("/")[-1] for p in stage.list()] == ["b.csv"]
     stage.rm()
     assert stage.list() == []
+
+
+def test_copy_into_validation_and_on_error_modes(spark, tmp_path):
+    """Snowflake VALIDATION_MODE / ON_ERROR parity: validate_staged
+    returns malformed lines without committing; abort raises and loads
+    nothing; skip drops bad ROWS; permissive (reference default) loads
+    bad fields as NULLs."""
+    import pytest
+
+    from slowly_changing_dimensions_data_engineering_spark.sources.csv import (
+        copy_into, validate_staged,
+    )
+    from slowly_changing_dimensions_data_engineering_spark.store import TableStore
+
+    stage = Stage(str(tmp_path / "stage"))
+    good = tmp_path / "good.csv"
+    good.write_text("1,S1,Acme,CA\n2,S2,Bolt,NY\n")
+    bad = tmp_path / "bad.csv"
+    bad.write_text("notanint,S3,Broken,TX\n3,S4,Fine,WA\n")
+    stage.put(str(good)); stage.put(str(bad))
+
+    errs = validate_staged(spark, stage, schemas.SUPPLIER)
+    assert [r["line"] for r in errs.collect()] == ["notanint,S3,Broken,TX"]
+    assert "bad.csv" in errs.head()["file"]
+
+    store = TableStore(str(tmp_path / "store"))
+    store.create("t", schemas.SUPPLIER)
+    with pytest.raises(ValueError, match="malformed staged rows"):
+        copy_into(store, spark, "t", stage, on_error="abort")
+    assert store.version("t") == -1  # nothing committed
+
+    v = copy_into(store, spark, "t", stage, on_error="skip")
+    assert v == 0
+    assert sorted(r["supplier_code"] for r in store.read(spark, "t").collect()) \
+        == ["S1", "S2", "S4"]  # malformed ROW dropped
+
+    store.create("p", schemas.SUPPLIER)
+    copy_into(store, spark, "p", stage)  # reference default: NULL fields
+    rows = {r["supplier_code"]: r["supplier_key"]
+            for r in store.read(spark, "p").collect()}
+    assert rows["S3"] is None and len(rows) == 4
