@@ -71,6 +71,7 @@ _BOARD_DEMOTE = [
     "top_customers",            # green r2 + r3
     "window_top3_orders_per_customer",  # green r2 + r3
     "window_range_1h_user_spend",  # green r2 + r3
+    "events_hourly_tumbling",   # green r2 + r3
 ]
 
 
@@ -2408,3 +2409,52 @@ def classifier_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     score = 1 / (1 + F.exp(-logit))
     return e.select("vec_id", F.round(score, 6).alias("score"),
                     (score >= 0.5).alias("kept"))
+
+
+@register("ann_filtered_topk", """
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qv FROM embeddings
+  WHERE vec_id = (SELECT MIN(vec_id) FROM embeddings)
+), scored AS (
+  SELECT vec_id, label,
+         round(list_dot_product(embedding::DOUBLE[], qv) /
+               (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+                sqrt(list_dot_product(qv, qv))), 9) AS cosine
+  FROM embeddings, q
+  WHERE vec_id % 3 = 0 AND vec_id != (SELECT MIN(vec_id) FROM embeddings)
+)
+SELECT vec_id, label, cosine FROM scored
+ORDER BY cosine DESC, vec_id LIMIT 10
+""")
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search (hybrid search): a metadata predicate
+    composed with cosine top-k. The filter applies as a PRE-filter —
+    pushed to the scan, so candidates are pruned before any vector math
+    and the result is exact top-k of the filtered set. (The alternative,
+    POST-filtering an ANN probe's k results, silently returns < k under
+    selective predicates — the classic hybrid-search recall bug; with an
+    index, the scale path is pre-filtering WITHIN the probed IVF
+    partitions.) Plan: pushdown of the predicate + 1-row query
+    broadcast + TakeOrderedAndProject."""
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    ed = e.withColumn("v", F.transform("embedding", lambda x: x.cast("double")))
+    qdf = ed.agg(F.min("vec_id").alias("_qid"))
+    q = (ed.join(F.broadcast(qdf), F.col("vec_id") == F.col("_qid"))
+         .select(F.col("v").alias("qv"), "_qid"))
+
+    def dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                           F.lit(0.0), lambda acc, x: acc + x)
+
+    return (
+        ed.filter(F.col("vec_id") % 3 == 0)
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("_qid"))
+        .select("vec_id", "label",
+                F.round(dot(F.col("v"), F.col("qv")) /
+                        (F.sqrt(dot(F.col("v"), F.col("v"))) *
+                         F.sqrt(dot(F.col("qv"), F.col("qv")))), 9)
+                 .alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )

@@ -42,11 +42,15 @@ def start_streaming_mv(
     consumer: str = "streaming_mv",
     trigger_interval: str = "1 minute",
     available_now: bool = False,
+    delete_match=None,
 ) -> StreamingQuery:
     """Start the merge→fold loop over JSON-lines load files arriving in
     ``input_dir``. The MV table named ``mv_name`` tracks
     ``group_cols + [n_rows] + sum_cols`` of the base at every batch
-    boundary. Restart with the same ``checkpoint`` to resume."""
+    boundary. Restart with the same ``checkpoint`` to resume.
+    ``delete_match`` forwards the MERGE tombstone clause — load rows
+    satisfying it REMOVE their base row (and the fold subtracts them),
+    so a CDC feed carrying deletes maintains base + MV in one loop."""
     from ..operators.incremental import refresh_aggregate
     from ..operators.merge import merge_upsert
 
@@ -55,7 +59,8 @@ def start_streaming_mv(
     def process_batch(batch_df, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        merge_upsert(store, spark, base_name, batch_df, key, compare_cols)
+        merge_upsert(store, spark, base_name, batch_df, key, compare_cols,
+                     delete_match=delete_match)
         refresh_aggregate(store, spark, mv_name, base_name, consumer,
                           group_cols, sum_cols)
 

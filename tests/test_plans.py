@@ -19,7 +19,8 @@ SF = "/root/testdata/sf0.001"
 # Queries whose nested-loop join is a BOUNDED broadcast against a
 # 1-row query frame or the dictionary-sized centroid set (IVF assign is
 # inherently n×k centroid scoring — k≤8 here; the big side streams once).
-NESTED_LOOP_ALLOWED = {"embed_topk_cosine", "ivf_search_ann",
+NESTED_LOOP_ALLOWED = {"embed_topk_cosine", "ann_filtered_topk",
+                       "ivf_search_ann",
                        "ivf_recall_at10", "ann_batch_topk",
                        # crossJoin of three 1-row aggregate frames
                        "semantic_dedup_summary",
@@ -65,7 +66,7 @@ def test_board_order_covers_unconfirmed_queries():
               "repetition_signals_docs", "pii_scrub_customers",
               "delete_dml_state_stats", "decontamination_overlap",
               "domain_mix_quotas", "sequence_packing_bins",
-              "classifier_quality_scores"):
+              "classifier_quality_scores", "ann_filtered_topk"):
         assert n in board, n
     # oracle_sql() iterates in the same board order as queries()
     oracle_names = list(q.oracle_sql())

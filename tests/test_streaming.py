@@ -397,7 +397,8 @@ def test_streaming_mv_tracks_base_across_batches(spark, tmp_path):
             key=["supplier_code"],
             compare_cols=["supplier_state", "supplier_name", "supplier_key"],
             group_cols=["supplier_state"], sum_cols={"sum_key": "supplier_key"},
-            checkpoint=ck, available_now=True)
+            checkpoint=ck, available_now=True,
+            delete_match="supplier_name = '__tombstone__'")
         _drain(q)
 
     def mv():
@@ -423,3 +424,11 @@ def test_streaming_mv_tracks_base_across_batches(spark, tmp_path):
     # restart with same checkpoint: l1/l2 are NOT remerged (consume-once)
     run_once()
     assert mv() == recompute() == {"CA": (3, 6), "TX": (1, 4)}
+
+    # batch 3: a tombstone row deletes S4 through the stream loop
+    with open(src / "l3.json", "w") as f:
+        f.write(_json.dumps({
+            "supplier_key": 4, "supplier_code": "S4",
+            "supplier_name": "__tombstone__", "supplier_state": "TX"}) + "\n")
+    run_once()
+    assert mv() == recompute() == {"CA": (3, 6)}
