@@ -72,6 +72,7 @@ _BOARD_DEMOTE = [
     "window_top3_orders_per_customer",  # green r2 + r3
     "window_range_1h_user_spend",  # green r2 + r3
     "events_hourly_tumbling",   # green r2 + r3
+    "agg_distinct_suppliers",   # green r2 + r3
 ]
 
 
@@ -2458,3 +2459,47 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+@register("funnel_conversion_users", """
+WITH stage_times AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+  FROM events GROUP BY user_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_viewed,
+       CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked_after_view,
+       CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                      AND t_purchase > t_click
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+FROM stage_times
+""")
+def funnel_conversion_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel / event-sequence analysis: per-user ORDERED stage
+    progression (first view → later first click → later first purchase)
+    reduced to conversion counts — the MATCH_RECOGNIZE-lite pattern an
+    event pipeline runs at 100 TB. Shape: ONE conditional-aggregation
+    groupBy(user) (no per-stage self-joins — a k-stage funnel as joins
+    is k shuffles of the full event table; this is one), then a scalar
+    rollup. NULL-safe by construction: a missing stage yields NULL
+    min-ts and every > comparison with it is false in both engines."""
+    e = _t(spark, sf_dir, "events")["events"]
+    t = lambda typ: F.min(F.when(F.col("event_type") == typ, F.col("ts")))
+    st = e.groupBy("user_id").agg(
+        t("view").alias("t_view"), t("click").alias("t_click"),
+        t("purchase").alias("t_purchase"))
+    return st.agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.col("t_view").isNotNull().cast("long")).alias("n_viewed"),
+        F.sum((F.col("t_view").isNotNull() &
+               (F.col("t_click") > F.col("t_view"))).cast("long"))
+         .alias("n_clicked_after_view"),
+        F.sum((F.col("t_view").isNotNull() &
+               (F.col("t_click") > F.col("t_view")) &
+               (F.col("t_purchase") > F.col("t_click"))).cast("long"))
+         .alias("n_converted"))

@@ -78,9 +78,22 @@ def read_staged_csv(spark: SparkSession, stage: Stage, schema: T.StructType,
     return spark.read.options(**CSV_LOAD_FORMAT).schema(schema).csv(files)
 
 
+def _file_digest(path: str) -> str:
+    """Content MD5, streamed — the identity COPY load history keys on
+    (Snowflake skips files whose checksum it already loaded)."""
+    import hashlib
+
+    h = hashlib.md5()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
 def copy_into(store, spark: SparkSession, table: str, stage: Stage,
-              purge: bool = False, on_error: str = "permissive") -> int:
-    """S6 — COPY INTO table FROM @stage [PURGE=…] [ON_ERROR=…].
+              purge: bool = False, on_error: str = "permissive",
+              force: bool = False) -> int:
+    """S6 — COPY INTO table FROM @stage [PURGE=…] [ON_ERROR=…] [FORCE=…].
 
     A TRUE append: the staged files are committed as a new segment
     without reading or rewriting the table's current contents
@@ -88,13 +101,32 @@ def copy_into(store, spark: SparkSession, table: str, stage: Stage,
     whether the caller truncated first, and O(staged bytes) at any
     table size.
 
+    **Exactly-once loads**: the table meta keeps a COPY load history of
+    content digests; a staged file whose digest was already loaded is
+    SKIPPED (Snowflake's load-metadata dedup — re-running a COPY, or
+    re-staging yesterday's file, never duplicates rows). ``force=True``
+    reloads regardless (Snowflake FORCE). The history is appended after
+    the commit lands, so a crash between the two re-loads that batch —
+    at-least-once across crashes, exactly-once in steady state; make
+    the downstream merge idempotent (ours is) if that window matters.
+    A COPY where every file is skipped is a no-op: no empty commit.
+
     ``on_error`` maps Snowflake's ON_ERROR copy option:
     ``"permissive"`` (the reference default here: malformed fields load
     as NULLs), ``"skip"`` (ON_ERROR=CONTINUE: malformed ROWS are
     dropped), ``"abort"`` (ON_ERROR=ABORT_STATEMENT: raise with the
     offending lines — found via ``validate_staged`` — and commit
     nothing)."""
-    files = stage.list()
+    all_files = stage.list()
+    digests = {f: _file_digest(f) for f in all_files}
+    loaded = set(store._read_meta(table).get("load_history", []))
+    files = (all_files if force else
+             [f for f in all_files if digests[f] not in loaded])
+    if not files:
+        if purge:
+            for f in all_files:
+                os.remove(f)
+        return store.version(table)
     if on_error == "abort":
         bad = validate_staged(spark, stage, store.schema(table), files)
         errs = bad.limit(5).collect()
@@ -113,8 +145,12 @@ def copy_into(store, spark: SparkSession, table: str, stage: Stage,
     else:
         df = read_staged_csv(spark, stage, store.schema(table), files)
     v = store.commit_append(table, df)
+    meta = store._read_meta(table)
+    meta["load_history"] = sorted(
+        set(meta.get("load_history", [])) | {digests[f] for f in files})
+    store._write_meta(table, meta)
     if purge:
-        for f in files:
+        for f in all_files:
             os.remove(f)
     return v
 

@@ -66,7 +66,8 @@ def test_board_order_covers_unconfirmed_queries():
               "repetition_signals_docs", "pii_scrub_customers",
               "delete_dml_state_stats", "decontamination_overlap",
               "domain_mix_quotas", "sequence_packing_bins",
-              "classifier_quality_scores", "ann_filtered_topk"):
+              "classifier_quality_scores", "ann_filtered_topk",
+              "funnel_conversion_users"):
         assert n in board, n
     # oracle_sql() iterates in the same board order as queries()
     oracle_names = list(q.oracle_sql())

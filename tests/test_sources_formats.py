@@ -105,3 +105,43 @@ def test_copy_into_validation_and_on_error_modes(spark, tmp_path):
     rows = {r["supplier_code"]: r["supplier_key"]
             for r in store.read(spark, "p").collect()}
     assert rows["S3"] is None and len(rows) == 4
+
+
+def test_copy_into_exactly_once_load_history(spark, tmp_path):
+    """COPY load-metadata dedup: re-copying the same staged content is a
+    no-op (no duplicate rows, no empty commit); FORCE reloads; new
+    content still loads; history keys on CONTENT, so the same bytes
+    under a new filename are still skipped."""
+    from slowly_changing_dimensions_data_engineering_spark.sources.csv import (
+        copy_into,
+    )
+    from slowly_changing_dimensions_data_engineering_spark.store import TableStore
+
+    stage = Stage(str(tmp_path / "stage"))
+    f1 = tmp_path / "l1.csv"
+    f1.write_text("1,S1,Acme,CA\n")
+    stage.put(str(f1))
+    store = TableStore(str(tmp_path / "store"))
+    store.create("t", schemas.SUPPLIER)
+
+    v1 = copy_into(store, spark, "t", stage, purge=True)
+    assert store.read(spark, "t").count() == 1
+
+    # same content, new filename, after purge → skipped entirely
+    f2 = tmp_path / "l1_again.csv"
+    f2.write_text("1,S1,Acme,CA\n")
+    stage.put(str(f2))
+    assert copy_into(store, spark, "t", stage) == v1
+    assert store.read(spark, "t").count() == 1
+
+    # FORCE reloads the skipped file
+    v2 = copy_into(store, spark, "t", stage, force=True)
+    assert v2 == v1 + 1 and store.read(spark, "t").count() == 2
+
+    # mixed batch: only the genuinely new file loads
+    f3 = tmp_path / "l2.csv"
+    f3.write_text("2,S2,Bolt,NY\n")
+    stage.put(str(f3))
+    copy_into(store, spark, "t", stage)
+    assert sorted(r["supplier_code"] for r in store.read(spark, "t").collect()) \
+        == ["S1", "S1", "S2"]
