@@ -73,6 +73,7 @@ _BOARD_DEMOTE = [
     "window_range_1h_user_spend",  # green r2 + r3
     "events_hourly_tumbling",   # green r2 + r3
     "agg_distinct_suppliers",   # green r2 + r3
+    "semi_join_active_customers",  # green r2 + r3
 ]
 
 
@@ -2503,3 +2504,109 @@ def funnel_conversion_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                (F.col("t_click") > F.col("t_view")) &
                (F.col("t_purchase") > F.col("t_click"))).cast("long"))
          .alias("n_converted"))
+
+
+@register("pretraining_pipeline_summary", """
+WITH w AS (
+  SELECT list_transform(range(0, 64),
+         i -> ((7*i + 3) % 11 - 5) / 10.0) AS wv
+),
+quality AS (
+  SELECT vec_id AS doc_id,
+         1/(1 + exp(-(list_dot_product(
+             list_transform(embedding, x -> CAST(x AS DOUBLE)), wv) - 0.2)))
+           >= 0.5 AS q_ok
+  FROM embeddings, w
+),
+toks AS (SELECT doc_id, text, string_split(trim(text), ' ') AS t FROM documents),
+bi AS (SELECT doc_id,
+              unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg
+       FROM toks),
+perbg AS (SELECT doc_id, bg, COUNT(*) AS c FROM bi GROUP BY doc_id, bg),
+rep AS (SELECT doc_id, MAX(c) * 1.0 / SUM(c) <= 0.05 AS rep_ok
+        FROM perbg GROUP BY doc_id),
+sh AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-4,1)+1),
+                 i -> md5(array_to_string(t[i:i+4], ' ')))) AS shl
+  FROM toks
+),
+bench AS (SELECT DISTINCT unnest(shl) AS s FROM sh WHERE doc_id % 97 = 0),
+ex AS (SELECT doc_id, unnest(shl) AS s FROM sh WHERE doc_id % 97 <> 0),
+hits AS (SELECT ex.doc_id, COUNT(*) AS n_hit
+         FROM ex JOIN bench USING (s) GROUP BY ex.doc_id),
+flags AS (
+  SELECT d.doc_id, q.q_ok, r.rep_ok,
+         (d.doc_id % 97 <> 0 AND
+          COALESCE(h.n_hit, 0) * 1.0 / len(s2.shl) < 0.1) AS clean_ok,
+         md5(d.text) AS fp
+  FROM documents d
+  JOIN quality q USING (doc_id)
+  JOIN rep r USING (doc_id)
+  JOIN sh s2 USING (doc_id)
+  LEFT JOIN hits h USING (doc_id)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN q_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       CAST(SUM(CASE WHEN q_ok AND rep_ok THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_well_formed,
+       CAST(SUM(CASE WHEN q_ok AND rep_ok AND clean_ok THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clean,
+       CAST(COUNT(DISTINCT CASE WHEN q_ok AND rep_ok AND clean_ok
+                                THEN fp END) AS BIGINT) AS n_unique
+FROM flags
+""")
+def pretraining_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE pretraining-corpus pipeline as ONE declarative plan:
+    model-scored quality gate (linear probe over embeddings) →
+    repetition gate (top-2-gram share) → benchmark decontamination
+    (shingle overlap vs the held-out eval slice) → exact dedup — with
+    stage-by-stage survivor counts, i.e. the corpus funnel a data team
+    reports for every crawl snapshot. Composition shape: every gate is
+    a per-doc FLAG frame joined once to the corpus, and the funnel is a
+    single conditional aggregation — no per-stage actions, no driver
+    loop, one job at 100 TB. Reuses the already-oracled building blocks
+    (classifier_quality_scores, repetition_signals_docs,
+    decontamination_overlap, dedup_prefix_fingerprint semantics).
+    Corpus = documents WITH an embedding (inner join to the probe's
+    input, identical in the oracle): the model gate needs a vector, so
+    un-embedded docs are out of scope for this funnel by definition."""
+    from .operators.dedup import shingles
+    from .operators.text import bigram_repetition
+
+    d = _spread(spark, _t(spark, sf_dir, "documents")["documents"])
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+
+    wv = F.array(*[F.lit(w) for w in _CLS_W])
+    dot = F.aggregate(
+        F.zip_with(F.col("embedding").cast("array<double>"), wv,
+                   lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x)
+    quality = e.select(F.col("vec_id").alias("doc_id"),
+                       ((1 / (1 + F.exp(-(dot - F.lit(0.2))))) >= 0.5)
+                       .alias("q_ok"))
+    rep = bigram_repetition(d).select(
+        "doc_id", (F.col("top_bigram_frac") <= 0.05).alias("rep_ok"))
+    sh = d.select("doc_id", shingles("text").alias("shl"))
+    bench = (sh.filter("doc_id % 97 = 0")
+             .select(F.explode("shl").alias("s")).distinct())
+    hits = (sh.filter("doc_id % 97 != 0")
+            .select("doc_id", F.explode("shl").alias("s"))
+            .join(F.broadcast(bench), "s")
+            .groupBy("doc_id").agg(F.count("*").alias("n_hit")))
+    clean = (sh.join(hits, "doc_id", "left")
+             .select("doc_id",
+                     ((F.col("doc_id") % 97 != 0) &
+                      (F.coalesce(F.col("n_hit"), F.lit(0)) / F.size("shl")
+                       < 0.1)).alias("clean_ok")))
+
+    flags = (d.select("doc_id", F.md5("text").alias("fp"))
+             .join(quality, "doc_id").join(rep, "doc_id")
+             .join(clean, "doc_id"))
+    surv = F.col("q_ok") & F.col("rep_ok") & F.col("clean_ok")
+    return flags.agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.col("q_ok").cast("long")).alias("n_quality"),
+        F.sum((F.col("q_ok") & F.col("rep_ok")).cast("long"))
+         .alias("n_well_formed"),
+        F.sum(surv.cast("long")).alias("n_clean"),
+        F.countDistinct(F.when(surv, F.col("fp"))).alias("n_unique"))

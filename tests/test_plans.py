@@ -67,7 +67,7 @@ def test_board_order_covers_unconfirmed_queries():
               "delete_dml_state_stats", "decontamination_overlap",
               "domain_mix_quotas", "sequence_packing_bins",
               "classifier_quality_scores", "ann_filtered_topk",
-              "funnel_conversion_users"):
+              "funnel_conversion_users", "pretraining_pipeline_summary"):
         assert n in board, n
     # oracle_sql() iterates in the same board order as queries()
     oracle_names = list(q.oracle_sql())
