@@ -286,3 +286,80 @@ def delete_where(store, spark, target_name: str, predicate,
         return store.commit_buckets(target_name, remaining, ids,
                                     changes=changes)
     return store.commit(target_name, current.filter(~pred), changes=changes)
+
+
+def update_where(store, spark, target_name: str, predicate,
+                 set_exprs: dict, key: list[str]) -> int:
+    """``UPDATE target SET col = expr, ... WHERE predicate`` with CDC
+    emission — completing the DML family next to ``merge_upsert`` and
+    ``delete_where`` (the reference only updates through its MERGE,
+    ``SCD-Configuration Setup.sql:102-113``; a standalone UPDATE is what
+    a backfill / correction pass over a 100 TB table uses).
+
+    ``set_exprs`` maps column name → Column or SQL string, evaluated
+    against the OLD row (standard SQL UPDATE semantics: all assignments
+    see the pre-update values, so ``{"a": "b", "b": "a"}`` swaps).
+
+    Change rows reproduce the stream's update encoding exactly
+    (Setup.sql:231-232): one DELETE pre-image + one INSERT post-image
+    per updated row, both ISUPDATE=true, sharing a ROW_ID computed from
+    the PRE-image key — a stream consumer pairs them the same way it
+    pairs the merge's update rows. Rows matching the predicate but
+    left byte-identical by the assignments are NOT suppressed (SQL
+    UPDATE touches them; the reference's write-avoidance guard is a
+    property of its MERGE condition, not of UPDATE).
+
+    Bucketed targets rewrite only buckets holding matched rows — valid
+    only while no assigned column is a bucket column; an UPDATE that
+    rewrites a bucket column can move rows across buckets, so that case
+    falls back to a full-table rewrite (same guard family as
+    ``merge_upsert``'s key-coverage check).
+
+    Returns the new version; a predicate matching nothing is a no-op.
+    """
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    # NULL-predicate rows are untouched, matching SQL UPDATE.
+    pred = F.coalesce(pred.cast("boolean"), F.lit(False))
+    cols = store.schema(target_name).fieldNames()
+    sets = {c: (F.expr(e) if isinstance(e, str) else e)
+            for c, e in set_exprs.items()}
+    unknown = set(sets) - set(cols)
+    if unknown:
+        raise ValueError(f"update_where: SET columns not in "
+                         f"{target_name}'s schema: {sorted(unknown)}")
+    rid = F.md5(F.concat_ws("\x1f", *[F.col(k).cast("string") for k in key]))
+
+    current = store.read(spark, target_name)
+    matched = current.filter(pred)
+    if matched.isEmpty():
+        return store.version(target_name)
+
+    # Post-image built in ONE select so every assignment reads the
+    # pre-update row (no withColumn chaining, which would let later
+    # assignments observe earlier ones).
+    post = matched.select(*[sets.get(c, F.col(c)).alias(c) for c in cols])
+    pre_rows = matched.select(
+        *cols, F.lit("DELETE").alias(CDC_ACTION),
+        F.lit(True).alias(CDC_ISUPDATE), rid.alias(CDC_ROW_ID))
+    # ROW_ID must come from the PRE-image key even when the key itself
+    # is assigned — matched still has the old values, so computing rid
+    # over matched-with-assignments applied afterwards would be wrong;
+    # instead carry the old-key rid through the post projection.
+    post_rows = matched.select(
+        *[sets.get(c, F.col(c)).alias(c) for c in cols],
+        F.lit("INSERT").alias(CDC_ACTION),
+        F.lit(True).alias(CDC_ISUPDATE), rid.alias(CDC_ROW_ID))
+    changes = pre_rows.unionByName(post_rows)
+
+    spec = store.bucket_spec(target_name)
+    if spec is not None and not (set(sets) & set(spec[0])):
+        bcols, n = spec
+        ids = touched_buckets(matched, bcols, n)
+        in_bkts = store.read_buckets(spark, target_name, ids)
+        new_rows = (in_bkts.filter(~pred)
+                    .unionByName(in_bkts.filter(pred).select(
+                        *[sets.get(c, F.col(c)).alias(c) for c in cols])))
+        return store.commit_buckets(target_name, new_rows, ids,
+                                    changes=changes)
+    new_rows = current.filter(~pred).unionByName(post)
+    return store.commit(target_name, new_rows, changes=changes)
