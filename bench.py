@@ -64,6 +64,12 @@ def main():
             continue
         timings[name] = round(time.time() - t0, 3)
 
+    # Emission order matters for the driver's tail capture: r4's record
+    # lost the total because the summary keys led a single giant line and
+    # truncation cut the FRONT off. Per-query timings go on their own
+    # earlier line; the compact machine-readable summary is the LAST line
+    # so a tail capture of any reasonable size always parses it.
+    print(json.dumps({"per_query_seconds": timings}))
     out = {
         "metric": "total_query_seconds",
         "value": round(sum(timings.values()), 3),

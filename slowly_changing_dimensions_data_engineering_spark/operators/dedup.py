@@ -25,6 +25,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ..session import stabilize
+
 
 def tokens(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
@@ -377,8 +379,8 @@ def minhash_dedup_batch(spark, new_docs: DataFrame, path: str,
     eagerly (a write action) before this returns; batch N+1 then dedups
     against batch N's survivors with no extra wiring — tested in
     tests/test_llm_ops.py."""
-    new_bf = minhash_band_frame(new_docs, id_col, text_col, num_hashes,
-                                bands, n).localCheckpoint(eager=False)
+    new_bf = stabilize(minhash_band_frame(new_docs, id_col, text_col,
+                                        num_hashes, bands, n))
     pairs = minhash_near_dups_incremental(
         spark, new_docs, path, id_col, text_col, num_hashes, bands, n,
         threshold, new_band_frame=new_bf)

@@ -25,11 +25,14 @@ Beyond", SoCC'14) drops rounds to O(log² n) at the cost of emitting
 reshaped edges each round — the propagation loop below is the right
 trade for dedup-shaped graphs.
 
-Each round ``localCheckpoint``s the new label frame: iterative
+Each round ``stabilize``s the new label frame: iterative
 self-referential plans otherwise grow lineage exponentially (analysis
 time, not data) and lose AQE stats. Checkpointing labels — the SMALL
 (node, comp) frame, 2 longs/row — is cheap; edges are checkpointed once
-up front for the same reason.
+up front for the same reason. The checkpoint strategy follows the
+``spark.sds.stabilize.mode`` session conf (``session.stabilize``):
+executor-local blocks by default; ``"reliable"`` for cluster runs where
+a lost executor must not strand the truncated-lineage label frame.
 
 No reference parity: the reference (SCD-Configuration Setup.sql /
 SCD-Automation.sql) has no graph operators; this is north-star LLM-
@@ -39,6 +42,8 @@ pipeline surface (SURVEY.md §2.2).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+from ..session import stabilize
 
 
 def connected_components(pairs: DataFrame, src: str = "d1", dst: str = "d2",
@@ -64,8 +69,9 @@ def connected_components(pairs: DataFrame, src: str = "d1", dst: str = "d2",
     """
     e = pairs.select(F.col(src).cast("long").alias("u"),
                      F.col(dst).cast("long").alias("v")).filter("u IS NOT NULL AND v IS NOT NULL")
-    edges = (e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
-             .filter("u != v").distinct().localCheckpoint(eager=False))
+    edges = stabilize(
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter("u != v").distinct())
     labels = edges.select(F.col("u").alias("node")).distinct() \
                   .select("node", F.col("node").alias("comp"))
 
@@ -90,7 +96,7 @@ def connected_components(pairs: DataFrame, src: str = "d1", dst: str = "d2",
         for _ in range(min(steps_per_action, max_iter - steps_done)):
             cur = step(cur.select("node", "comp"))
             steps_done += 1
-        new_labels = cur.localCheckpoint(eager=False)
+        new_labels = stabilize(cur)
         changed = new_labels.filter("_ch").count()
         labels = new_labels.select("node", "comp")
         if changed == 0:

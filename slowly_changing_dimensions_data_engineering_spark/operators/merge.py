@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..schemas import CDC_ACTION, CDC_ISUPDATE, CDC_ROW_ID
+from ..session import stabilize
 
 
 def _any_changed(cols: list[str], left: str, right: str):
@@ -93,11 +94,14 @@ def plan_upsert(
 
     # Categorize every source row in ONE pass: delete / update / insert /
     # no-op. The categorized frame feeds the CDC unions, the touched-key
-    # sets, and the new rows; a lazy localCheckpoint materializes the
-    # source⋈target join once instead of re-scanning the big target per
-    # branch — the same source-materialization step a Delta MERGE
-    # performs.
-    cat = (
+    # sets, and the new rows; stabilize() materializes the source⋈target
+    # join once instead of re-scanning the big target per branch — the
+    # same source-materialization step a Delta MERGE performs. The
+    # strategy (executor-local blocks vs reliable checkpoint vs pure
+    # lineage) is the spark.sds.stabilize.mode conf: on a large cluster
+    # running a multi-hour merge, set "reliable" so a lost executor
+    # cannot strand this truncated-lineage frame (session.py discussion).
+    cat = stabilize(
         s.join(t.withColumn("_t_present", F.lit(True)), on, "left")
         .withColumn(
             "_op",
@@ -107,7 +111,6 @@ def plan_upsert(
             .when(_any_changed(compare_cols, "t", "s"), F.lit("update"))
             .otherwise(F.lit("noop")),
         )
-        .localCheckpoint(eager=False)
     )
     s_cols = [F.col(f"s.{c}").alias(c) for c in cols]
 
@@ -201,7 +204,7 @@ def merge_upsert(store, spark, target_name: str, source: DataFrame,
     ``plan_upsert`` — source rows satisfying it are tombstones."""
     # Evaluate the (delta-sized) source once; every consumer — bucket
     # probe, join, CDC branches — reuses the materialization.
-    source = source.localCheckpoint(eager=False)
+    source = store.stabilize(source)
     if store.version(target_name) < 0:
         # First load into an empty table: every surviving row is an
         # insert — skip the categorize join entirely (pure append; same
@@ -316,6 +319,17 @@ def update_where(store, spark, target_name: str, predicate,
     ``merge_upsert``'s key-coverage check).
 
     Returns the new version; a predicate matching nothing is a no-op.
+
+    Single-evaluation contract: the matched frame and the post-image
+    (SET expressions + pre-image ROW_ID) are each lazily stabilized
+    (``store.stabilize``), so the snapshot rewrite and the CDC batch
+    derive from ONE evaluation of the predicate and ONE evaluation of
+    every assignment — a nondeterministic SET expression (``rand()``,
+    ``uuid()``, a ``current_timestamp`` backfill) cannot make the change
+    stream diverge from the committed table. The KEPT-row complement
+    (``filter(~pred)``) still re-evaluates the predicate, so the
+    predicate itself must be deterministic (same contract as
+    ``delete_where``).
     """
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
     # NULL-predicate rows are untouched, matching SQL UPDATE.
@@ -330,25 +344,25 @@ def update_where(store, spark, target_name: str, predicate,
     rid = F.md5(F.concat_ws("\x1f", *[F.col(k).cast("string") for k in key]))
 
     current = store.read(spark, target_name)
-    matched = current.filter(pred)
+    matched = store.stabilize(current.filter(pred))
     if matched.isEmpty():
         return store.version(target_name)
 
     # Post-image built in ONE select so every assignment reads the
     # pre-update row (no withColumn chaining, which would let later
-    # assignments observe earlier ones).
-    post = matched.select(*[sets.get(c, F.col(c)).alias(c) for c in cols])
+    # assignments observe earlier ones). ROW_ID must come from the
+    # PRE-image key even when the key itself is assigned — matched still
+    # has the old values, so the rid is computed alongside the
+    # assignments and carried through the post projection.
+    post_proj = [sets.get(c, F.col(c)).alias(c) for c in cols]
+    updated = store.stabilize(matched.select(*post_proj, rid.alias(CDC_ROW_ID)))
+    post = updated.drop(CDC_ROW_ID)
     pre_rows = matched.select(
         *cols, F.lit("DELETE").alias(CDC_ACTION),
         F.lit(True).alias(CDC_ISUPDATE), rid.alias(CDC_ROW_ID))
-    # ROW_ID must come from the PRE-image key even when the key itself
-    # is assigned — matched still has the old values, so computing rid
-    # over matched-with-assignments applied afterwards would be wrong;
-    # instead carry the old-key rid through the post projection.
-    post_rows = matched.select(
-        *[sets.get(c, F.col(c)).alias(c) for c in cols],
-        F.lit("INSERT").alias(CDC_ACTION),
-        F.lit(True).alias(CDC_ISUPDATE), rid.alias(CDC_ROW_ID))
+    post_rows = updated.select(
+        *cols, F.lit("INSERT").alias(CDC_ACTION),
+        F.lit(True).alias(CDC_ISUPDATE), F.col(CDC_ROW_ID))
     changes = pre_rows.unionByName(post_rows)
 
     spec = store.bucket_spec(target_name)
@@ -356,9 +370,10 @@ def update_where(store, spark, target_name: str, predicate,
         bcols, n = spec
         ids = touched_buckets(matched, bcols, n)
         in_bkts = store.read_buckets(spark, target_name, ids)
-        new_rows = (in_bkts.filter(~pred)
-                    .unionByName(in_bkts.filter(pred).select(
-                        *[sets.get(c, F.col(c)).alias(c) for c in cols])))
+        # No assigned column is a bucket column, so every post-image row
+        # stays in a touched bucket — reuse the stabilized post frame
+        # instead of re-running the assignments over the bucket read.
+        new_rows = in_bkts.filter(~pred).unionByName(post)
         return store.commit_buckets(target_name, new_rows, ids,
                                     changes=changes)
     new_rows = current.filter(~pred).unionByName(post)

@@ -39,6 +39,7 @@ import datetime as dt
 from pyspark.sql import DataFrame, functions as F
 
 from ..schemas import CDC_ACTION
+from ..session import stabilize
 
 SCD2_COLS = ["start_date", "end_date", "current_flag"]
 
@@ -118,7 +119,7 @@ def scd2_merge(store, spark, staging_name: str, stream: DataFrame,
     files — see merge.merge_upsert."""
     # The stream batch feeds the bucket probe, the close join and the
     # open anti-join — materialize it once (delta-sized).
-    stream = stream.localCheckpoint(eager=False)
+    stream = stabilize(stream)
     if store.version(staging_name) < 0:
         # Empty staging: nothing can match — every INSERT action opens a
         # version (no close join needed).

@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from ..session import stabilize
+
 
 def as_double(vec: Column | str) -> Column:
     v = F.col(vec) if isinstance(vec, str) else vec
@@ -253,8 +255,9 @@ def embedding_near_dup_pairs(vectors: DataFrame, block_col: str | None = None,
         # caller-provided block column the duplicated sub-plan is just a
         # scan + cheap projections: re-reading beats materializing the
         # whole corpus in executor block storage (and keeps the lineage
-        # recomputable on executor loss).
-        v = v.localCheckpoint(eager=False)
+        # recomputable on executor loss). Strategy per
+        # spark.sds.stabilize.mode (session.stabilize).
+        v = stabilize(v)
     a, b = v.alias("a"), v.alias("b")
     cos = F.round(dot(F.col("a._v"), F.col("b._v"))
                   / (F.col("a._n") * F.col("b._n")), 9)

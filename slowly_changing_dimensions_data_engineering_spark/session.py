@@ -43,6 +43,46 @@ def configure(spark: SparkSession) -> SparkSession:
     return spark
 
 
+#: Runtime conf selecting how iterative / multi-consumer plans are
+#: stabilized (materialized once instead of re-evaluated per consumer).
+#:
+#: - ``"local"`` (default): ``localCheckpoint(eager=False)`` — blocks
+#:   live in executor storage only. Fastest, and the right default on
+#:   local[N] and on clusters where a lost executor may simply rerun the
+#:   job (the store's commits are idempotent per version: a failed
+#:   commit never swaps the pointer). The documented risk: lineage is
+#:   TRUNCATED, so on a 1000-node cluster one lost executor makes the
+#:   checkpointed blocks unrecoverable and fails the job rather than
+#:   recomputing.
+#: - ``"reliable"``: ``df.checkpoint(eager=False)`` — blocks persist to
+#:   ``spark.sparkContext.setCheckpointDir`` storage (HDFS/S3), so the
+#:   plan survives executor loss. The cluster-production choice for
+#:   long multi-hour merges; costs a write+read of the stabilized frame.
+#:   ``get_spark`` points the checkpoint dir at ``$SPARK_GRAFT_CKPT_DIR``
+#:   or a temp dir so the mode works out of the box.
+#: - ``"none"``: return the plan unchanged — pure lineage, fully
+#:   recomputable, but multi-consumer plans re-evaluate per consumer
+#:   (wrong for nondeterministic expressions: the CDC batch could
+#:   diverge from the committed snapshot) and iterative loops grow
+#:   exponential lineage. Only safe for one-shot deterministic plans.
+STABILIZE_MODE_CONF = "spark.sds.stabilize.mode"
+
+
+def stabilize(df, mode: str | None = None):
+    """Materialize-once barrier for plans with multiple consumers or
+    iterative self-reference. Strategy comes from ``mode`` or the
+    session conf ``spark.sds.stabilize.mode`` (see above)."""
+    mode = mode or df.sparkSession.conf.get(STABILIZE_MODE_CONF, "local")
+    if mode == "local":
+        return df.localCheckpoint(eager=False)
+    if mode == "reliable":
+        return df.checkpoint(eager=False)
+    if mode == "none":
+        return df
+    raise ValueError(
+        f"{STABILIZE_MODE_CONF}={mode!r}: expected local|reliable|none")
+
+
 def get_spark(app_name: str = "sds-spark-engine", cpus: int | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
     """Build (or fetch) the engine SparkSession.
@@ -62,4 +102,14 @@ def get_spark(app_name: str = "sds-spark-engine", cpus: int | None = None,
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
-    return configure(builder.getOrCreate())
+    spark = configure(builder.getOrCreate())
+    # Reliable-checkpoint storage for stabilize(mode="reliable"): a
+    # durable shared path in production ($SPARK_GRAFT_CKPT_DIR → HDFS/S3
+    # on a cluster); a local temp dir otherwise so the mode is always
+    # usable. Cheap no-op if already set.
+    if spark.sparkContext._jsc.sc().getCheckpointDir().isEmpty():
+        import tempfile
+        ckpt = os.environ.get("SPARK_GRAFT_CKPT_DIR") or tempfile.mkdtemp(
+            prefix="sds_ckpt_")
+        spark.sparkContext.setCheckpointDir(ckpt)
+    return spark

@@ -94,6 +94,16 @@ class TableStore:
         os.makedirs(os.path.join(root, "_meta"), exist_ok=True)
         os.makedirs(os.path.join(root, "_offsets"), exist_ok=True)
 
+    @staticmethod
+    def stabilize(df: DataFrame, mode: str | None = None) -> DataFrame:
+        """Materialize-once barrier used by the DML operators so snapshot
+        and CDC consumers observe ONE evaluation of a shared frame.
+        Strategy (local checkpoint / reliable checkpoint / pure lineage)
+        comes from the ``spark.sds.stabilize.mode`` session conf — see
+        ``session.stabilize`` for the cluster-fault-tolerance tradeoff."""
+        from .session import stabilize
+        return stabilize(df, mode)
+
     # ---- paths -----------------------------------------------------------
     def _tdir(self, name: str) -> str:
         return os.path.join(self.root, name)
