@@ -162,7 +162,8 @@ def ivf_search_index_inplan(spark, path: str, query_df: DataFrame,
                             centroids: DataFrame, k: int = 5,
                             nprobe: int = 1, id_col: str = "vec_id",
                             vec_col: str = "embedding",
-                            single_query: bool = True) -> DataFrame:
+                            single_query: bool = True,
+                            pre_filter=None) -> DataFrame:
     """ANN top-k over a materialized IVF index with the query row
     resolved INSIDE the plan — no driver ``.head()``/``collect`` in the
     build path. The query's ``nprobe`` nearest clusters are ranked with
@@ -174,6 +175,17 @@ def ivf_search_index_inplan(spark, path: str, query_df: DataFrame,
     ``dynamicpruning`` in the plan). Prefer this for registered /
     production queries; the literal-probe ``ivf_search_index`` remains
     for precomputed probe lists.
+
+    ``pre_filter`` (Column or SQL string over the INDEX's columns) is
+    the hybrid-search composition: a metadata predicate applied to the
+    probed partitions BEFORE any cosine is scored. Because it sits
+    directly on the index scan, simple predicates reach the parquet
+    reader (``PushedFilters``) and compose with the partition pruning —
+    the 100 TB filtered-ANN plan reads (probed clusters) ∩ (predicate
+    row groups), never the corpus. Pre-filtering keeps the top-k EXACT
+    over the filtered probed set (post-filtering an unfiltered k would
+    silently under-fill under selective predicates — the classic
+    hybrid-search recall bug).
 
     ``single_query=True`` (default) ENFORCES the one-query contract with
     ``query_df.limit(1)`` and keeps the global top-k tail — a
@@ -197,6 +209,9 @@ def ivf_search_index_inplan(spark, path: str, query_df: DataFrame,
               .filter(F.col("_r") <= nprobe)
               .select("_qid", "_qv", "_qc"))
     idx = spark.read.parquet(path)
+    if pre_filter is not None:
+        pf = F.expr(pre_filter) if isinstance(pre_filter, str) else pre_filter
+        idx = idx.filter(pf)
     joined = idx.join(
         F.broadcast(probes), (idx["centroid_id"] == probes["_qc"]) &
         (idx[id_col] != probes["_qid"]))

@@ -48,9 +48,18 @@ def register(name: str, oracle: str | None):
 # documented decision rather than an accident of registration position:
 # queries that do not yet have a driver-confirmed green row are promoted
 # into the first 50, displacing queries already confirmed green in two
-# consecutive prior rounds (r2 + r3).  Rotate per round until every
-# registered query has at least one green driver row on record.
+# consecutive prior rounds.  Rotate per round until every registered
+# query has at least one green driver row on record.
+#
+# r5 rotation: the 23 r4-new queries stay on the board for their second
+# consecutive green (two-green exit rule); the 2 r5-new queries
+# (ivf_recall_nprobe, ann_filtered_topk_index) enter; two r3+r4-green
+# queries untouched by this round's changes are demoted to make the
+# board exactly 50. The IVF family is KEPT on the board despite r3+r4
+# greens because r5 changed the shared index layout (label column).
 _BOARD_DEMOTE = [
+    "doc_token_stats",          # green r3 + r4
+    "dedup_prefix_fingerprint",  # green r3 + r4
     "events_sliding_1h_15m",    # green r2 + r3
     "events_session_30m",       # green r2 + r3
     "approx_distinct_nations",  # green r2 + r3
@@ -1046,7 +1055,10 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> str:
     cents = (e.filter(F.col("vec_id") < _IVF_N_CENTROIDS)
              .select(F.col("vec_id").alias("centroid_id"), "embedding"))
     path = tempfile.mkdtemp(prefix="sds_ivf_") + "/index"
-    ivf_build_index(e.select("vec_id", "embedding"), cents, path)
+    # label rides along into the index: filtered (hybrid) search needs
+    # the metadata column NEXT TO the vectors so its predicate prunes
+    # row groups inside the probed partitions (ann_filtered_topk_index).
+    ivf_build_index(e.select("vec_id", "label", "embedding"), cents, path)
     _IVF_INDEX_CACHE[sf_dir] = path
     return path
 
@@ -1159,6 +1171,98 @@ def ivf_recall_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.col("_h") / 10.0, 3).alias("recall_at_10"),
                 (F.col("_h") / 10.0 >= 0.8).alias("recall_ok"))
     )
+
+
+@register("ivf_recall_nprobe", f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings
+      WHERE vec_id < {_IVF_N_CENTROIDS}),
+scored AS (
+  SELECT v.vec_id, c.cid,
+         round(list_dot_product(
+                 list_transform(range(1, len(ve)+1), i -> ve[i] - ce[i]),
+                 list_transform(range(1, len(ve)+1), i -> ve[i] - ce[i])), 9) AS d
+  FROM v, c
+),
+assign AS (
+  SELECT vec_id, cid FROM scored
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+),
+q AS (SELECT ve AS qv FROM v WHERE vec_id = {_IVF_QUERY_ID}),
+cdist AS (
+  SELECT cid, round(list_dot_product(
+           list_transform(range(1, len(ce)+1), i -> ce[i] - qv[i]),
+           list_transform(range(1, len(ce)+1), i -> ce[i] - qv[i])), 9) AS d
+  FROM c, q
+),
+probes1 AS (SELECT cid FROM cdist ORDER BY d, cid LIMIT 1),
+probes4 AS (SELECT cid FROM cdist ORDER BY d, cid LIMIT 4),
+exact AS (
+  SELECT v.vec_id FROM v, q WHERE v.vec_id != {_IVF_QUERY_ID}
+  ORDER BY round(list_dot_product(ve, qv) /
+           (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(qv, qv))), 9)
+           DESC, v.vec_id
+  LIMIT 10
+),
+ann1 AS (
+  SELECT v.vec_id FROM v JOIN assign a USING (vec_id), q
+  WHERE a.cid IN (SELECT cid FROM probes1) AND v.vec_id != {_IVF_QUERY_ID}
+  ORDER BY round(list_dot_product(ve, qv) /
+           (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(qv, qv))), 9)
+           DESC, v.vec_id
+  LIMIT 10
+),
+ann4 AS (
+  SELECT v.vec_id FROM v JOIN assign a USING (vec_id), q
+  WHERE a.cid IN (SELECT cid FROM probes4) AND v.vec_id != {_IVF_QUERY_ID}
+  ORDER BY round(list_dot_product(ve, qv) /
+           (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(qv, qv))), 9)
+           DESC, v.vec_id
+  LIMIT 10
+)
+SELECT round((SELECT count(*) FROM ann1 JOIN exact USING (vec_id)) / 10.0, 3)
+         AS recall_nprobe1,
+       round((SELECT count(*) FROM ann4 JOIN exact USING (vec_id)) / 10.0, 3)
+         AS recall_nprobe4,
+       (SELECT count(*) FROM ann4 JOIN exact USING (vec_id)) >=
+       (SELECT count(*) FROM ann1 JOIN exact USING (vec_id)) AS monotone_ok
+""")
+def ivf_recall_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe recall contract (r4 VERDICT ask #7): the SAME
+    persisted IVF index searched at nprobe=1 and nprobe=4, both recalls
+    measured against the exact top-10, with the monotonicity guarantee
+    pinned as a boolean. Probing more clusters can only GROW the
+    candidate set, and any exact-top-10 member inside the candidates is
+    always inside the candidates' top-10 (fewer than 10 vectors beat it
+    globally), so recall(nprobe=4) ≥ recall(nprobe=1) is a theorem of
+    the operator — this query makes the driver's oracle prove it holds
+    in the implementation. Cost: two partition-pruned index scans (1 +
+    4 cluster directories) + one brute-force exactness baseline."""
+    from .operators.similarity import as_double, cosine, ivf_search_index_inplan
+
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    cents = (e.filter(F.col("vec_id") < _IVF_N_CENTROIDS)
+             .select(F.col("vec_id").alias("centroid_id"), "embedding"))
+    qrow = (e.filter(F.col("vec_id") == _IVF_QUERY_ID)
+            .select("vec_id", "embedding"))
+    qv = qrow.select(as_double("embedding").alias("_qv"))
+    exact = (e.filter(F.col("vec_id") != _IVF_QUERY_ID)
+             .crossJoin(F.broadcast(qv))
+             .select("vec_id",
+                     cosine(as_double("embedding"), F.col("_qv")).alias("cosine"))
+             .orderBy(F.desc("cosine"), F.asc("vec_id")).limit(10)
+             .select("vec_id"))
+    path = _ivf_index(spark, sf_dir)
+    hits = {}
+    for np_ in (1, 4):
+        ann = (ivf_search_index_inplan(spark, path, qrow, cents, k=10,
+                                       nprobe=np_).select("vec_id"))
+        hits[np_] = exact.join(ann, "vec_id").agg(
+            F.count("*").alias(f"_h{np_}"))
+    return (hits[1].crossJoin(hits[4])
+            .select(F.round(F.col("_h1") / 10.0, 3).alias("recall_nprobe1"),
+                    F.round(F.col("_h4") / 10.0, 3).alias("recall_nprobe4"),
+                    (F.col("_h4") >= F.col("_h1")).alias("monotone_ok")))
 
 
 _ANN_BATCH_IDS = (42, 137, 256)
@@ -2299,7 +2403,8 @@ ranked AS (
   FROM documents
 )
 SELECT q.source, q.n_avail, q.quota,
-       CAST(COUNT(r.doc_id) AS BIGINT) AS n_kept
+       CAST(COUNT(r.doc_id) AS BIGINT) AS n_kept,
+       CAST(COALESCE(SUM(r.doc_id), 0) AS BIGINT) AS kept_id_sum
 FROM quota q LEFT JOIN ranked r ON r.source = q.source AND r.rn <= q.quota
 GROUP BY q.source, q.n_avail, q.quota
 """)
@@ -2307,30 +2412,36 @@ def domain_mix_quotas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-mix resampling: each source domain gets a TARGET weight
     (even-indexed sources 3×, a stand-in for 'books over web'), the
     corpus budget is 40% of the total, and each domain keeps exactly
-    min(quota, available) docs by deterministic hash rank. This is the
-    domain-mixing step between curation and tokenization — unlike
-    stratified_sample_docs (uniform fraction per stratum) the quota here
-    is a per-domain policy times a corpus-wide budget, so the plan needs
-    the 1-row total broadcast into the per-domain quota computation.
-    Scale: one hash shuffle on source (WindowGroupLimit bounds rank
-    spill), one broadcast of the totals frame."""
+    min(quota, available) docs by deterministic hash rank.
+
+    Scale path (r4 VERDICT finding #1 fixed): the kept set comes from
+    ``operators.sampling.hash_quota_take`` — per-(domain, hash-bucket)
+    counts locate the quota boundary, full buckets pass a broadcast
+    join, and ONLY the boundary bucket is ranked — so no per-domain
+    corpus sort exists anywhere in the plan (the old
+    ``row_number over (partition by source)`` sorted the dominant
+    domain's entire partition; a column-bound quota gets no
+    WindowGroupLimit pushdown). The oracle ranks the corpus the naive
+    way and must agree on ``kept_id_sum``, which pins the kept SET —
+    not just its size — to the rank semantics."""
+    from .operators.sampling import hash_quota_take
     d = _t(spark, sf_dir, "documents")["documents"]
     tot = d.agg(F.count("*").alias("_n"))
     si = F.substring("source", 4, 10).cast("int")
     w = F.when(si % 2 == 0, F.lit(0.075)).otherwise(F.lit(0.025))
-    rn = F.row_number().over(
-        W.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")),
-                                        "doc_id"))
-    ranked = (d.crossJoin(F.broadcast(tot))
-              .select("doc_id", "source",
+    quotas = (d.groupBy("source").agg(F.count("*").alias("n_avail"))
+              .crossJoin(F.broadcast(tot))
+              .select("source", "n_avail",
                       F.round(F.col("_n") * 0.4 * w, 0).cast("long")
-                       .alias("quota"),
-                      rn.alias("rn")))
-    return (ranked.groupBy("source", "quota")
-            .agg(F.count("*").alias("n_avail"),
-                 F.sum((F.col("rn") <= F.col("quota")).cast("long"))
-                  .alias("n_kept"))
-            .select("source", "n_avail", "quota", "n_kept"))
+                      .alias("quota")))
+    kept = hash_quota_take(d.select("doc_id", "source"),
+                           quotas.select("source", "quota"))
+    per_src = kept.groupBy("source").agg(
+        F.count("*").alias("_k"), F.sum("doc_id").alias("_ks"))
+    return (quotas.join(F.broadcast(per_src), "source", "left")
+            .select("source", "n_avail", "quota",
+                    F.coalesce(F.col("_k"), F.lit(0)).alias("n_kept"),
+                    F.coalesce(F.col("_ks"), F.lit(0)).alias("kept_id_sum")))
 
 
 @register("sequence_packing_bins", """
@@ -2459,6 +2570,97 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(10)
+    )
+
+
+@register("ann_filtered_topk_index", f"""
+WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS ve FROM embeddings),
+c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings
+      WHERE vec_id < {_IVF_N_CENTROIDS}),
+scored AS (
+  SELECT v.vec_id, c.cid,
+         round(list_dot_product(
+                 list_transform(range(1, len(ve)+1), i -> ve[i] - ce[i]),
+                 list_transform(range(1, len(ve)+1), i -> ve[i] - ce[i])), 9) AS d
+  FROM v, c
+),
+assign AS (
+  SELECT vec_id, cid FROM scored
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+),
+q AS (SELECT ve AS qv FROM v WHERE vec_id = {_IVF_QUERY_ID}),
+probes AS (
+  SELECT cid FROM c, q
+  ORDER BY round(list_dot_product(
+             list_transform(range(1, len(ce)+1), i -> ce[i] - qv[i]),
+             list_transform(range(1, len(ce)+1), i -> ce[i] - qv[i])), 9), cid
+  LIMIT 5
+),
+exact AS (
+  SELECT v.vec_id FROM v, q
+  WHERE v.label IN (1, 4, 7) AND v.vec_id != {_IVF_QUERY_ID}
+  ORDER BY round(list_dot_product(ve, qv) /
+           (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(qv, qv))), 9)
+           DESC, v.vec_id
+  LIMIT 10
+),
+ann AS (
+  SELECT v.vec_id FROM v JOIN assign a USING (vec_id), q
+  WHERE a.cid IN (SELECT cid FROM probes)
+    AND v.label IN (1, 4, 7) AND v.vec_id != {_IVF_QUERY_ID}
+  ORDER BY round(list_dot_product(ve, qv) /
+           (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(qv, qv))), 9)
+           DESC, v.vec_id
+  LIMIT 10
+)
+SELECT (SELECT count(*) FROM exact) AS n_exact,
+       (SELECT count(*) FROM ann) AS n_ann,
+       round((SELECT count(*) FROM ann JOIN exact USING (vec_id)) / 10.0, 3)
+         AS recall_at_10,
+       (SELECT count(*) FROM ann JOIN exact USING (vec_id)) / 10.0 >= 0.5
+         AS recall_ok
+""")
+def ann_filtered_topk_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INDEX-COMPOSED filtered vector search (r4 VERDICT ask #2): the
+    metadata predicate (``label IN (1,4,7)``) applied INSIDE the probed
+    IVF partitions via ``ivf_search_index_inplan(pre_filter=...)``. The
+    100 TB plan: dynamic partition pruning limits the scan to the 5
+    probed cluster directories, the label predicate reaches the parquet
+    reader of THOSE files (PushedFilters — plan-asserted in
+    tests/test_llm_ops.py), and top-k is exact over the filtered probed
+    set, so a selective predicate can never under-fill k (the
+    hybrid-search recall bug ``ann_filtered_topk`` documents). The
+    full-corpus-scan exact query remains registered as the semantics
+    oracle; THIS query is its recall contract — the driver's oracle
+    recomputes both top-10s and must agree on recall@10 exactly
+    (``ivf_recall_at10`` pattern). n_ann pins the no-under-fill
+    property: 10 rows even though the predicate keeps ~30% of rows."""
+    from .operators.similarity import as_double, cosine, ivf_search_index_inplan
+
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    cents = (e.filter(F.col("vec_id") < _IVF_N_CENTROIDS)
+             .select(F.col("vec_id").alias("centroid_id"), "embedding"))
+    qrow = (e.filter(F.col("vec_id") == _IVF_QUERY_ID)
+            .select("vec_id", "embedding"))
+    qv = qrow.select(as_double("embedding").alias("_qv"))
+    flt = F.col("label").isin(1, 4, 7)
+    exact = (e.filter(flt).filter(F.col("vec_id") != _IVF_QUERY_ID)
+             .crossJoin(F.broadcast(qv))
+             .select("vec_id",
+                     cosine(as_double("embedding"), F.col("_qv")).alias("cosine"))
+             .orderBy(F.desc("cosine"), F.asc("vec_id")).limit(10)
+             .select("vec_id"))
+    path = _ivf_index(spark, sf_dir)
+    ann = (ivf_search_index_inplan(spark, path, qrow, cents, k=10, nprobe=5,
+                                   pre_filter=flt).select("vec_id"))
+    hits = exact.join(ann, "vec_id").agg(F.count("*").alias("_h"))
+    return (
+        exact.agg(F.count("*").alias("n_exact"))
+        .crossJoin(ann.agg(F.count("*").alias("n_ann")))
+        .crossJoin(hits)
+        .select("n_exact", "n_ann",
+                F.round(F.col("_h") / 10.0, 3).alias("recall_at_10"),
+                (F.col("_h") / 10.0 >= 0.5).alias("recall_ok"))
     )
 
 

@@ -22,6 +22,8 @@ SF = "/root/testdata/sf0.001"
 NESTED_LOOP_ALLOWED = {"embed_topk_cosine", "ann_filtered_topk",
                        "ivf_search_ann",
                        "ivf_recall_at10", "ann_batch_topk",
+                       # same 1-row query/centroid broadcast shapes
+                       "ivf_recall_nprobe", "ann_filtered_topk_index",
                        # crossJoin of three 1-row aggregate frames
                        "semantic_dedup_summary",
                        # 1-row corpus-total broadcast into quota math
@@ -67,7 +69,9 @@ def test_board_order_covers_unconfirmed_queries():
               "delete_dml_state_stats", "decontamination_overlap",
               "domain_mix_quotas", "sequence_packing_bins",
               "classifier_quality_scores", "ann_filtered_topk",
-              "funnel_conversion_users", "pretraining_pipeline_summary"):
+              "funnel_conversion_users", "pretraining_pipeline_summary",
+              # r5-new queries (no driver row yet)
+              "ivf_recall_nprobe", "ann_filtered_topk_index"):
         assert n in board, n
     # oracle_sql() iterates in the same board order as queries()
     oracle_names = list(q.oracle_sql())
