@@ -1011,8 +1011,19 @@ def doc_text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IVF_QUERY_ID = 42
 _IVF_N_CENTROIDS = 8
-#: sf_dir -> materialized index path (built once per process).
-_IVF_INDEX_CACHE: dict[str, str] = {}
+#: sf_dir -> (materialized index path, n_centroids) (built once per process).
+_IVF_INDEX_CACHE: dict[str, tuple[str, int]] = {}
+
+#: Rows per IVF cell the index layout targets. Centroid count scales as
+#: ``max(8, n // 250)`` so cell POPULATION stays ~constant as the corpus
+#: grows — the property that keeps every cell-blocked cost (near-dup
+#: self-join candidates per cell, probed-partition scan bytes per query)
+#: LINEAR in corpus size; a fixed k would make blocked self-joins
+#: O(n²/k) = quadratic at 10× data. At the driver's oracle scales
+#: (sf ≤ 0.1, n ≤ 2000 vectors) the formula floors at the
+#: oracle-pinned k=8, so correctness rows and bench baselines are
+#: unaffected; the sf1 soak (20k vectors) gets k=80.
+_IVF_CELL_ROWS = 250
 
 _IVF_ORACLE = f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
@@ -1043,24 +1054,40 @@ LIMIT 10
 
 def _ivf_index(spark: SparkSession, sf_dir: str) -> str:
     """Build (once per sf_dir) the centroid-partitioned IVF index;
-    centroids = the first {_IVF_N_CENTROIDS} vectors (deterministic)."""
+    centroids = the first ``max(8, n // _IVF_CELL_ROWS)`` vectors
+    (deterministic; see _IVF_CELL_ROWS for the linear-scaling rationale).
+    """
+    return _ivf_index_and_cents(spark, sf_dir)[0]
+
+
+def _ivf_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The centroid frame matching the persisted index's layout."""
+    return _ivf_index_and_cents(spark, sf_dir)[1]
+
+
+def _ivf_index_and_cents(spark, sf_dir) -> tuple[str, DataFrame]:
     import os
 
     from .operators.similarity import ivf_build_index
 
-    path = _IVF_INDEX_CACHE.get(sf_dir)
-    if path and os.path.exists(path):
-        return path
     e = _t(spark, sf_dir, "embeddings")["embeddings"]
-    cents = (e.filter(F.col("vec_id") < _IVF_N_CENTROIDS)
+    cached = _IVF_INDEX_CACHE.get(sf_dir)
+    if cached and os.path.exists(cached[0]):
+        path, k = cached
+    else:
+        k = max(_IVF_N_CENTROIDS, e.count() // _IVF_CELL_ROWS)
+        cents = (e.filter(F.col("vec_id") < k)
+                 .select(F.col("vec_id").alias("centroid_id"), "embedding"))
+        path = tempfile.mkdtemp(prefix="sds_ivf_") + "/index"
+        # label rides along into the index: filtered (hybrid) search
+        # needs the metadata column NEXT TO the vectors so its predicate
+        # prunes row groups inside the probed partitions
+        # (ann_filtered_topk_index).
+        ivf_build_index(e.select("vec_id", "label", "embedding"), cents, path)
+        _IVF_INDEX_CACHE[sf_dir] = (path, k)
+    cents = (e.filter(F.col("vec_id") < k)
              .select(F.col("vec_id").alias("centroid_id"), "embedding"))
-    path = tempfile.mkdtemp(prefix="sds_ivf_") + "/index"
-    # label rides along into the index: filtered (hybrid) search needs
-    # the metadata column NEXT TO the vectors so its predicate prunes
-    # row groups inside the probed partitions (ann_filtered_topk_index).
-    ivf_build_index(e.select("vec_id", "label", "embedding"), cents, path)
-    _IVF_INDEX_CACHE[sf_dir] = path
-    return path
+    return path, cents
 
 
 @register("ivf_search_ann", _IVF_ORACLE)
@@ -1075,8 +1102,7 @@ def ivf_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import ivf_search_index_inplan
 
     e = _t(spark, sf_dir, "embeddings")["embeddings"]
-    cents = (e.filter(F.col("vec_id") < _IVF_N_CENTROIDS)
-             .select(F.col("vec_id").alias("centroid_id"), "embedding"))
+    cents = _ivf_cents(spark, sf_dir)
     qrow = (e.filter(F.col("vec_id") == _IVF_QUERY_ID)
             .select("vec_id", "embedding"))
     path = _ivf_index(spark, sf_dir)
@@ -1137,18 +1163,19 @@ def ivf_recall_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
     resolved fully in-plan; the intersection and recall are one tiny
     aggregate over two 10-row frames.
 
-    nprobe is pinned to 5 (of 8 clusters) because the synthetic
-    embeddings are isotropic random vectors — same-label and cross-label
-    mean cosine are both ~0, so NO partitioning has structure to exploit
-    and recall grows ≈ linearly with the scanned fraction (measured:
-    nprobe 2→0.5, 4→0.7, 5→0.8, 6→0.9). The contract pins the recall
-    MEASUREMENT machinery; on a real clustered corpus the same query
-    reaches 0.8 with nprobe ≪ n_clusters."""
+    nprobe is pinned to 5 (of the oracle-pinned 8 clusters at driver
+    scales; centroid count scales max(8, n//250) beyond — see
+    _IVF_CELL_ROWS) because the synthetic embeddings are isotropic
+    random vectors — same-label and cross-label mean cosine are both
+    ~0, so NO partitioning has structure to exploit and recall grows ≈
+    linearly with the scanned fraction (measured: nprobe 2→0.5, 4→0.7,
+    5→0.8, 6→0.9). The contract pins the recall MEASUREMENT machinery;
+    on a real clustered corpus the same query reaches 0.8 with
+    nprobe ≪ n_clusters."""
     from .operators.similarity import as_double, cosine, ivf_search_index_inplan
 
     e = _t(spark, sf_dir, "embeddings")["embeddings"]
-    cents = (e.filter(F.col("vec_id") < _IVF_N_CENTROIDS)
-             .select(F.col("vec_id").alias("centroid_id"), "embedding"))
+    cents = _ivf_cents(spark, sf_dir)
     qrow = (e.filter(F.col("vec_id") == _IVF_QUERY_ID)
             .select("vec_id", "embedding"))
 
@@ -1241,8 +1268,7 @@ def ivf_recall_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import as_double, cosine, ivf_search_index_inplan
 
     e = _t(spark, sf_dir, "embeddings")["embeddings"]
-    cents = (e.filter(F.col("vec_id") < _IVF_N_CENTROIDS)
-             .select(F.col("vec_id").alias("centroid_id"), "embedding"))
+    cents = _ivf_cents(spark, sf_dir)
     qrow = (e.filter(F.col("vec_id") == _IVF_QUERY_ID)
             .select("vec_id", "embedding"))
     qv = qrow.select(as_double("embedding").alias("_qv"))
@@ -1307,8 +1333,7 @@ def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import ivf_search_index_inplan
 
     e = _t(spark, sf_dir, "embeddings")["embeddings"]
-    cents = (e.filter(F.col("vec_id") < _IVF_N_CENTROIDS)
-             .select(F.col("vec_id").alias("centroid_id"), "embedding"))
+    cents = _ivf_cents(spark, sf_dir)
     qrows = (e.filter(F.col("vec_id").isin(*_ANN_BATCH_IDS))
              .select("vec_id", "embedding"))
     path = _ivf_index(spark, sf_dir)
@@ -2638,8 +2663,7 @@ def ann_filtered_topk_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import as_double, cosine, ivf_search_index_inplan
 
     e = _t(spark, sf_dir, "embeddings")["embeddings"]
-    cents = (e.filter(F.col("vec_id") < _IVF_N_CENTROIDS)
-             .select(F.col("vec_id").alias("centroid_id"), "embedding"))
+    cents = _ivf_cents(spark, sf_dir)
     qrow = (e.filter(F.col("vec_id") == _IVF_QUERY_ID)
             .select("vec_id", "embedding"))
     qv = qrow.select(as_double("embedding").alias("_qv"))

@@ -98,6 +98,14 @@ def get_spark(app_name: str = "sds-spark-engine", cpus: int | None = None,
         .master(f"local[{n}]")
         .config("spark.sql.shuffle.partitions", str(parts))
         .config("spark.driver.maxResultSize", "4g")
+        # local mode: driver heap IS the executor heap. The JVM default
+        # (1g) OOMs building sub-threshold broadcast tables once the
+        # data reaches sf1 (150k-row dimensions under the 64MB
+        # broadcast cap) — size it to the box, overridable for small
+        # harnesses. Launch-time conf: applies to the session that
+        # creates the JVM.
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     for k, v in RUNTIME_CONFS.items():
