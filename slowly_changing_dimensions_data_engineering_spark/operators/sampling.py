@@ -48,6 +48,35 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 
+def shard_assign(docs: DataFrame, n_shards: int, seed: str = "epoch0",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Deterministic global shuffle into training shards — the epoch
+    shuffle a pretraining loader needs: every row gets a pseudo-random
+    ``(shard, pos)`` that is a pure function of ``(seed, id)``, so any
+    worker can recompute the permutation and a re-run (or a different
+    engine — see the oracle twin) produces the identical epoch order.
+
+    Shape: ``md5(seed:id)`` orders rows; the hash PREFIX (mod n_shards)
+    places each row in a shard; ``pos`` ranks within the shard by the
+    full hash. The only data movement is ONE hash shuffle on the shard
+    id and a per-shard sort — exactly the repartition+sortWithinPartitions
+    a shard writer performs anyway; no global sort exists. Scale knob:
+    shard COUNT grows with the corpus (shard size, and therefore the
+    per-partition sort, stays constant — at 100 TB you run 100k shards
+    of ~1 GB, each sorted independently in its own task).
+
+    Returns (id_col, shard, pos); pos is 1-based within its shard.
+    New epoch = new seed — a full, independent reshuffle.
+    """
+    h = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    d = docs.select(F.col(id_col), h.alias("_h")).withColumn(
+        "_shard", (F.conv(F.substring("_h", 1, 4), 16, 10).cast("long")
+                   % n_shards))
+    w = Window.partitionBy("_shard").orderBy("_h", id_col)
+    return d.select(id_col, F.col("_shard").alias("shard"),
+                    F.row_number().over(w).cast("long").alias("pos"))
+
+
 def hash_quota_take(docs: DataFrame, quotas: DataFrame,
                     domain_col: str = "source", id_col: str = "doc_id",
                     quota_col: str = "quota",

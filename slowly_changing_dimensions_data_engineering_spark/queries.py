@@ -60,6 +60,9 @@ def register(name: str, oracle: str | None):
 _BOARD_DEMOTE = [
     "doc_token_stats",          # green r3 + r4
     "dedup_prefix_fingerprint",  # green r3 + r4
+    "embed_topk_cosine",        # green r3 + r4, untouched in r5
+    "multimodal_binary_stats",  # green r3 + r4, untouched in r5
+    "pandas_udf_charge",        # green r3 + r4, untouched in r5
     "events_sliding_1h_15m",    # green r2 + r3
     "events_session_30m",       # green r2 + r3
     "approx_distinct_nations",  # green r2 + r3
@@ -2836,3 +2839,93 @@ def pretraining_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("n_well_formed"),
         F.sum(surv.cast("long")).alias("n_clean"),
         F.countDistinct(F.when(surv, F.col("fp"))).alias("n_unique"))
+
+
+# =====================================================================
+# r5 additions: epoch shuffling, vocabulary stats, statistical aggs
+# =====================================================================
+
+
+@register("epoch_shuffle_shards", """
+WITH h AS (
+  SELECT doc_id, md5('epoch1:' || CAST(doc_id AS VARCHAR)) AS hx
+  FROM documents
+)
+SELECT doc_id,
+       ('0x' || substr(hx, 1, 4))::BIGINT % 16 AS shard,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY ('0x' || substr(hx, 1, 4))::BIGINT % 16
+         ORDER BY hx, doc_id) AS BIGINT) AS pos
+FROM h
+""")
+def epoch_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle into training shards
+    (operators/sampling.py::shard_assign): every document gets a
+    (shard, pos) that is a pure function of (seed, doc_id) — the global
+    pseudo-random permutation a pretraining data loader replays
+    identically on every worker and every engine (the oracle recomputes
+    the same permutation from the same md5). Plan: ONE hash shuffle on
+    the shard id + per-shard sort (the repartition+sortWithinPartitions
+    a shard writer runs anyway); no global sort. Shard count scales
+    with the corpus so the per-shard sort stays constant-size."""
+    from .operators.sampling import shard_assign
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return shard_assign(d, n_shards=16, seed="epoch1")
+
+
+@register("token_freq_topk", """
+WITH tok AS (
+  SELECT unnest(string_split(trim(text), ' ')) AS token FROM documents
+)
+SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+FROM tok WHERE token != ''
+GROUP BY token
+ORDER BY n DESC, token
+LIMIT 25
+""")
+def token_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics — the precursor to tokenizer
+    training (BPE/unigram corpora start from exactly this frequency
+    table): explode whitespace tokens, count, top-25 by frequency with
+    a deterministic token tiebreak. Plan: the explode is a generator
+    inside whole-stage codegen, the count is a two-phase hash
+    aggregate (map-side partials shrink the shuffle to |vocab|), and
+    the top-k is TakeOrderedAndProject over the aggregated frame — at
+    100 TB the shuffle carries the vocabulary (millions of rows), not
+    the corpus token stream (trillions)."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    return (d.select(F.explode(F.split(F.trim("text"), " ")).alias("token"))
+            .filter(F.col("token") != "")
+            .groupBy("token").agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), F.asc("token"))
+            .limit(25))
+
+
+@register("stats_aggregates_lineitem", """
+SELECT round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+       round(stddev_samp(l_discount), 6) AS std_discount,
+       round(var_pop(l_tax), 6) AS varp_tax,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price
+FROM lineitem
+""")
+def stats_aggregates_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family (corr / covar / stddev / variance /
+    exact median) in one pass over the fact table — the profiling
+    surface a feature-engineering pipeline runs. All five are single
+    streaming aggregates with partial merge (Welford-style co-moment
+    updates), so the plan is scan → partial agg → 1-row final merge:
+    no shuffle of the data, only of the per-partition moment tuples.
+    Exact median is the one non-mergeable member (Spark's percentile
+    collects a per-partition digest); results rounded so the two
+    engines' merge orders cannot flip a low-order bit."""
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    return li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4)
+         .alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2)
+         .alias("covar_qty_price"),
+        F.round(F.stddev_samp("l_discount"), 6).alias("std_discount"),
+        F.round(F.var_pop("l_tax"), 6).alias("varp_tax"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4)
+         .alias("median_price"))

@@ -71,7 +71,9 @@ def test_board_order_covers_unconfirmed_queries():
               "classifier_quality_scores", "ann_filtered_topk",
               "funnel_conversion_users", "pretraining_pipeline_summary",
               # r5-new queries (no driver row yet)
-              "ivf_recall_nprobe", "ann_filtered_topk_index"):
+              "ivf_recall_nprobe", "ann_filtered_topk_index",
+              "epoch_shuffle_shards", "token_freq_topk",
+              "stats_aggregates_lineitem"):
         assert n in board, n
     # oracle_sql() iterates in the same board order as queries()
     oracle_names = list(q.oracle_sql())

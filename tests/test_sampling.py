@@ -72,6 +72,31 @@ def test_wider_bucket_space_same_result(spark):
     assert a == b and len(a) == 77
 
 
+def test_shard_assign_is_deterministic_permutation(spark):
+    """Epoch shuffle: (shard, pos) pairs are unique (a true
+    permutation), reproducible run-to-run, reshuffled by seed, and
+    shards stay balanced."""
+    from slowly_changing_dimensions_data_engineering_spark.operators.sampling import shard_assign
+    docs = spark.createDataFrame([Row(doc_id=i) for i in range(400)])
+    a = shard_assign(docs, n_shards=8, seed="e1").collect()
+    b = shard_assign(docs, n_shards=8, seed="e1").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # replayable
+    slots = {(r["shard"], r["pos"]) for r in a}
+    assert len(slots) == 400                               # permutation
+    sizes = {}
+    for r in a:
+        sizes[r["shard"]] = sizes.get(r["shard"], 0) + 1
+    assert set(sizes) == set(range(8))
+    assert max(sizes.values()) < 2.2 * min(sizes.values())  # balanced
+    for s, n in sizes.items():                              # pos dense 1..n
+        ps = sorted(r["pos"] for r in a if r["shard"] == s)
+        assert ps == list(range(1, n + 1))
+    c = shard_assign(docs, n_shards=8, seed="e2").collect()
+    moved = sum(1 for x, y in zip(sorted(map(tuple, a)), sorted(map(tuple, c)))
+                if x != y)
+    assert moved > 300                                      # new epoch reshuffles
+
+
 def test_no_corpus_rank_in_plan(spark):
     """Every row_number window must partition by (domain, hash-bucket) —
     never by domain alone over the corpus — and the corpus-side join
