@@ -283,3 +283,29 @@ def embedding_near_dup_pairs(vectors: DataFrame, block_col: str | None = None,
                 cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def quantize_int8(vectors: DataFrame, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Per-vector symmetric int8 quantization — the 4× (vs float32)
+    index-compression step production ANN systems apply before scale-out
+    (a 100 TB float corpus becomes 25 TB of int8 + one scale per
+    vector). ``q[i] = floor(x[i] * 127 / amax + 0.5)`` with
+    ``amax = max|x|``; ``floor(v + 0.5)`` instead of round() because the
+    two engines' round() half-rule differs (HALF_UP vs half-even) while
+    floor is identical — the oracle twin must quantize bit-equally.
+
+    Cosine over quantized vectors needs NO dequantization: the
+    per-vector scale divides out of the cosine, so ``cosine(q_a, q_b)``
+    IS the quantized-space similarity (dot products run on small ints).
+    Reconstruction ``x̂ = q * amax / 127`` serves the error metric.
+
+    Pure codegen map (transform/aggregate over the array column): no
+    shuffle, no Python. Returns (id, q  int array, amax double).
+    """
+    v = as_double(vec_col)
+    amax_raw = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    amax = F.when(amax_raw == 0, F.lit(1.0)).otherwise(amax_raw)
+    q = F.transform(v, lambda x: F.floor(x * 127.0 / amax + F.lit(0.5))
+                    .cast("int"))
+    return vectors.select(F.col(id_col), q.alias("q"), amax.alias("amax"))

@@ -195,3 +195,34 @@ def pack_sequences(docs: DataFrame, budget: int, n_shards: int = 64,
     schema = ("{} long, n_tokens long, shard int, bin long"
               .format(id_col))
     return base.groupBy("shard").applyInPandas(pack, schema=schema)
+
+
+def chunk_documents(docs: DataFrame, chunk_chars: int = 200,
+                    overlap: int = 50, id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Split documents into fixed-size overlapping character windows —
+    the chunking pass an embedding/RAG pipeline runs before encoding
+    (long documents exceed encoder context; overlap keeps boundary
+    sentences attached to both sides).
+
+    Chunk i covers characters ``[i*step, i*step + chunk_chars)`` with
+    ``step = chunk_chars - overlap``; a document shorter than one chunk
+    yields itself. All in-plan: the window starts are a
+    ``sequence``/``transform`` over the row's own length and the chunks
+    a ``posexplode`` — a generator inside whole-stage codegen, so the
+    corpus streams through with NO shuffle at all (chunking is
+    embarrassingly row-parallel; output size ≈ input × (1 + overlap /
+    step)). Returns (id, chunk_id, chunk) with chunk_id 0-based.
+    """
+    step = chunk_chars - overlap
+    if step <= 0:
+        raise ValueError("chunk_documents: overlap must be < chunk_chars")
+    n = F.greatest(
+        F.lit(1),
+        F.ceil((F.length(F.col(text_col)) - F.lit(overlap)) / float(step)))
+    chunks = F.transform(
+        F.sequence(F.lit(0), n.cast("int") - 1),
+        lambda i: F.col(text_col).substr(i * step + 1, F.lit(chunk_chars)))
+    return (docs.select(F.col(id_col), F.posexplode(chunks)
+                        .alias("chunk_id", "chunk"))
+            .select(id_col, F.col("chunk_id").cast("long"), "chunk"))

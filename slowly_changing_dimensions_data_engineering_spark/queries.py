@@ -63,6 +63,8 @@ _BOARD_DEMOTE = [
     "embed_topk_cosine",        # green r3 + r4, untouched in r5
     "multimodal_binary_stats",  # green r3 + r4, untouched in r5
     "pandas_udf_charge",        # green r3 + r4, untouched in r5
+    "ngram_jaccard_pairs",      # green r3 + r4, untouched in r5
+    "minhash_lsh_candidates",   # green r3 + r4, untouched in r5
     "events_sliding_1h_15m",    # green r2 + r3
     "events_session_30m",       # green r2 + r3
     "approx_distinct_nations",  # green r2 + r3
@@ -2929,3 +2931,123 @@ def stats_aggregates_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.var_pop("l_tax"), 6).alias("varp_tax"),
         F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4)
          .alias("median_price"))
+
+
+@register("doc_chunks", """
+WITH c AS (
+  SELECT doc_id, text,
+         unnest(range(0, CAST(greatest(1,
+             ceil((length(text) - 50) / 150.0)) AS BIGINT))) AS chunk_id
+  FROM documents
+)
+SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(length(substr(text, CAST(chunk_id * 150 + 1 AS INT), 200))
+            AS BIGINT) AS chunk_chars,
+       md5(substr(text, CAST(chunk_id * 150 + 1 AS INT), 200)) AS fp
+FROM c
+""")
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking (operators/text.py::chunk_documents): fixed
+    200-char windows with 50-char overlap — the pass an embedding/RAG
+    pipeline runs before encoding (encoder context bounds; overlap keeps
+    boundary sentences attached to both sides). The chunk windows are a
+    sequence/transform over each row's own length + posexplode: a
+    generator inside whole-stage codegen, NO shuffle anywhere — the
+    corpus streams through row-parallel. Output fingerprints every
+    chunk so the oracle pins the exact window boundaries, not just
+    counts."""
+    from .operators.text import chunk_documents
+    d = _t(spark, sf_dir, "documents")["documents"]
+    ch = chunk_documents(d, chunk_chars=200, overlap=50)
+    return ch.select("doc_id", "chunk_id",
+                     F.length("chunk").cast("long").alias("chunk_chars"),
+                     F.md5("chunk").alias("fp"))
+
+
+@register("embedding_quantization_recall", f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+qz AS (
+  SELECT vec_id, ve,
+         CASE WHEN list_max(list_transform(ve, x -> abs(x))) = 0 THEN 1.0
+              ELSE list_max(list_transform(ve, x -> abs(x))) END AS amax
+  FROM v
+),
+q AS (
+  SELECT vec_id, ve, amax,
+         list_transform(ve, x -> floor(x * 127.0 / amax + 0.5)) AS qv
+  FROM qz
+),
+err AS (
+  SELECT vec_id,
+         round(list_sum(list_transform(range(1, len(ve) + 1),
+               i -> abs(ve[i] - qv[i] * amax / 127.0))) / len(ve), 9) AS e
+  FROM q
+),
+qry AS (SELECT ve AS qve, qv AS qqv FROM q WHERE vec_id = {_IVF_QUERY_ID}),
+exact AS (
+  SELECT v.vec_id FROM v, qry WHERE v.vec_id != {_IVF_QUERY_ID}
+  ORDER BY round(list_dot_product(ve, qve) /
+           (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(qve, qve))), 9)
+           DESC, v.vec_id
+  LIMIT 10
+),
+quant AS (
+  SELECT q.vec_id FROM q, qry WHERE q.vec_id != {_IVF_QUERY_ID}
+  ORDER BY round(list_dot_product(qv, qqv) /
+           (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(qqv, qqv))), 9)
+           DESC, q.vec_id
+  LIMIT 10
+)
+SELECT round(CAST(SUM(CAST(e AS DECIMAL(38, 12))) AS DOUBLE)
+             / COUNT(*), 9) AS mean_abs_err,
+       (SELECT round(count(*) / 10.0, 3) FROM quant JOIN exact USING (vec_id))
+         AS recall_at_10,
+       (SELECT count(*) FROM quant JOIN exact USING (vec_id)) >= 8
+         AS recall_ok
+FROM err
+""")
+def embedding_quantization_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 index compression contract
+    (operators/similarity.py::quantize_int8): per-vector symmetric int8
+    quantization (4× smaller than float32 — at 100 TB the difference
+    between a 25 TB and a 100 TB ANN index), with BOTH halves of the
+    engineering tradeoff pinned by the oracle: the corpus-mean absolute
+    reconstruction error (exact-decimal mean of per-vector rounded
+    errors) and the top-10 retrieval recall of quantized-space cosine
+    against full-precision cosine (quantized QUERY against quantized
+    corpus — the deployed configuration). Cosine needs no dequantize
+    (the per-vector scale divides out), so search math runs on small
+    ints. Pure codegen maps + one TakeOrderedAndProject per ranking; no
+    shuffle, no Python."""
+    from .operators.similarity import as_double, cosine, quantize_int8
+
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    qz = quantize_int8(e)
+    v = e.select("vec_id", as_double("embedding").alias("ve"))
+    j = v.join(qz, "vec_id").select(
+        "vec_id", "ve", "amax",
+        F.transform("q", lambda x: x.cast("double")).alias("qv"))
+    err = j.select(
+        "vec_id",
+        F.round(F.aggregate(
+            F.zip_with("ve", F.transform("qv", lambda q: q * F.col("amax") / 127.0),
+                       lambda a, b: F.abs(a - b)),
+            F.lit(0.0), lambda acc, x: acc + x) / F.size("ve"), 9).alias("e"))
+    qry = (j.filter(F.col("vec_id") == _IVF_QUERY_ID)
+           .select(F.col("ve").alias("qve"), F.col("qv").alias("qqv")))
+    exact = (j.filter(F.col("vec_id") != _IVF_QUERY_ID)
+             .crossJoin(F.broadcast(qry.select("qve")))
+             .select("vec_id", cosine(F.col("ve"), F.col("qve")).alias("c"))
+             .orderBy(F.desc("c"), F.asc("vec_id")).limit(10).select("vec_id"))
+    quant = (j.filter(F.col("vec_id") != _IVF_QUERY_ID)
+             .crossJoin(F.broadcast(qry.select("qqv")))
+             .select("vec_id", cosine(F.col("qv"), F.col("qqv")).alias("c"))
+             .orderBy(F.desc("c"), F.asc("vec_id")).limit(10).select("vec_id"))
+    hits = exact.join(quant, "vec_id").agg(F.count("*").alias("_h"))
+    mean_err = err.agg(
+        F.round(F.sum(F.col("e").cast("decimal(38,12)")).cast("double")
+                / F.count("*"), 9).alias("mean_abs_err"))
+    return (mean_err.crossJoin(hits)
+            .select("mean_abs_err",
+                    F.round(F.col("_h") / 10.0, 3).alias("recall_at_10"),
+                    (F.col("_h") >= 8).alias("recall_ok")))

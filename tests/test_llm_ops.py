@@ -413,6 +413,48 @@ def test_ivf_index_append_searchable_and_partitioned(spark, tmp_path):
     assert any(r["vec_id"] == 100 and r["cosine"] == 1.0 for r in rows)
 
 
+def test_chunk_documents_windows_and_edges(spark):
+    """Chunk boundaries: step = chunk-overlap; short docs yield
+    themselves; last chunk may be short but ≥ overlap-remainder; chunks
+    reassemble the document (overlap-aware)."""
+    from slowly_changing_dimensions_data_engineering_spark.operators.text import chunk_documents
+    docs = spark.createDataFrame(
+        [(1, "x" * 200),          # exactly one chunk
+         (2, "y" * 201),          # one char over -> 2 chunks
+         (3, "short"),            # shorter than a chunk
+         (4, "a" * 150 + "b" * 150)],  # 300 chars -> 2 chunks
+        ["doc_id", "text"])
+    ch = {(r["doc_id"], r["chunk_id"]): r["chunk"]
+          for r in chunk_documents(docs, chunk_chars=200, overlap=50).collect()}
+    assert ch[(1, 0)] == "x" * 200 and (1, 1) not in ch
+    assert ch[(2, 0)] == "y" * 200 and ch[(2, 1)] == "y" * 51
+    assert ch[(3, 0)] == "short" and (3, 1) not in ch
+    assert ch[(4, 0)] == "a" * 150 + "b" * 50
+    assert ch[(4, 1)] == "a" * 0 + "b" * 150  # starts at 151
+    # overlap property: chunk i's tail == chunk i+1's head (50 chars)
+    assert ch[(4, 0)][-50:] == ch[(4, 1)][:50]
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_chars=50, overlap=50)
+
+
+def test_quantize_int8_bounds_and_zero_vector(spark):
+    """q stays in [-127, 127], reconstruction error ≤ half a step, and
+    the zero vector quantizes to zeros with amax=1 (no div-by-zero)."""
+    from slowly_changing_dimensions_data_engineering_spark.operators.similarity import quantize_int8
+    vecs = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0]), (3, [3.0])],
+        ["vec_id", "embedding"])
+    got = {r["vec_id"]: (r["q"], r["amax"]) for r in quantize_int8(vecs).collect()}
+    assert got[1][0] == [64, -127, 32] and got[1][1] == 1.0
+    assert got[2] == ([0, 0, 0], 1.0)
+    assert got[3][0] == [127]
+    for vid, vec in ((1, [0.5, -1.0, 0.25]), (3, [3.0])):
+        q, amax = got[vid]
+        step = amax / 127.0
+        for x, qi in zip(vec, q):
+            assert abs(x - qi * step) <= step / 2 + 1e-12
+
+
 def test_minhash_family_is_md5_of_seed_and_shingle(spark):
     """Regression: the signature MUST be the documented family
     h_j(s) = md5('j|' ‖ s) — a two-parameter lambda in the transform

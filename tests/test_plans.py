@@ -24,6 +24,7 @@ NESTED_LOOP_ALLOWED = {"embed_topk_cosine", "ann_filtered_topk",
                        "ivf_recall_at10", "ann_batch_topk",
                        # same 1-row query/centroid broadcast shapes
                        "ivf_recall_nprobe", "ann_filtered_topk_index",
+                       "embedding_quantization_recall",
                        # crossJoin of three 1-row aggregate frames
                        "semantic_dedup_summary",
                        # 1-row corpus-total broadcast into quota math
@@ -73,7 +74,8 @@ def test_board_order_covers_unconfirmed_queries():
               # r5-new queries (no driver row yet)
               "ivf_recall_nprobe", "ann_filtered_topk_index",
               "epoch_shuffle_shards", "token_freq_topk",
-              "stats_aggregates_lineitem"):
+              "stats_aggregates_lineitem", "doc_chunks",
+              "embedding_quantization_recall"):
         assert n in board, n
     # oracle_sql() iterates in the same board order as queries()
     oracle_names = list(q.oracle_sql())
