@@ -47,6 +47,15 @@ def main():
          .repartition(4, _a["id"] % 4)                 # shuffle exchange
          .write.mode("overwrite").parquet(_wd + "/w"))  # parquet committer
         spark.read.parquet(_wd + "/w").count()
+    # Hash-dense path (md5 family / explode / string-keyed shuffle):
+    # profiled r5 — the FIRST minhash-family query in a process pays
+    # ~3s of one-time expression codegen + first string shuffle
+    # (4.65 → 1.74 → 1.37s across three same-process runs), which made
+    # minhash_lsh_candidates vs ngram_jaccard_pairs look ±1.7s noisy
+    # depending on registry order. Warm it with toy strings.
+    (spark.range(2000)
+     .selectExpr("explode(split(repeat(concat(cast(id AS string), ' '), 8), ' ')) AS w")
+     .selectExpr("md5(w) AS h").groupBy("h").count().count())
     from slowly_changing_dimensions_data_engineering_spark import schemas as _schemas
     for name, df in _schemas.load_testdata(
             spark, sf_dir, "region", "nation", "customer", "supplier", "part",

@@ -65,6 +65,7 @@ _BOARD_DEMOTE = [
     "pandas_udf_charge",        # green r3 + r4, untouched in r5
     "ngram_jaccard_pairs",      # green r3 + r4, untouched in r5
     "minhash_lsh_candidates",   # green r3 + r4, untouched in r5
+    "q3_shipping_priority",     # green r3 + r4, untouched in r5
     "events_sliding_1h_15m",    # green r2 + r3
     "events_session_30m",       # green r2 + r3
     "approx_distinct_nations",  # green r2 + r3
@@ -3051,3 +3052,31 @@ def embedding_quantization_recall(spark: SparkSession, sf_dir: str) -> DataFrame
             .select("mean_abs_err",
                     F.round(F.col("_h") / 10.0, 3).alias("recall_at_10"),
                     (F.col("_h") >= 8).alias("recall_ok")))
+
+
+@register("window_rank_family_orders", """
+SELECT o_orderkey,
+       o_custkey,
+       CAST(ntile(4) OVER w AS INTEGER) AS spend_quartile,
+       round(percent_rank() OVER w, 6) AS pr,
+       round(cume_dist() OVER w, 6) AS cd
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+""")
+def window_rank_family_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distribution-rank window family (ntile / percent_rank /
+    cume_dist) — per-customer spend quartiles and percentile positions,
+    completing the window-function matrix next to ranking, frames,
+    RANGE intervals and lag. One window spec serves all three (one
+    shuffle + per-partition sort on a KEY-BOUNDED partition — customers
+    have bounded order counts, so no partition outgrows an executor at
+    any corpus size; contrast the domain_mix_quotas rewrite where the
+    partition key was skew-prone). Total order via the o_orderkey
+    tiebreak keeps every engine's assignment identical."""
+    t = _t(spark, sf_dir, "orders")["orders"]
+    w = W.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return t.select(
+        "o_orderkey", "o_custkey",
+        F.ntile(4).over(w).alias("spend_quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"))

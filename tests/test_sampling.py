@@ -7,6 +7,9 @@ with NO per-domain corpus sort in the executed plan (r4 VERDICT #1).
 
 from __future__ import annotations
 
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
 from pyspark.sql import Row, functions as F
 from pyspark.sql.window import Window
 
@@ -70,6 +73,35 @@ def test_wider_bucket_space_same_result(spark):
     a = _kept_ids(hash_quota_take(docs, quotas, hex_digits=1))
     b = _kept_ids(hash_quota_take(docs, quotas, hex_digits=3))
     assert a == b and len(a) == 77
+
+
+#: Random (domain sizes, quotas) — including empty quota maps, quotas
+#: past availability, 1-row domains, and ids straddling hash buckets.
+_quota_cases = st.dictionaries(
+    keys=st.sampled_from(["a", "b", "c", "d", "e"]),
+    values=st.tuples(st.integers(min_value=1, max_value=120),   # n rows
+                     st.integers(min_value=0, max_value=150)),  # quota
+    min_size=1, max_size=5)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+@given(cases=_quota_cases)
+def test_hash_quota_take_equals_rank_reference(spark, cases):
+    """Property: for ANY domain-size/quota mix, the bucket-boundary
+    formulation keeps EXACTLY the rank formulation's set (hex_digits=1
+    → 16 buckets, maximizing boundary-bucket traffic)."""
+    rows, base = [], 0
+    for src, (n, _) in sorted(cases.items()):
+        rows += [Row(doc_id=base + i, source=src) for i in range(n)]
+        base += 10_000
+    docs = spark.createDataFrame(rows)
+    quotas = spark.createDataFrame(
+        [Row(source=s, quota=qt) for s, (_, qt) in sorted(cases.items())])
+    got = hash_quota_take(docs, quotas.filter("quota > 0"), hex_digits=1)
+    want = _rank_reference(docs, quotas.filter("quota > 0"))
+    assert _kept_ids(got) == _kept_ids(want)
 
 
 def test_shard_assign_is_deterministic_permutation(spark):
