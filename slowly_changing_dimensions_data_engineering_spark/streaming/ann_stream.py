@@ -1,0 +1,107 @@
+"""Streaming ANN index maintenance — the streaming face of
+``operators/similarity.py``'s centroid-partitioned IVF index, mirroring
+``dedup_stream``'s structure for the vector corpus.
+
+Production embedding pipelines produce vectors continuously (new
+documents → encoder → vector sink); the searchable index must grow
+WITHOUT rebuilds. The batch story already has the right pieces:
+``ivf_build_index`` materializes the centroid-partitioned layout and
+``ivf_index_append`` adds a batch as new files inside the existing
+``centroid_id=`` partition directories (O(batch), never a rewrite).
+This module wires that append into ``foreachBatch``:
+
+- ``spark.readStream`` on a vectors directory — the file source's
+  checkpoint gives exactly-once file consumption (the C3-analogue
+  contract every streaming module here shares), so a vector is
+  assigned and appended at most once across restarts;
+- batch 0 bootstraps an absent index: the first ``n_centroids``
+  vectors of the batch (lowest ids — deterministic) freeze the
+  centroid set, which is then written next to the index
+  (``<path>/_centroids``) so later batches and searches use the SAME
+  geometry (appending under re-trained centroids would mis-partition
+  history — ``ivf_index_append``'s documented contract);
+- every subsequent batch is ONE broadcast scoring pass over the batch
+  rows + a partitioned append. Searches (``ivf_search_index_inplan``)
+  run against the live index between batches and see monotonically
+  growing coverage.
+
+At 100 TB: the stored corpus is never re-read or re-assigned; per-batch
+cost is the batch's size; the search path stays partition-pruned. The
+frozen-centroid drift tradeoff is the standard IVF one — re-train =
+rebuild offline, swap paths atomically.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession, functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+#: (vec_id, embedding, label) — the vector-corpus schema.
+VEC_SCHEMA = T.StructType([
+    T.StructField("vec_id", T.LongType()),
+    T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    T.StructField("label", T.IntegerType()),
+])
+
+
+def centroids_path(index_path: str) -> str:
+    return os.path.join(os.path.dirname(index_path.rstrip("/")), "_centroids")
+
+
+def _index_initialized(index_path: str) -> bool:
+    return os.path.isdir(index_path) and any(
+        d.startswith("centroid_id=") for d in os.listdir(index_path))
+
+
+def load_centroids(spark: SparkSession, index_path: str):
+    """The index's frozen centroid set (written at bootstrap)."""
+    return spark.read.parquet(centroids_path(index_path))
+
+
+def start_streaming_ann_index(
+    spark: SparkSession,
+    input_dir: str,
+    index_path: str,
+    checkpoint: str,
+    schema: T.StructType = VEC_SCHEMA,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    trigger_interval: str = "1 minute",
+    available_now: bool = False,
+) -> StreamingQuery:
+    """Start the streaming IVF index builder over JSON-lines vector
+    files arriving in ``input_dir``. Restarting with the same
+    ``checkpoint`` resumes exactly-once; the index at ``index_path``
+    grows by partitioned appends and is searchable between batches via
+    ``ivf_search_index_inplan(spark, index_path, ...,
+    load_centroids(spark, index_path))``."""
+    from ..operators.similarity import ivf_build_index, ivf_index_append
+
+    src = spark.readStream.schema(schema).json(input_dir)
+
+    def process_batch(batch_df, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if not _index_initialized(index_path):
+            # Bootstrap: freeze geometry from this batch's lowest-id
+            # vectors, persist it beside the index, then build.
+            cents = (batch_df.orderBy(F.asc(id_col)).limit(n_centroids)
+                     .select(F.col(id_col).alias("centroid_id"), vec_col))
+            cents.write.mode("overwrite").parquet(centroids_path(index_path))
+            ivf_build_index(batch_df, load_centroids(spark, index_path),
+                            index_path, id_col, vec_col)
+        else:
+            ivf_index_append(batch_df, load_centroids(spark, index_path),
+                             index_path, id_col, vec_col)
+
+    writer = (src.writeStream.foreachBatch(process_batch)
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=trigger_interval)
+    return writer.start()

@@ -363,6 +363,76 @@ def test_streaming_dedup_batches_grow_index(spark, tmp_path):
     assert s3 == {0, 2, 11}  # 20 dropped; consume-once: 0/2/11 not re-emitted
 
 
+def test_streaming_ann_index_grows_and_stays_searchable(spark, tmp_path):
+    """streaming/ann_stream.py: batch 0 freezes the centroid geometry
+    and builds the IVF index; later batches append into the existing
+    centroid partitions (no rebuild, no reassignment of stored rows);
+    searches between batches see monotonically growing coverage; the
+    checkpoint gives consume-once across restarts."""
+    import json as _json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from slowly_changing_dimensions_data_engineering_spark.operators.similarity import (
+        ivf_search_index_inplan,
+    )
+    from slowly_changing_dimensions_data_engineering_spark.streaming import (
+        load_centroids, start_streaming_ann_index,
+    )
+
+    src = tmp_path / "vin"
+    src.mkdir()
+    index = str(tmp_path / "ivfidx")
+    ck = str(tmp_path / "ck")
+
+    def put(name, rows):
+        with open(src / name, "w") as f:
+            for vid, vec in rows:
+                f.write(_json.dumps({"vec_id": vid, "embedding": vec,
+                                     "label": vid % 3}) + "\n")
+
+    def run_once():
+        q = start_streaming_ann_index(spark, str(src), index, ck,
+                                      n_centroids=2, available_now=True)
+        _drain(q)
+
+    def search(vid):
+        qrow = (spark.read.parquet(index)
+                .filter(F.col("vec_id") == vid).select("vec_id", "embedding"))
+        return {r["vec_id"] for r in
+                ivf_search_index_inplan(spark, index, qrow,
+                                        load_centroids(spark, index),
+                                        k=10, nprobe=1).collect()}
+
+    # batch 1 bootstraps: ids 0,1 become the frozen centroids
+    put("b1.json", [(0, [1.0, 0.0]), (1, [10.0, 10.0]),
+                    (2, [1.5, 0.1]), (3, [9.5, 10.0])])
+    run_once()
+    assert {r["centroid_id"] for r in
+            load_centroids(spark, index).collect()} == {0, 1}
+    assert spark.read.parquet(index).count() == 4
+    assert search(0) == {2}          # cluster 0 holds {0, 2}
+
+    # batch 2 appends near each centroid — partitions grow, no rebuild
+    files_before = {os.path.join(dp, f)
+                    for dp, _, fs in os.walk(index) for f in fs
+                    if f.endswith(".parquet")}
+    put("b2.json", [(10, [1.2, 0.1]), (11, [10.2, 9.9])])
+    run_once()
+    assert spark.read.parquet(index).count() == 6
+    files_after = {os.path.join(dp, f)
+                   for dp, _, fs in os.walk(index) for f in fs
+                   if f.endswith(".parquet")}
+    assert files_before < files_after  # pure append: old files untouched
+    assert search(0) == {2, 10}      # the grown cluster is searchable
+    assert search(1) == {3, 11}
+
+    # restart with same checkpoint: consumed files never reprocessed
+    run_once()
+    assert spark.read.parquet(index).count() == 6
+
+
 def test_streaming_mv_tracks_base_across_batches(spark, tmp_path):
     """streaming/mv_stream.py: each micro-batch merges a load file into
     the base and folds its CDC batch into the MV — after every batch the
