@@ -50,6 +50,29 @@ def bucket_id(cols: list[str], n: int) -> F.Column:
     return F.pmod(F.hash(*[F.col(c) for c in cols]), F.lit(n))
 
 
+def morton_key(cols: list[str], mins: list[float], maxs: list[float],
+               bits: int = 16) -> F.Column:
+    """The interleaved-bit Z-ORDER key as a pure expression over LITERAL
+    per-column min/max bounds — for call sites that cannot ride the
+    in-plan broadcast-stats join (e.g. a sortWithinPartitions expression
+    inside the bucketed write path). Same bit layout as
+    ``zorder_cluster``; constant columns scale to 0 and drop out."""
+    top = (1 << bits) - 1
+    scaled = []
+    for c, mn, mx in zip(cols, mins, maxs):
+        if mx > mn:
+            frac = (F.col(c).cast("double") - F.lit(mn)) / (mx - mn)
+            scaled.append((frac * top).cast("long"))
+        else:
+            scaled.append(F.lit(0).cast("long"))
+    k = len(cols)
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, s in enumerate(scaled):
+            z = z + F.shiftleft(F.shiftright(s, b).bitwiseAND(1), b * k + i)
+    return z
+
+
 def zorder_cluster(df: DataFrame, cols: list[str], n_parts: int,
                    bits: int = 16) -> DataFrame:
     """Rows of ``df`` range-partitioned into ``n_parts`` splits and
@@ -413,14 +436,20 @@ class TableStore:
 
     # ---- commit ----------------------------------------------------------
     @staticmethod
-    def _clustered(df: DataFrame, cols: list[str], n: int) -> DataFrame:
+    def _clustered(df: DataFrame, cols: list[str], n: int,
+                   sort_within: list[F.Column] | None = None) -> DataFrame:
         """Cluster rows by bucket before a partitionBy write: without
         this, every shuffle task emits a file into every bucket dir
         (tasks × buckets tiny files); with it, each bucket is written by
         ~one task. Same pattern as Delta optimized writes. AQE may
-        coalesce further."""
-        return (df.withColumn("_bucket", bucket_id(cols, n))
-                .repartition(n, F.col("_bucket")))
+        coalesce further. ``sort_within`` additionally orders rows
+        INSIDE each bucket (sortWithinPartitions — no extra shuffle);
+        the per-bucket Z-ORDER path rides this."""
+        out = (df.withColumn("_bucket", bucket_id(cols, n))
+               .repartition(n, F.col("_bucket")))
+        if sort_within:
+            out = out.sortWithinPartitions(F.col("_bucket"), *sort_within)
+        return out
 
     def _prep_version(self, name: str, meta: dict) -> int:
         v = meta["latest"] + 1
@@ -469,16 +498,19 @@ class TableStore:
                 "Recreate the table (CREATE OR REPLACE) to evolve its schema.")
         return df.select(*[f.name for f in declared.fields])
 
-    def commit(self, name: str, df: DataFrame, changes: DataFrame | None = None) -> int:
+    def commit(self, name: str, df: DataFrame, changes: DataFrame | None = None,
+               sort_within: list[F.Column] | None = None) -> int:
         """Write a new immutable snapshot (+ optional change batch) and swap
         the pointer. One commit == one reference DML statement (Snowflake's
-        per-statement transactionality, SURVEY.md §3.1)."""
+        per-statement transactionality, SURVEY.md §3.1). ``sort_within``
+        (bucketed tables) orders rows inside each bucket at write time —
+        the per-bucket Z-ORDER layout hook used by ``compact``."""
         meta = self._read_meta(name)
         df = self._check_schema(name, meta, df)
         v = self._prep_version(name, meta)
         if meta.get("bucket"):
             cols, n = meta["bucket"]["cols"], meta["bucket"]["n"]
-            (self._clustered(df, cols, n)
+            (self._clustered(df, cols, n, sort_within)
              .write.mode("errorifexists").partitionBy("_bucket")
              .parquet(self._vdir(name, v)))
             meta["buckets"] = {str(k): v for k in range(n)}
@@ -578,11 +610,14 @@ class TableStore:
         otherwise re-process the whole table as phantom updates), and
         time travel to pre-compaction versions still resolves through
         their recorded segment/bucket maps until vacuum prunes them.
-        ``cluster_by`` (plain tables only) additionally Z-ORDERS the
-        rewrite: rows are range-partitioned and sorted by the interleaved
-        bit key of the named numeric columns, so every output file —
-        and every parquet row group inside it — covers a NARROW value
-        range in EVERY cluster column. Parquet min/max (and any engine's
+        ``cluster_by`` additionally Z-ORDERS the rewrite: on plain
+        tables rows are range-partitioned and sorted by the interleaved
+        bit key of the named numeric columns; on bucketed tables the
+        hash-bucket layout is preserved and rows are Morton-sorted
+        WITHIN each bucket (data skipping composes with bucket
+        pruning). Either way every output file — and every parquet row
+        group inside it — covers a NARROW value range in EVERY cluster
+        column. Parquet min/max (and any engine's
         file-skipping on those stats) then prunes scans filtered on any
         clustered column, not just a single sort leader; at 100 TB this
         is the difference between reading one file and reading them all
@@ -593,12 +628,30 @@ class TableStore:
         Returns the new version, or the current one if nothing needed
         compacting (no empty commit)."""
         meta = self._read_meta(name)
-        if cluster_by and meta.get("bucket"):
-            raise ValueError("cluster_by applies to plain tables; bucketed "
-                             "layout is already hash-clustered on its key")
         latest = meta["latest"]
         if latest < 0:
             return latest
+        if cluster_by and meta.get("bucket"):
+            # Per-bucket Z-ORDER: the hash-bucket layout stays (pruned
+            # merges depend on it); rows are Morton-sorted WITHIN each
+            # bucket, so every row group inside a bucket file carries
+            # tight min/max on every cluster column — data skipping
+            # composes with bucket pruning (Delta's ZORDER-on-partitioned
+            # behavior). The min/max bounds ride a 1-row driver agg
+            # (compact is a maintenance command that already does
+            # driver-side file walks; the in-plan broadcast-stats
+            # variant stays on the plain-table path) and the sort is
+            # sortWithinPartitions — no shuffle beyond the bucket
+            # clustering the write performs anyway.
+            cur = self.read(spark, name)
+            row = cur.agg(*[F.min(F.col(c).cast("double")).alias(f"mn_{c}")
+                            for c in cluster_by],
+                          *[F.max(F.col(c).cast("double")).alias(f"mx_{c}")
+                            for c in cluster_by]).head()
+            z = morton_key(cluster_by,
+                           [row[f"mn_{c}"] for c in cluster_by],
+                           [row[f"mx_{c}"] for c in cluster_by])
+            return self.commit(name, cur, sort_within=[z])
         if meta.get("bucket"):
             frag = []
             for k, bv in meta.get("buckets", {}).items():

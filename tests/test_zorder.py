@@ -73,10 +73,54 @@ def test_zorder_compact_tightens_stats_on_both_dims(spark, tmp_path):
         assert _covered_fraction(zed, c, 0, 9999) < 0.55, (c, zed)
 
 
-def test_zorder_rejects_bucketed_tables(spark, tmp_path):
-    import pytest
+def test_zorder_within_buckets_preserves_layout_and_sorts(spark, tmp_path):
+    """Per-bucket Z-ORDER (compact cluster_by on a bucketed table): the
+    hash-bucket layout survives (pruned reads still resolve), contents
+    are bit-identical, and every bucket file is Morton-sorted so row
+    groups carry tight stats on both cluster columns."""
+    from slowly_changing_dimensions_data_engineering_spark.store import bucket_id, morton_key
 
+    rng = random.Random(7)
+    rows = [(i, f"S{i}", float(rng.randrange(10_000)),
+             float(rng.randrange(10_000))) for i in range(5_000)]
+    df = spark.createDataFrame(rows, "id long, code string, x double, y double")
     store = TableStore(str(tmp_path))
-    store.create("b", schemas.SUPPLIER, bucket_by=(["supplier_code"], 4))
-    with pytest.raises(ValueError):
-        store.compact(spark, "b", cluster_by=["supplier_key"])
+    store.create("b", df.schema, bucket_by=(["code"], 4))
+    store.commit("b", df)
+    before = store.read(spark, "b").agg({"x": "sum"}).head()[0]
+
+    v = store.compact(spark, "b", cluster_by=["x", "y"])
+    assert v == store.version("b")
+    got = store.read(spark, "b")
+    assert got.count() == 5_000
+    assert got.agg({"x": "sum"}).head()[0] == before
+
+    # bucket layout intact: a pruned single-bucket read returns exactly
+    # that bucket's keys
+    b7 = spark.createDataFrame([("S7",)], ["code"]) \
+        .select(bucket_id(["code"], 4).alias("b")).head()["b"]
+    pruned = store.read_buckets(spark, "b", [b7])
+    assert pruned.filter("code = 'S7'").count() == 1
+    assert pruned.select(bucket_id(["code"], 4).alias("bb")) \
+        .filter(f"bb != {b7}").count() == 0
+
+    # every bucket file is sorted by the Morton key
+    import pyarrow.parquet as pq
+    mn = [min(r[2] for r in rows), min(r[3] for r in rows)]
+    mx = [max(r[2] for r in rows), max(r[3] for r in rows)]
+    vdir = store._vdir("b", v)
+    import os
+    checked = 0
+    for d in sorted(os.listdir(vdir)):
+        if not d.startswith("_bucket="):
+            continue
+        for f in store._parquet_files(os.path.join(vdir, d)):
+            t = pq.read_table(f, columns=["x", "y"]).to_pydict()
+            zdf = spark.createDataFrame(
+                list(zip(t["x"], t["y"])), "x double, y double") \
+                .coalesce(1) \
+                .select(morton_key(["x", "y"], mn, mx).alias("z"))
+            zs = [r["z"] for r in zdf.collect()]
+            assert zs == sorted(zs), f
+            checked += 1
+    assert checked >= 4
