@@ -228,7 +228,10 @@ def test_flagship_composed_with_compact_zorder_vacuum_and_reader(spark, tmp_path
         bdir = os.path.join(p.store._vdir(STAGING, bv), f"_bucket={k}")
         if os.path.isdir(bdir):
             assert len(p.store._parquet_files(bdir)) == 1
-    p.store.compact(spark, MASTER, cluster_by=["supplier_key"])  # Z-ORDER
+    # Z-ORDER the BUCKETED staging itself (per-bucket Morton sort) and
+    # the plain master (range-clustered rewrite) — both compact paths
+    p.store.compact(spark, STAGING, cluster_by=["supplier_key"])
+    p.store.compact(spark, MASTER, cluster_by=["supplier_key"])
     removed = p.store.vacuum(STAGING, keep_last=1) + p.store.vacuum(MASTER, keep_last=1)
     assert removed  # pre-maintenance versions actually pruned
     # maintenance is data-neutral: contents and CDC stream untouched
