@@ -66,6 +66,8 @@ _BOARD_DEMOTE = [
     "ngram_jaccard_pairs",      # green r3 + r4, untouched in r5
     "minhash_lsh_candidates",   # green r3 + r4, untouched in r5
     "q3_shipping_priority",     # green r3 + r4, untouched in r5
+    "bpe_token_stats",          # green r3 + r4, untouched in r5
+    "doc_text_profile",         # green r3 + r4, untouched in r5
     "events_sliding_1h_15m",    # green r2 + r3
     "events_session_30m",       # green r2 + r3
     "approx_distinct_nations",  # green r2 + r3
@@ -3080,3 +3082,76 @@ def window_rank_family_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).alias("spend_quartile"),
         F.round(F.percent_rank().over(w), 6).alias("pr"),
         F.round(F.cume_dist().over(w), 6).alias("cd"))
+
+
+@register("weighted_sample_docs", """
+WITH r AS (
+  SELECT doc_id, source,
+         CASE WHEN CAST(substr(source, 4) AS INTEGER) % 2 = 0
+              THEN 0.9 ELSE 0.3 END AS rate,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6))::BIGINT
+           / 16777216.0 AS u
+  FROM documents
+)
+SELECT source, round(MIN(rate), 2) AS rate,
+       CAST(COUNT(*) AS BIGINT) AS n_avail,
+       CAST(SUM(CASE WHEN u < rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(COALESCE(SUM(CASE WHEN u < rate THEN doc_id END), 0) AS BIGINT)
+         AS kept_id_sum
+FROM r GROUP BY source
+""")
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-based importance sampling — the per-row Bernoulli thinning
+    a data-mixing pipeline applies when the policy is a KEEP PROBABILITY
+    (importance weight) rather than an exact count (that case is
+    domain_mix_quotas): keep doc iff u(doc) < rate(domain), with
+    u = the first 24 bits of md5(doc_id) scaled to [0,1) — a
+    deterministic uniform, so the sample is reproducible, any engine
+    draws the identical set (kept_id_sum pins it), and at 100 TB this
+    is a pure codegen filter on the scan — no shuffle, no sort, no
+    state; the aggregation here only summarizes the decision."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    si = F.substring("source", 4, 10).cast("int")
+    rate = F.when(si % 2 == 0, F.lit(0.9)).otherwise(F.lit(0.3))
+    u = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6),
+                16, 10).cast("long") / F.lit(16777216.0))
+    keep = u < rate
+    return (d.select("doc_id", "source", rate.alias("_r"), keep.alias("_k"))
+            .groupBy("source")
+            .agg(F.round(F.min("_r"), 2).alias("rate"),
+                 F.count("*").alias("n_avail"),
+                 F.sum(F.col("_k").cast("long")).alias("n_kept"),
+                 F.coalesce(F.sum(F.when(F.col("_k"), F.col("doc_id"))),
+                            F.lit(0)).alias("kept_id_sum")))
+
+
+@register("approx_topk_contract_orders", """
+WITH exact AS (
+  SELECT o_orderpriority AS item, CAST(COUNT(*) AS BIGINT) AS exact_n
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT item, exact_n, exact_n AS est_n, TRUE AS est_matches
+FROM exact ORDER BY exact_n DESC, item
+""")
+def approx_topk_contract_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items sketch contract (approx_top_k, the DataSketches
+    frequent-strings sketch behind it): at low cardinality (5 order
+    priorities ≪ the sketch's 10k capacity) the sketch must be EXACT,
+    so the contract joins the sketch output against exact groupBy
+    counts and pins per-item equality — same mergeable-sketch contract
+    pattern as hll_sketch_region_customers / quantile_sketch_prices.
+    At 100 TB the sketch is the scale path for heavy-hitters over
+    high-cardinality keys: mergeable partials, no full shuffle of the
+    key space."""
+    o = _t(spark, sf_dir, "orders")["orders"]
+    sk = (o.agg(F.expr("approx_top_k(o_orderpriority, 5)").alias("tk"))
+          .select(F.explode("tk").alias("e"))
+          .select(F.col("e.item").alias("item"),
+                  F.col("e.count").cast("long").alias("est_n")))
+    exact = (o.groupBy(F.col("o_orderpriority").alias("item"))
+             .agg(F.count("*").alias("exact_n")))
+    return (exact.join(F.broadcast(sk), "item", "left")
+            .select("item", "exact_n",
+                    F.coalesce("est_n", F.lit(0)).alias("est_n"),
+                    (F.col("est_n") == F.col("exact_n")).alias("est_matches"))
+            .orderBy(F.desc("exact_n"), F.asc("item")))

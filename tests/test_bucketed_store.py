@@ -619,3 +619,32 @@ def test_vacuum_changes_respects_consumer_offset(spark, tmp_path):
     assert store.read(spark, "t").count() == 4
     # idempotent
     assert store.vacuum_changes("t", store.get_offset("c1")) == []
+
+
+def test_orphan_version_dir_from_crash_is_cleared(spark, tmp_path):
+    """Crash recovery: a writer that died AFTER writing v{N+1} files but
+    BEFORE the pointer swap leaves an orphan dir the pointer never
+    referenced. The next commit must clear it and succeed (not wedge on
+    errorifexists), readers meanwhile never saw the orphan."""
+    import os
+
+    store = TableStore(str(tmp_path))
+    store.create("t", schemas.SUPPLIER)
+    merge_upsert(store, spark, "t", _supplier_rows(spark, range(4)), KEY, CMP)
+    v = store.version("t")
+
+    # simulate the dead writer's half-commit at v+1
+    orphan = store._vdir("t", v + 1)
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-junk.parquet"), "w") as f:
+        f.write("not parquet")
+    assert store.read(spark, "t").count() == 4  # reader: pointer rules
+
+    merge_upsert(store, spark, "t",
+                 _supplier_rows(spark, [99]), KEY, CMP)
+    assert store.version("t") == v + 1
+    got = {r["supplier_key"] for r in store.read(spark, "t").collect()}
+    assert got == {0, 1, 2, 3, 99}
+    # the junk file is gone — the orphan dir was cleared, not merged
+    files = store._parquet_files(store._vdir("t", v + 1))
+    assert files and all("junk" not in f for f in files)
