@@ -68,6 +68,8 @@ _BOARD_DEMOTE = [
     "q3_shipping_priority",     # green r3 + r4, untouched in r5
     "bpe_token_stats",          # green r3 + r4, untouched in r5
     "doc_text_profile",         # green r3 + r4, untouched in r5
+    "asof_latest_order",        # green r3 + r4, untouched in r5
+    "range_join_active_orders",  # green r3 + r4, untouched in r5
     "events_sliding_1h_15m",    # green r2 + r3
     "events_session_30m",       # green r2 + r3
     "approx_distinct_nations",  # green r2 + r3
@@ -3155,3 +3157,117 @@ def approx_topk_contract_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("est_n", F.lit(0)).alias("est_n"),
                     (F.col("est_n") == F.col("exact_n")).alias("est_matches"))
             .orderBy(F.desc("exact_n"), F.asc("item")))
+
+
+#: Cached store for the snapshot-diff query (two deterministic merge
+#: commits over the synthetic supplier loads).
+_DIFF_STORE_CACHE: dict[str, str] = {}
+
+
+@register("snapshot_diff_suppliers", _SCD2_CTES + """
+SELECT supplier_key, supplier_code, supplier_name, supplier_state,
+       'delete' AS change_type
+FROM load1 WHERE supplier_key % 7 = 0
+UNION ALL
+SELECT supplier_key, supplier_code, supplier_name, supplier_state,
+       'update_preimage' AS change_type
+FROM load1 WHERE supplier_key % 3 = 0 AND supplier_key % 7 != 0
+UNION ALL
+SELECT supplier_key, supplier_code, supplier_name,
+       'X-' || supplier_state AS supplier_state,
+       'update_postimage' AS change_type
+FROM load1 WHERE supplier_key % 3 = 0 AND supplier_key % 7 != 0
+""")
+def snapshot_diff_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version-to-version snapshot diff (operators/diff.py) across a
+    MULTI-commit interval: v0 = the supplier load, v1 = an UPDATE ...
+    WHERE backfill (every 3rd supplier's state prefixed), v2 = a
+    retention DELETE (every 7th supplier). Diffing v0→v2 must collapse
+    the interval to its NET row-level delta — deletes carry the v0
+    image even where the intermediate update touched the row first
+    (%21 suppliers), updates emit the stream's pre/post pair encoding,
+    and nothing else appears. Also the driver-checked exercise of
+    update_where (ADVICE r4: previously pytest-only). Oracle recomputes
+    the net delta from the load definition; reconstructed deltas use
+    the CDC row encoding so consumers fold them like streamed ones."""
+    import os as _os
+
+    from .operators.diff import snapshot_diff
+    from .operators.merge import delete_where, merge_upsert, update_where
+    from .store import TableStore
+
+    key = ["supplier_code"]
+    cmp_cols = ["supplier_state", "supplier_name", "supplier_key"]
+    root = _DIFF_STORE_CACHE.get(sf_dir)
+    if root and _os.path.exists(_os.path.join(root, "_meta", "t.json")):
+        store = TableStore(root)
+    else:
+        store = TableStore(tempfile.mkdtemp(prefix="sds_diff_"))
+        store.create("t", schemas.SUPPLIER)
+        merge_upsert(store, spark, "t", _supplier_load1(spark, sf_dir),
+                     key, cmp_cols)
+        update_where(store, spark, "t", "supplier_key % 3 = 0",
+                     {"supplier_state":
+                      F.concat(F.lit("X-"), F.col("supplier_state"))}, key)
+        delete_where(store, spark, "t", "supplier_key % 7 = 0", key)
+        _DIFF_STORE_CACHE[sf_dir] = store.root
+    return snapshot_diff(store, spark, "t", 0, 2, key)
+
+
+@register("dq_checks_orders", """
+WITH ev AS (
+  SELECT o.*, (c.c_custkey IS NOT NULL) AS fk_ok,
+         COUNT(*) OVER (PARTITION BY o_orderkey) AS knt
+  FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+)
+SELECT rule, n_rows, n_violations,
+       round((n_rows - n_violations) / CAST(n_rows AS DOUBLE), 6) AS pass_frac
+FROM (
+  SELECT 'custkey_not_null' AS rule, COUNT(*) AS n_rows,
+         CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violations FROM ev
+  UNION ALL
+  SELECT 'status_in_set', COUNT(*),
+         CAST(SUM(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END)
+              AS BIGINT) FROM ev
+  UNION ALL
+  SELECT 'price_positive', COUNT(*),
+         CAST(SUM(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS BIGINT)
+    FROM ev
+  UNION ALL
+  SELECT 'price_under_400k', COUNT(*),
+         CAST(SUM(CASE WHEN o_totalprice < 400000 THEN 0 ELSE 1 END)
+              AS BIGINT) FROM ev
+  UNION ALL
+  SELECT 'fk_customer_exists', COUNT(*),
+         CAST(SUM(CASE WHEN fk_ok THEN 0 ELSE 1 END) AS BIGINT) FROM ev
+  UNION ALL
+  SELECT 'orderkey_unique', COUNT(*),
+         CAST(SUM(CASE WHEN knt = 1 THEN 0 ELSE 1 END) AS BIGINT) FROM ev
+)
+""")
+def dq_checks_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations (operators/quality.py): six declarative
+    row contracts over orders — NOT NULL, accepted values, range (one
+    rule intentionally tight so real violations flow through), foreign
+    key into customer, and key uniqueness — evaluated in ONE aggregate
+    pass (per-rule violation counts are conditional sums in a single
+    scan; the FK and uniqueness evidence columns are attached first, so
+    their join/window cost is explicit and the check itself adds no
+    extra pass). The validation gate an ingestion pipeline runs before
+    committing to the landing zone."""
+    from .operators.quality import check_expectations
+    t = _t(spark, sf_dir, "orders", "customer")
+    o, c = t["orders"], t["customer"]
+    ev = (o.join(c.select(F.col("c_custkey").alias("o_custkey"),
+                          F.lit(True).alias("_fk")),
+                 "o_custkey", "left")
+          .withColumn("_knt", F.count("*").over(W.partitionBy("o_orderkey"))))
+    return check_expectations(ev, {
+        "custkey_not_null": F.col("o_custkey").isNotNull(),
+        "status_in_set": F.col("o_orderstatus").isin("O", "F", "P"),
+        "price_positive": F.col("o_totalprice") > 0,
+        "price_under_400k": F.col("o_totalprice") < 400000,
+        "fk_customer_exists": F.col("_fk"),
+        "orderkey_unique": F.col("_knt") == 1,
+    })

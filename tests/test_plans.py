@@ -76,7 +76,8 @@ def test_board_order_covers_unconfirmed_queries():
               "epoch_shuffle_shards", "token_freq_topk",
               "stats_aggregates_lineitem", "doc_chunks",
               "embedding_quantization_recall", "window_rank_family_orders",
-              "weighted_sample_docs", "approx_topk_contract_orders"):
+              "weighted_sample_docs", "approx_topk_contract_orders",
+              "snapshot_diff_suppliers", "dq_checks_orders"):
         assert n in board, n
     # oracle_sql() iterates in the same board order as queries()
     oracle_names = list(q.oracle_sql())
