@@ -677,6 +677,48 @@ class TableStore:
             return latest
         return self.commit(name, self.read(spark, name).coalesce(int(need)))
 
+    def restore(self, name: str, version: int) -> int:
+        """``RESTORE TABLE … TO VERSION`` (Delta RESTORE / Snowflake
+        UNDROP-era rollback): make the CURRENT state equal an earlier
+        version's — as a NEW commit, metadata-only. The pointer entry
+        for the new version simply references the restored version's
+        segment list / bucket map; zero bytes are rewritten, history
+        after the restored point stays readable (a restore is an
+        addition to history, not a rewind), and vacuum liveness follows
+        the new pointer so the restored files cannot be reclaimed.
+
+        No change batch is attached: reconstructing the rollback's
+        row-level delta without a rewrite requires a diff — consumers
+        that must fold the rollback use ``operators.diff.snapshot_diff``
+        between the pre-restore and restored versions. Raises KeyError
+        if the target version's metadata was pruned by vacuum."""
+        meta = self._read_meta(name)
+        latest = meta["latest"]
+        if version == latest:
+            return latest
+        hist = meta.get("history", [])
+        v = self._prep_version(name, meta)
+        if meta.get("bucket"):
+            maps = {h["v"]: h["buckets"] for h in hist}
+            if version not in maps:
+                raise KeyError(f"no recorded bucket map for {name!r} "
+                               f"v{version} (history pruned by vacuum?)")
+            meta["buckets"] = dict(maps[version])
+            meta.setdefault("history", []).append(
+                {"v": v, "buckets": dict(meta["buckets"]), "ts": time.time()})
+        else:
+            segs = {h["v"]: h.get("segments", [h["v"]]) for h in hist}
+            if version not in segs:
+                raise KeyError(f"no recorded segment list for {name!r} "
+                               f"v{version} (history pruned by vacuum?)")
+            meta["segments"] = list(segs[version])
+            meta.setdefault("history", []).append(
+                {"v": v, "segments": list(meta["segments"]),
+                 "ts": time.time()})
+        meta["latest"] = v
+        self._write_meta(name, meta)
+        return v
+
     # ---- history cleanup (VACUUM analogue) --------------------------------
     def vacuum(self, name: str, keep_last: int = 1) -> list[int]:
         """Delete snapshot version dirs no longer referenced by the last

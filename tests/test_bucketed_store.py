@@ -648,3 +648,61 @@ def test_orphan_version_dir_from_crash_is_cleared(spark, tmp_path):
     # the junk file is gone — the orphan dir was cleared, not merged
     files = store._parquet_files(store._vdir("t", v + 1))
     assert files and all("junk" not in f for f in files)
+
+
+def test_restore_is_metadata_only_rollback(spark, tmp_path):
+    """RESTORE TO VERSION: contents equal the restored version, zero
+    parquet written (pure pointer move), post-restore history remains
+    readable, vacuum keeps the restored files live, and a restore whose
+    target metadata was pruned raises."""
+    import pytest
+
+    store = TableStore(str(tmp_path))
+    store.create("t", schemas.SUPPLIER)
+    merge_upsert(store, spark, "t", _supplier_rows(spark, range(5)), KEY, CMP)   # v0
+    merge_upsert(store, spark, "t",
+                 _supplier_rows(spark, [1]).withColumn(
+                     "supplier_name", F.lit("renamed")), KEY, CMP)               # v1
+    store.commit_append("t", _supplier_rows(spark, [100]))                       # v2
+    n_files_before = sum(len(store._parquet_files(store._vdir("t", v)))
+                         for v in (0, 1, 2))
+
+    v3 = store.restore("t", 0)
+    assert v3 == 3
+    got = {(r["supplier_key"], r["supplier_name"])
+           for r in store.read(spark, "t").collect()}
+    assert got == {(k, f"name{k}") for k in range(5)}          # exactly v0
+    # metadata-only: no new parquet anywhere, no v3 data dir
+    import os
+    n_files_after = sum(len(store._parquet_files(store._vdir("t", v)))
+                        for v in (0, 1, 2))
+    assert n_files_after == n_files_before
+    assert not os.path.exists(store._vdir("t", 3))
+    # pre-restore history still time-travels
+    assert store.read(spark, "t", version=2).count() == 6
+
+    # vacuum to the restored head: current read still works (liveness
+    # follows the new pointer, so v0's segment survives)
+    store.vacuum("t", keep_last=1)
+    assert store.read(spark, "t").count() == 5
+    with pytest.raises(KeyError):
+        store.restore("t", 1)   # pruned metadata -> loud failure
+
+
+def test_restore_bucketed_repoints_bucket_map(spark, tmp_path):
+    store = TableStore(str(tmp_path))
+    store.create("t", schemas.SUPPLIER, bucket_by=(KEY, 4))
+    merge_upsert(store, spark, "t", _supplier_rows(spark, range(8)), KEY, CMP)   # v0
+    merge_upsert(store, spark, "t",
+                 _supplier_rows(spark, [3]).withColumn(
+                     "supplier_name", F.lit("changed")), KEY, CMP)               # v1
+    v2 = store.restore("t", 0)
+    assert v2 == 2
+    assert store._read_meta("t")["buckets"] == {str(k): 0 for k in range(4)}
+    got = {r["supplier_name"] for r in store.read(spark, "t").collect()}
+    assert got == {f"name{k}" for k in range(8)}
+    # pruned single-bucket reads resolve through the restored map
+    b3 = spark.createDataFrame([("S3",)], ["supplier_code"]) \
+        .select(bucket_id(KEY, 4).alias("b")).head()["b"]
+    assert store.read_buckets(spark, "t", [b3]) \
+        .filter("supplier_code = 'S3'").head()["supplier_name"] == "name3"
