@@ -37,6 +37,12 @@ def check_expectations(df: DataFrame,
     Rule order in the output follows dict insertion order."""
     if not rules:
         raise ValueError("check_expectations: no rules given")
+    bad = [n for n in rules if not n.replace("_", "").isalnum()]
+    if bad:
+        # rule names are spliced into a stack() selectExpr — restrict to
+        # identifier-safe names rather than escaping.
+        raise ValueError(f"check_expectations: rule names must be "
+                         f"alphanumeric/underscore: {bad}")
     preds = {n: (F.expr(p) if isinstance(p, str) else p)
              for n, p in rules.items()}
     aggs = [F.count("*").alias("_n")]

@@ -49,7 +49,7 @@ from pyspark.sql.window import Window
 
 
 def shard_assign(docs: DataFrame, n_shards: int, seed: str = "epoch0",
-                 id_col: str = "doc_id") -> DataFrame:
+                 id_col: str = "doc_id", hex_digits: int = 4) -> DataFrame:
     """Deterministic global shuffle into training shards — the epoch
     shuffle a pretraining loader needs: every row gets a pseudo-random
     ``(shard, pos)`` that is a pure function of ``(seed, id)``, so any
@@ -67,11 +67,20 @@ def shard_assign(docs: DataFrame, n_shards: int, seed: str = "epoch0",
 
     Returns (id_col, shard, pos); pos is 1-based within its shard.
     New epoch = new seed — a full, independent reshuffle.
+
+    ``hex_digits`` sizes the hash prefix the shard id is drawn from
+    (16^d values): the default 4 (16 bits) is uniform for shard counts
+    up to a few thousand; a 100k-shard corpus should pass 8 so the
+    modulo bias stays negligible (n_shards must be ≪ 16^hex_digits).
     """
+    if n_shards > 16 ** hex_digits // 16:
+        raise ValueError(
+            f"shard_assign: n_shards={n_shards} too large for a "
+            f"{hex_digits}-hex-digit shard key; raise hex_digits")
     h = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
     d = docs.select(F.col(id_col), h.alias("_h")).withColumn(
-        "_shard", (F.conv(F.substring("_h", 1, 4), 16, 10).cast("long")
-                   % n_shards))
+        "_shard", (F.conv(F.substring("_h", 1, hex_digits), 16, 10)
+                   .cast("long") % n_shards))
     w = Window.partitionBy("_shard").orderBy("_h", id_col)
     return d.select(id_col, F.col("_shard").alias("shard"),
                     F.row_number().over(w).cast("long").alias("pos"))
