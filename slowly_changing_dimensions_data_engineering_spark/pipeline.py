@@ -97,6 +97,32 @@ class SupplierPipeline:
     def task5_refresh_master(self) -> None:
         refresh_master(self.store, self.spark, MASTER, STAGING)
 
+    def task6_maintenance(self, keep_versions: int = 3,
+                          max_files_per_bucket: int = 4) -> dict:
+        """MAINTENANCE (engine surface beyond the reference DAG): the
+        storage-hygiene pass every production deployment schedules next
+        to its load — compact fragmented buckets (OPTIMIZE), prune
+        version history past the time-travel window (VACUUM), and
+        retire change batches every consumer has read (stream
+        retention). Each step is the already-tested store primitive;
+        composing them here pins cadence + ordering: compaction FIRST
+        (it commits a version, which vacuum's keep-window must count),
+        vacuum second, change-retention last using the MINIMUM consumer
+        offset so an unread batch can never be reclaimed (with task4 as
+        the stream's only consumer, that is the scd2 offset). All
+        data-neutral: pipeline results are identical with or without a
+        maintenance tick (tests/test_orchestration.py)."""
+        out: dict = {}
+        for t in (LANDING, STAGING):
+            out[f"compact_{t}"] = self.store.compact(
+                self.spark, t, max_files_per_bucket=max_files_per_bucket)
+        out["compact_master"] = self.store.compact(self.spark, MASTER)
+        for t in (RAW, LANDING, STAGING, MASTER):
+            out[f"vacuum_{t}"] = self.store.vacuum(t, keep_last=keep_versions)
+        out["changes_retired"] = self.store.vacuum_changes(
+            LANDING, self.store.get_offset(STREAM_CONSUMER))
+        return out
+
     # ---- orchestration ---------------------------------------------------
     def run_cycle(self, now: dt.datetime | None = None, purge: bool = True) -> dict:
         """One schedule tick: the five tasks in AFTER-chain order.

@@ -151,3 +151,40 @@ def test_catalog_namespaces(spark, tmp_path):
 
     cat.drop_database("analytics")
     assert cat.show_databases() == ["scd_type2"]
+
+
+def test_maintenance_task_is_data_neutral_and_retires_changes(spark, tmp_path):
+    """task6_maintenance: compaction + vacuum + change retention after
+    two load cycles leaves every pipeline table's CONTENT untouched,
+    retires exactly the consumed change batches (none unread), and the
+    next cycle still runs clean on the maintained store."""
+    import datetime as dt
+
+    p = _pipeline(spark, tmp_path)
+    p.stage.put("/root/reference/suppliers.csv")
+    p.run_cycle(now=dt.datetime(2024, 1, 1))
+    p.stage.put("/root/reference/suppliers_v2.csv")
+    p.run_cycle(now=dt.datetime(2024, 2, 1))
+
+    staging_before = {(r["supplier_code"], r["supplier_state"],
+                       r["current_flag"]) for r in
+                      p.store.read(spark, STAGING).collect()}
+    offset = p.store.get_offset("scd2")
+    assert p.store.change_versions(LANDING, -1)  # batches exist pre-GC
+
+    out = p.task6_maintenance(keep_versions=1)
+    # consumed batches retired; nothing unread existed, so ALL are gone
+    assert out["changes_retired"]
+    assert p.store.change_versions(LANDING, -1) == []
+    # unread batches would have survived: offset equals landing head
+    assert offset == p.store.version(LANDING)
+
+    after = {(r["supplier_code"], r["supplier_state"], r["current_flag"])
+             for r in p.store.read(spark, STAGING).collect()}
+    assert after == staging_before
+    assert p.store.read(spark, "supplier_master").count() == 8
+
+    # the maintained store still takes the next cycle (re-load v2: no-op)
+    p.stage.put("/root/reference/suppliers_v2.csv")
+    p.run_cycle(now=dt.datetime(2024, 3, 1))
+    assert p.store.read(spark, STAGING).count() == 10
