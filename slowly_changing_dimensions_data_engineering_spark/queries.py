@@ -70,6 +70,8 @@ _BOARD_DEMOTE = [
     "doc_text_profile",         # green r3 + r4, untouched in r5
     "asof_latest_order",        # green r3 + r4, untouched in r5
     "range_join_active_orders",  # green r3 + r4, untouched in r5
+    "corpus_curation_summary",  # green r3 + r4, untouched in r5
+    "udtf_doc_tokens",          # green r3 + r4, untouched in r5
     "events_sliding_1h_15m",    # green r2 + r3
     "events_session_30m",       # green r2 + r3
     "approx_distinct_nations",  # green r2 + r3
@@ -3271,3 +3273,87 @@ def dq_checks_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fk_customer_exists": F.col("_fk"),
         "orderkey_unique": F.col("_knt") == 1,
     })
+
+
+@register("histogram_prices", """
+WITH s AS (SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx
+           FROM lineitem),
+b AS (
+  SELECT CAST(least(floor((l_extendedprice - mn) / ((mx - mn) / 20.0)),
+              19) AS BIGINT) AS bucket
+  FROM lineitem, s
+)
+SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n
+FROM b GROUP BY bucket
+""")
+def histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-width histogram (20 buckets) over the fact table's price —
+    the profiling primitive behind distribution dashboards and drift
+    monitors. Two passes by necessity (bounds, then assignment — the
+    streaming alternative is the quantile sketch, quantile_sketch_prices):
+    the 1-row bounds frame broadcasts into a pure codegen bucket
+    expression, then ONE groupBy on the bucket id (≤20 groups — the
+    shuffle carries 20 rows per partition regardless of corpus size).
+    The bucket arithmetic is identically-ordered IEEE double math in
+    both engines, so assignments match bit-for-bit; the top edge closes
+    into bucket 19 (least), the standard half-open-except-last rule."""
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    s = li.agg(F.min("l_extendedprice").alias("mn"),
+               F.max("l_extendedprice").alias("mx"))
+    width = (F.col("mx") - F.col("mn")) / 20.0
+    bucket = F.least(F.floor((F.col("l_extendedprice") - F.col("mn")) / width),
+                     F.lit(19)).cast("long")
+    return (li.crossJoin(F.broadcast(s))
+            .select(bucket.alias("bucket"))
+            .groupBy("bucket").agg(F.count("*").alias("n")))
+
+
+@register("tfidf_top_terms", """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+  FROM documents WHERE doc_id % 5 = 0
+),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf
+  FROM tok WHERE token != '' GROUP BY doc_id, token
+),
+n AS (SELECT COUNT(DISTINCT doc_id) AS nd FROM tf),
+df AS (SELECT token, COUNT(DISTINCT doc_id) AS dfreq FROM tf GROUP BY token),
+scored AS (
+  SELECT tf.doc_id, tf.token,
+         round(tf * round(ln((nd + 1.0) / (dfreq + 1.0)), 9), 6) AS tfidf
+  FROM tf JOIN df USING (token), n
+)
+SELECT doc_id, token AS top_term, tfidf
+FROM scored
+QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                           ORDER BY tfidf DESC, token) = 1
+""")
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction — every 5th document's most
+    characteristic term (term frequency × smoothed inverse document
+    frequency). The classic text-featurization op between tokenization
+    and retrieval/topic pipelines. Shape: one explode → (doc, token)
+    count, document frequencies as a second aggregate of THAT frame (no
+    corpus re-scan), the vocabulary-sized df frame joins back
+    hash-on-token, and the per-doc argmax is a window bounded by a
+    single document's distinct terms. idf is rounded to 9 digits before
+    the product so the two engines' ln libms cannot diverge a ranking;
+    ties break on the token. At 100 TB the only corpus-sized shuffle is
+    the (doc, token) aggregation — df and the argmax ride frames
+    bounded by |vocab| and |doc terms|."""
+    d = _t(spark, sf_dir, "documents")["documents"].filter("doc_id % 5 = 0")
+    tf = (d.select("doc_id",
+                   F.explode(F.split(F.trim("text"), " ")).alias("token"))
+          .filter(F.col("token") != "")
+          .groupBy("doc_id", "token").agg(F.count("*").alias("tf")))
+    nd = tf.agg(F.countDistinct("doc_id").alias("nd"))
+    df_ = tf.groupBy("token").agg(F.countDistinct("doc_id").alias("dfreq"))
+    idf = F.round(F.log((F.col("nd") + 1.0) / (F.col("dfreq") + 1.0)), 9)
+    scored = (tf.join(df_, "token").crossJoin(F.broadcast(nd))
+              .select("doc_id", "token",
+                      F.round(F.col("tf") * idf, 6).alias("tfidf")))
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (scored.withColumn("_r", F.row_number().over(w))
+            .filter("_r = 1").drop("_r")
+            .select("doc_id", F.col("token").alias("top_term"), "tfidf"))

@@ -28,7 +28,9 @@ NESTED_LOOP_ALLOWED = {"embed_topk_cosine", "ann_filtered_topk",
                        # crossJoin of three 1-row aggregate frames
                        "semantic_dedup_summary",
                        # 1-row corpus-total broadcast into quota math
-                       "domain_mix_quotas"}
+                       "domain_mix_quotas",
+                       # 1-row bounds / doc-count broadcasts
+                       "histogram_prices", "tfidf_top_terms"}
 
 
 def _plan(spark, name: str) -> str:
@@ -77,7 +79,8 @@ def test_board_order_covers_unconfirmed_queries():
               "stats_aggregates_lineitem", "doc_chunks",
               "embedding_quantization_recall", "window_rank_family_orders",
               "weighted_sample_docs", "approx_topk_contract_orders",
-              "snapshot_diff_suppliers", "dq_checks_orders"):
+              "snapshot_diff_suppliers", "dq_checks_orders",
+              "histogram_prices", "tfidf_top_terms"):
         assert n in board, n
     # oracle_sql() iterates in the same board order as queries()
     oracle_names = list(q.oracle_sql())
