@@ -72,6 +72,8 @@ _BOARD_DEMOTE = [
     "range_join_active_orders",  # green r3 + r4, untouched in r5
     "corpus_curation_summary",  # green r3 + r4, untouched in r5
     "udtf_doc_tokens",          # green r3 + r4, untouched in r5
+    "minhash_near_dups",        # green r3 + r4, untouched in r5
+    "simhash_near_dups",        # green r3 + r4, untouched in r5
     "events_sliding_1h_15m",    # green r2 + r3
     "events_session_30m",       # green r2 + r3
     "approx_distinct_nations",  # green r2 + r3
@@ -3357,3 +3359,81 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.withColumn("_r", F.row_number().over(w))
             .filter("_r = 1").drop("_r")
             .select("doc_id", F.col("token").alias("top_term"), "tfidf"))
+
+
+@register("sessionize_events_gap_rule", """
+WITH o AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts, event_id,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM o
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       CAST(floor(epoch(MAX(ts))) - floor(epoch(MIN(ts))) AS BIGINT) AS duration_sec
+FROM s GROUP BY user_id, session_id
+""")
+def sessionize_events_gap_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit sessionization — per-event session IDs from the 30-min
+    gap rule (lag + running sum of session-start flags), then per-
+    session rollups. The manual form of what events_session_30m does
+    with the built-in session_window: pipelines need THIS shape when
+    events must carry their session id onward (joins, funnels,
+    training-feature extraction), not just aggregate into windows.
+    Plan: one shuffle on user_id serves both windows (same partition
+    key and ordering — Spark plans a single Exchange+Sort) and the
+    per-user partitions are key-bounded. The (ts, event_id) tiebreak
+    makes lag deterministic under same-timestamp events in both
+    engines. Timestamps carry sub-second precision: both engines
+    compare TRUNCATED epoch seconds (Spark unix_timestamp truncates;
+    the oracle floors) so a fractional gap cannot split sessions
+    differently."""
+    e = _t(spark, sf_dir, "events")["events"]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.unix_timestamp("ts")
+    new_sess = F.when(
+        F.lag("ts").over(w).isNull()
+        | ((sec - F.unix_timestamp(F.lag("ts").over(w))) > 1800),
+        F.lit(1)).otherwise(F.lit(0))
+    s = (e.select("user_id", "ts", "event_id", new_sess.alias("_ns"))
+         .withColumn("session_id",
+                     F.sum("_ns").over(w.rowsBetween(W.unboundedPreceding, 0))))
+    return (s.groupBy("user_id", "session_id")
+            .agg(F.count("*").alias("n_events"),
+                 _fmt(F.min("ts")).alias("session_start"),
+                 (F.unix_timestamp(F.max("ts"))
+                  - F.unix_timestamp(F.min("ts"))).alias("duration_sec")))
+
+
+@register("nation_supplier_roster", """
+SELECT n_name,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+       array_to_string(list_sort(list(s_name)), '|') AS roster
+FROM supplier JOIN nation ON n_nationkey = s_nationkey
+GROUP BY n_name
+""")
+def nation_supplier_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation (collect_list → array_sort → array_join): the
+    per-group roster pattern — denormalized member lists for serving
+    layers and prompt assembly. The collect is per-NATION (bounded
+    group) and the sort canonicalizes the unordered collect so both
+    engines emit identical strings regardless of partial-aggregation
+    order; output as a joined string keeps the driver's value-hash
+    format-stable across engines. One hash aggregate; the broadcast
+    nation join is dictionary-sized."""
+    t = _t(spark, sf_dir, "supplier", "nation")
+    j = t["supplier"].join(F.broadcast(t["nation"]),
+                           F.col("n_nationkey") == F.col("s_nationkey"))
+    return (j.groupBy("n_name")
+            .agg(F.count("*").alias("n_suppliers"),
+                 F.array_join(F.array_sort(F.collect_list("s_name")), "|")
+                  .alias("roster")))

@@ -80,7 +80,8 @@ def test_board_order_covers_unconfirmed_queries():
               "embedding_quantization_recall", "window_rank_family_orders",
               "weighted_sample_docs", "approx_topk_contract_orders",
               "snapshot_diff_suppliers", "dq_checks_orders",
-              "histogram_prices", "tfidf_top_terms"):
+              "histogram_prices", "tfidf_top_terms",
+              "sessionize_events_gap_rule", "nation_supplier_roster"):
         assert n in board, n
     # oracle_sql() iterates in the same board order as queries()
     oracle_names = list(q.oracle_sql())
