@@ -74,6 +74,8 @@ _BOARD_DEMOTE = [
     "udtf_doc_tokens",          # green r3 + r4, untouched in r5
     "minhash_near_dups",        # green r3 + r4, untouched in r5
     "simhash_near_dups",        # green r3 + r4, untouched in r5
+    "pandas_udf_grouped_price_range",  # green r3 + r4, untouched in r5
+    "row_udf_nation_tag",       # green r3 + r4, untouched in r5
     "events_sliding_1h_15m",    # green r2 + r3
     "events_session_30m",       # green r2 + r3
     "approx_distinct_nations",  # green r2 + r3
@@ -3437,3 +3439,71 @@ def nation_supplier_roster(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_suppliers"),
                  F.array_join(F.array_sort(F.collect_list("s_name")), "|")
                   .alias("roster")))
+
+
+@register("lm_quality_scores", """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS token
+  FROM documents
+),
+t AS (SELECT doc_id, token FROM tok WHERE token != ''),
+cnt AS (SELECT token, COUNT(*) AS n FROM t GROUP BY token),
+tot AS (SELECT COUNT(*) AS nt FROM t),
+lp AS (SELECT token, round(ln(n / CAST(nt AS DOUBLE)), 9) AS logp
+       FROM cnt, tot)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       round(CAST(SUM(CAST(logp AS DECIMAL(38, 12))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_logprob,
+       CAST(SUM(CAST(logp AS DECIMAL(38, 12))) AS DOUBLE) / COUNT(*) >= -6.5
+         AS kept
+FROM t JOIN lp USING (token)
+GROUP BY doc_id
+""")
+def lm_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality filtering, CCNet-style: a unigram LM
+    trained ON the corpus scores every document by mean token
+    log-probability; documents whose tokens are collectively improbable
+    (boilerplate, noise, wrong-language residue) fall below the gate.
+    The simplest member of the perplexity-filter family — and its Spark
+    shape IS the production shape: token counts (one corpus-sized
+    aggregation), a vocabulary-sized logprob table joined back
+    hash-on-token (never broadcast — real vocabularies are GBs), one
+    per-doc aggregation. Determinism: per-token logp is rounded to 9
+    before the per-doc mean, and the mean accumulates in exact decimal,
+    so partial-aggregation order cannot wiggle a gate decision."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    t = (d.select("doc_id",
+                  F.explode(F.split(F.trim("text"), " ")).alias("token"))
+         .filter(F.col("token") != ""))
+    cnt = t.groupBy("token").agg(F.count("*").alias("n"))
+    tot = t.agg(F.count("*").alias("nt"))
+    lp = (cnt.crossJoin(F.broadcast(tot))
+          .select("token",
+                  F.round(F.log(F.col("n") / F.col("nt").cast("double")), 9)
+                   .alias("logp")))
+    avg = (F.sum(F.col("logp").cast("decimal(38,12)")).cast("double")
+           / F.count("*"))
+    return (t.join(lp, "token")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_tokens"),
+                 F.round(avg, 6).alias("avg_logprob"),
+                 (avg >= -6.5).alias("kept")))
+
+
+@register("set_except_all_orders", """
+SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+EXCEPT ALL
+SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+""")
+def set_except_all_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set operation (EXCEPT ALL): per-value surplus of open
+    orders' priorities over finished orders' — duplicates preserved,
+    completing the set-op family next to the DISTINCT variants
+    (set_except_finished_only / set_intersect_segments). Spark plans
+    exceptAll as a counted anti-semantics aggregate (generate surplus
+    counts, replicate), not a row-by-row comparison — one shuffle on
+    the value."""
+    o = _t(spark, sf_dir, "orders")["orders"]
+    return (o.filter("o_orderstatus = 'O'").select("o_orderpriority")
+            .exceptAll(o.filter("o_orderstatus = 'F'")
+                       .select("o_orderpriority")))

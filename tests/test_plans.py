@@ -30,7 +30,8 @@ NESTED_LOOP_ALLOWED = {"embed_topk_cosine", "ann_filtered_topk",
                        # 1-row corpus-total broadcast into quota math
                        "domain_mix_quotas",
                        # 1-row bounds / doc-count broadcasts
-                       "histogram_prices", "tfidf_top_terms"}
+                       "histogram_prices", "tfidf_top_terms",
+                       "lm_quality_scores"}
 
 
 def _plan(spark, name: str) -> str:
@@ -81,7 +82,8 @@ def test_board_order_covers_unconfirmed_queries():
               "weighted_sample_docs", "approx_topk_contract_orders",
               "snapshot_diff_suppliers", "dq_checks_orders",
               "histogram_prices", "tfidf_top_terms",
-              "sessionize_events_gap_rule", "nation_supplier_roster"):
+              "sessionize_events_gap_rule", "nation_supplier_roster",
+              "lm_quality_scores", "set_except_all_orders"):
         assert n in board, n
     # oracle_sql() iterates in the same board order as queries()
     oracle_names = list(q.oracle_sql())

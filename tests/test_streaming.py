@@ -433,6 +433,38 @@ def test_streaming_ann_index_grows_and_stays_searchable(spark, tmp_path):
     assert spark.read.parquet(index).count() == 6
 
 
+def test_stream_static_join_enriches_batches(spark, tmp_path):
+    """Stream-static join: a streaming fact joined to a static
+    dimension enriches every micro-batch (the dimension is re-resolved
+    per batch — Spark's documented stream-static semantics), completing
+    the streaming-join matrix next to the stream-stream interval join."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "ss_in"
+    src.mkdir()
+    dim = spark.createDataFrame(
+        [(0, "browse"), (1, "buy")], ["type_id", "type_name"])
+
+    with open(src / "b1.json", "w") as f:
+        for i in range(6):
+            f.write(_json.dumps({"event_id": i, "type_id": i % 2}) + "\n")
+
+    stream = (spark.readStream
+              .schema("event_id long, type_id int").json(str(src))
+              .join(F.broadcast(dim), "type_id"))
+    q = (stream.writeStream.outputMode("append").format("memory")
+         .queryName("ss_join").option("checkpointLocation",
+                                      str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    _drain(q)
+    rows = spark.sql("SELECT * FROM ss_join").collect()
+    assert len(rows) == 6
+    assert {(r["event_id"], r["type_name"]) for r in rows} == {
+        (i, "buy" if i % 2 else "browse") for i in range(6)}
+
+
 def test_streaming_mv_tracks_base_across_batches(spark, tmp_path):
     """streaming/mv_stream.py: each micro-batch merges a load file into
     the base and folds its CDC batch into the MV — after every batch the
