@@ -30,6 +30,8 @@ from functools import reduce
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..schemas import CDC_ACTION, CDC_ISUPDATE, CDC_ROW_ID
+
 
 def snapshot_diff(store, spark, name: str, v_from: int, v_to: int,
                   key: list[str]) -> DataFrame:
@@ -76,3 +78,30 @@ def snapshot_diff(store, spark, name: str, v_from: int, v_to: int,
     post = upd.select(*side_cols("b"),
                       F.lit("update_postimage").alias("change_type"))
     return ins.unionByName(dele).unionByName(pre).unionByName(post)
+
+
+def as_cdc(diff_df: DataFrame, key: list[str]) -> DataFrame:
+    """Re-encode a ``snapshot_diff`` result as a CDC change batch —
+    the exact METADATA$ACTION / METADATA$ISUPDATE / METADATA$ROW_ID
+    schema the store's stream emits (schemas.cdc_schema), so every
+    stream consumer (``scd2_merge``, the incremental-MV fold) ingests a
+    reconstructed delta with zero special-casing:
+
+    - insert            → (INSERT, ISUPDATE=false)
+    - delete            → (DELETE, ISUPDATE=false)  — a true removal
+    - update_preimage   → (DELETE, ISUPDATE=true)
+    - update_postimage  → (INSERT, ISUPDATE=true)
+
+    ROW_ID is the same key hash the merge assigns, so an update's
+    reconstructed pre/post rows pair up exactly like streamed ones
+    (round-trip proven in tests/test_diff_quality.py)."""
+    rid = F.md5(F.concat_ws("\x1f",
+                            *[F.col(k).cast("string") for k in key]))
+    cols = [c for c in diff_df.columns if c != "change_type"]
+    ct = F.col("change_type")
+    return diff_df.select(
+        *cols,
+        F.when(ct.isin("insert", "update_postimage"), F.lit("INSERT"))
+         .otherwise(F.lit("DELETE")).alias(CDC_ACTION),
+        ct.startswith("update").alias(CDC_ISUPDATE),
+        rid.alias(CDC_ROW_ID))

@@ -90,3 +90,42 @@ def test_check_expectations_counts_and_null_as_violation(spark):
     assert out["y_in_set"] == (4, 1, 0.75)    # NULL y fails
     with pytest.raises(ValueError):
         check_expectations(df, {})
+
+
+def test_diff_as_cdc_feeds_scd2_like_the_stream(spark):
+    """Round-trip interop: folding snapshot_diff(v0→v1) re-encoded via
+    as_cdc through scd2_merge must produce the IDENTICAL staging state
+    as consuming the store's actually-recorded change batch — the
+    'reconstructed deltas behave like streamed ones' contract."""
+    import datetime as dt
+
+    from slowly_changing_dimensions_data_engineering_spark.operators.diff import as_cdc
+    from slowly_changing_dimensions_data_engineering_spark.operators.scd2 import scd2_merge
+
+    t1, t2 = dt.datetime(2024, 1, 1), dt.datetime(2024, 2, 1)
+    scd2_key = ["supplier_code", "supplier_state"]
+
+    def build(consume):
+        """Two-load store; staging fed by `consume(store, spark) -> batch2`."""
+        store = TableStore(tempfile.mkdtemp())
+        store.create("landing", schemas.SUPPLIER)
+        store.create("staging", schemas.SUPPLIER_STAGING)
+        merge_upsert(store, spark, "landing", _rows(spark, [
+            (1, "A", "a", "NY"), (2, "B", "b", "CA")]), KEY, CMP)
+        scd2_merge(store, spark, "staging",
+                   store.read_changes(spark, "landing", -1), scd2_key, t1)
+        off = store.version("landing")
+        merge_upsert(store, spark, "landing", _rows(spark, [
+            (1, "A", "a", "NJ"), (3, "C", "c", "TX")]), KEY, CMP)
+        scd2_merge(store, spark, "staging", consume(store, off),
+                   scd2_key, t2)
+        return {(r["supplier_code"], r["supplier_state"], r["current_flag"],
+                 r["start_date"], r["end_date"])
+                for r in store.read(spark, "staging").collect()}
+
+    streamed = build(lambda s, off: s.read_changes(spark, "landing", off))
+    reconstructed = build(lambda s, off: as_cdc(
+        snapshot_diff(s, spark, "landing", off, s.version("landing"), KEY),
+        KEY))
+    assert reconstructed == streamed
+    assert len(streamed) == 4  # A closed+reopened, B untouched, C opened
