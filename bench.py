@@ -79,14 +79,17 @@ def main():
     # earlier line; the compact machine-readable summary is the LAST line
     # so a tail capture of any reasonable size always parses it.
     print(json.dumps({"per_query_seconds": timings}))
+    # The LAST line is the compact summary ONLY — no embedded per-query
+    # dict. r4 and r5 both lost the machine-readable total because the
+    # final line exceeded the driver's tail-capture width and truncation
+    # cut the front off. Keep this line short (<200 chars); the
+    # per-query timings live on the previous line.
     out = {
         "metric": "total_query_seconds",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "n_queries": len(timings),  # registry grows round over round —
-        # compare totals per query set, not raw (r1: 23 queries, 29.3s;
-        # the same 23 run in ~22s under the r2 tree)
-        "queries": timings,
+        # compare totals per query set, not raw
         "sf": sf,
     }
     print(json.dumps(out))

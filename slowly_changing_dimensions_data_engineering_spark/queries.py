@@ -51,13 +51,44 @@ def register(name: str, oracle: str | None):
 # consecutive prior rounds.  Rotate per round until every registered
 # query has at least one green driver row on record.
 #
-# r5 rotation: the 23 r4-new queries stay on the board for their second
-# consecutive green (two-green exit rule); the 2 r5-new queries
-# (ivf_recall_nprobe, ann_filtered_topk_index) enter; two r3+r4-green
-# queries untouched by this round's changes are demoted to make the
-# board exactly 50. The IVF family is KEPT on the board despite r3+r4
-# greens because r5 changed the shared index layout (label column).
+# r6 rotation: CORRECTNESS_r05 was 50/50 green, making 32 board queries
+# twice-green (r4+r5) and demote-eligible. The 18 r5-new green-once
+# queries STAY for their second green. Of the 32, six are KEPT on the
+# board because r6 rewrites the IVF assignment path they share
+# (two-level coarse→fine, operators/similarity.py): ivf_search_ann,
+# ivf_recall_at10, ann_batch_topk, ann_filtered_topk,
+# embedding_near_dup_pairs, semantic_dedup_summary. The other 26 are
+# demoted below; r6-new queries (streaming-MV oracle, bucketed SCD2)
+# enter at the front.
 _BOARD_DEMOTE = [
+    # -- demoted r6 (green r4 + r5, untouched by r6 changes) --
+    "anti_join_dormant_customers",
+    "array_functions_embeddings",
+    "classifier_quality_scores",
+    "decontamination_overlap",
+    "dedup_clusters_cc",
+    "dedup_corpus_minhash",
+    "delete_dml_state_stats",
+    "domain_mix_quotas",
+    "funnel_conversion_users",
+    "hll_sketch_region_customers",
+    "incremental_mv_state_stats",
+    "map_functions_events",
+    "minhash_incremental_dedup",
+    "pii_scrub_customers",
+    "pivot_status_revenue_by_year",
+    "pretraining_pipeline_summary",
+    "profile_orders_columns",
+    "q1_pricing_summary",
+    "q5_region_revenue",
+    "quantile_sketch_prices",
+    "repetition_signals_docs",
+    "scd2_master_current",
+    "scd2_supplier_history",
+    "sequence_packing_bins",
+    "stratified_sample_docs",
+    "unpivot_part_metrics",
+    # -- demoted in earlier rounds --
     "doc_token_stats",          # green r3 + r4
     "dedup_prefix_fingerprint",  # green r3 + r4
     "embed_topk_cosine",        # green r3 + r4, untouched in r5

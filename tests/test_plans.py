@@ -62,19 +62,8 @@ def test_board_order_covers_unconfirmed_queries():
     names = list(q.queries())
     assert sorted(names) == sorted(q._REGISTRY)  # reorder loses nothing
     board = set(names[:50])
-    for n in ("map_functions_events", "profile_orders_columns",
-              "array_functions_embeddings", "dedup_corpus_minhash",
-              # r4-new queries: no driver row exists yet for any of these
-              "ann_batch_topk", "dedup_clusters_cc", "stratified_sample_docs",
-              "pivot_status_revenue_by_year", "unpivot_part_metrics",
-              "hll_sketch_region_customers", "semantic_dedup_summary",
-              "quantile_sketch_prices", "incremental_mv_state_stats",
-              "repetition_signals_docs", "pii_scrub_customers",
-              "delete_dml_state_stats", "decontamination_overlap",
-              "domain_mix_quotas", "sequence_packing_bins",
-              "classifier_quality_scores", "ann_filtered_topk",
-              "funnel_conversion_users", "pretraining_pipeline_summary",
-              # r5-new queries (no driver row yet)
+    for n in (
+              # r5-new queries: green ONCE (r5) — stay for second green
               "ivf_recall_nprobe", "ann_filtered_topk_index",
               "epoch_shuffle_shards", "token_freq_topk",
               "stats_aggregates_lineitem", "doc_chunks",
@@ -83,7 +72,12 @@ def test_board_order_covers_unconfirmed_queries():
               "snapshot_diff_suppliers", "dq_checks_orders",
               "histogram_prices", "tfidf_top_terms",
               "sessionize_events_gap_rule", "nation_supplier_roster",
-              "lm_quality_scores", "set_except_all_orders"):
+              "lm_quality_scores", "set_except_all_orders",
+              # IVF family: twice-green but KEPT — r6 rewrote the shared
+              # assignment path (two-level coarse→fine, similarity.py)
+              "ivf_search_ann", "ivf_recall_at10", "ann_batch_topk",
+              "ann_filtered_topk", "embedding_near_dup_pairs",
+              "semantic_dedup_summary"):
         assert n in board, n
     # oracle_sql() iterates in the same board order as queries()
     oracle_names = list(q.oracle_sql())
