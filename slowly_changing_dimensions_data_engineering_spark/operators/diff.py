@@ -34,7 +34,7 @@ from ..schemas import CDC_ACTION, CDC_ISUPDATE, CDC_ROW_ID
 
 
 def snapshot_diff(store, spark, name: str, v_from: int, v_to: int,
-                  key: list[str]) -> DataFrame:
+                  key: list[str], check_keys: bool = True) -> DataFrame:
     """Row-level changes turning version ``v_from`` into ``v_to``.
 
     Returns the table's columns + ``change_type`` ∈ {'insert',
@@ -43,17 +43,27 @@ def snapshot_diff(store, spark, name: str, v_from: int, v_to: int,
     ``key`` must identify logical rows in both versions (enforced:
     duplicate keys on either side raise, because pair encoding is
     ill-defined for them — diff multisets instead if you need that).
+
+    ``check_keys=False`` skips the two eager full-snapshot
+    pre-aggregations that enforce uniqueness — for tables whose key is
+    already guaranteed unique (a merge-maintained table, a primary-keyed
+    load), the guard is two extra full scans per audit. CONTRACT
+    VIOLATION MODE: with duplicates present and the guard off, the
+    full-outer join fans out per duplicate pair and the emitted
+    "pairs" are meaningless — no error is raised. Only disable the
+    guard when uniqueness is enforced upstream.
     """
     cols = store.schema(name).fieldNames()
     nonkey = [c for c in cols if c not in key]
     a = store.read(spark, name, version=v_from)
     b = store.read(spark, name, version=v_to)
-    for side, df in (("v_from", a), ("v_to", b)):
-        dups = df.groupBy(*key).count().filter("count > 1")
-        if not dups.isEmpty():
-            raise ValueError(
-                f"snapshot_diff: duplicate keys in {name}@{side}; "
-                "pair encoding needs unique keys per version")
+    if check_keys:
+        for side, df in (("v_from", a), ("v_to", b)):
+            dups = df.groupBy(*key).count().filter("count > 1")
+            if not dups.isEmpty():
+                raise ValueError(
+                    f"snapshot_diff: duplicate keys in {name}@{side}; "
+                    "pair encoding needs unique keys per version")
     fa = a.withColumn("_pa", F.lit(True)).alias("a")
     fb = b.withColumn("_pb", F.lit(True)).alias("b")
     on = reduce(lambda x, y: x & y,

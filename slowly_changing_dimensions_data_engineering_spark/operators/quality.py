@@ -50,10 +50,15 @@ def check_expectations(df: DataFrame,
         ok = F.coalesce(p.cast("boolean"), F.lit(False))
         aggs.append(F.sum((~ok).cast("long")).alias(f"_v_{name}"))
     one = df.agg(*aggs)
-    pairs = ", ".join(f"'{n}', _v_{n}" for n in preds)
+    pairs = ", ".join(f"'{n}', coalesce(_v_{n}, 0L)" for n in preds)
     long = one.selectExpr(
         "_n", f"stack({len(preds)}, {pairs}) AS (rule, n_violations)")
+    # Empty-input contract: sum() over zero rows is NULL — coalesce each
+    # count to 0 and define pass_frac = 1.0 on an empty frame so a gate
+    # like `n_violations == 0` PASSES an empty micro-batch explicitly
+    # instead of evaluating NULL (vacuous truth, the DLT convention).
     return long.select(
         "rule", F.col("_n").alias("n_rows"), "n_violations",
-        F.round((F.col("_n") - F.col("n_violations")) / F.col("_n"), 6)
-         .alias("pass_frac"))
+        F.when(F.col("_n") > 0,
+               F.round((F.col("_n") - F.col("n_violations")) / F.col("_n"), 6))
+         .otherwise(F.lit(1.0)).alias("pass_frac"))

@@ -1072,10 +1072,18 @@ _IVF_INDEX_CACHE: dict[str, tuple[str, int]] = {}
 #: unaffected; the sf1 soak (20k vectors) gets k=80.
 _IVF_CELL_ROWS = 250
 
+#: DuckDB twin of the Python ``k = max(8, n // 250)`` centroid-count
+#: formula, spliced into every IVF oracle — oracle and implementation
+#: derive k from the SAME expression, so they cannot silently diverge
+#: if the driver's embeddings table ever grows past 8*250 rows
+#: (ADVICE r5: the previous literal pin of 8 was valid only below that).
+_IVF_K_SQL = (f"greatest({_IVF_N_CENTROIDS}, "
+              f"(SELECT count(*) FROM embeddings) // {_IVF_CELL_ROWS})")
+
 _IVF_ORACLE = f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
 c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings
-      WHERE vec_id < {_IVF_N_CENTROIDS}),
+      WHERE vec_id < {_IVF_K_SQL}),
 scored AS (
   SELECT v.vec_id, c.cid,
          round(list_dot_product(
@@ -1160,7 +1168,7 @@ def ivf_search_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("ivf_recall_at10", f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
 c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings
-      WHERE vec_id < {_IVF_N_CENTROIDS}),
+      WHERE vec_id < {_IVF_K_SQL}),
 scored AS (
   SELECT v.vec_id, c.cid,
          round(list_dot_product(
@@ -1250,7 +1258,7 @@ def ivf_recall_at10(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("ivf_recall_nprobe", f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
 c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings
-      WHERE vec_id < {_IVF_N_CENTROIDS}),
+      WHERE vec_id < {_IVF_K_SQL}),
 scored AS (
   SELECT v.vec_id, c.cid,
          round(list_dot_product(
@@ -1343,7 +1351,7 @@ _ANN_BATCH_IDS = (42, 137, 256)
 @register("ann_batch_topk", f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
 c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings
-      WHERE vec_id < {_IVF_N_CENTROIDS}),
+      WHERE vec_id < {_IVF_K_SQL}),
 scored AS (
   SELECT v.vec_id, c.cid,
          round(list_dot_product(
@@ -1392,7 +1400,7 @@ def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("embedding_near_dup_pairs", f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
 c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings
-      WHERE vec_id < {_IVF_N_CENTROIDS}),
+      WHERE vec_id < {_IVF_K_SQL}),
 scored AS (
   SELECT v.vec_id, c.cid,
          round(list_dot_product(
@@ -2648,7 +2656,7 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("ann_filtered_topk_index", f"""
 WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS ve FROM embeddings),
 c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings
-      WHERE vec_id < {_IVF_N_CENTROIDS}),
+      WHERE vec_id < {_IVF_K_SQL}),
 scored AS (
   SELECT v.vec_id, c.cid,
          round(list_dot_product(
@@ -3314,8 +3322,9 @@ def dq_checks_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH s AS (SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx
            FROM lineitem),
 b AS (
-  SELECT CAST(least(floor((l_extendedprice - mn) / ((mx - mn) / 20.0)),
-              19) AS BIGINT) AS bucket
+  SELECT CAST(CASE WHEN mx = mn THEN 0
+              ELSE least(floor((l_extendedprice - mn) / ((mx - mn) / 20.0)),
+                         19) END AS BIGINT) AS bucket
   FROM lineitem, s
 )
 SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n
@@ -3331,13 +3340,16 @@ def histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle carries 20 rows per partition regardless of corpus size).
     The bucket arithmetic is identically-ordered IEEE double math in
     both engines, so assignments match bit-for-bit; the top edge closes
-    into bucket 19 (least), the standard half-open-except-last rule."""
+    into bucket 19 (least), the standard half-open-except-last rule.
+    Degenerate case (ADVICE r5): a constant column makes the width 0 and
+    the division NaN — both engines map mx==mn to bucket 0 explicitly."""
     li = _t(spark, sf_dir, "lineitem")["lineitem"]
     s = li.agg(F.min("l_extendedprice").alias("mn"),
                F.max("l_extendedprice").alias("mx"))
     width = (F.col("mx") - F.col("mn")) / 20.0
-    bucket = F.least(F.floor((F.col("l_extendedprice") - F.col("mn")) / width),
-                     F.lit(19)).cast("long")
+    bucket = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+        F.least(F.floor((F.col("l_extendedprice") - F.col("mn")) / width),
+                F.lit(19))).cast("long")
     return (li.crossJoin(F.broadcast(s))
             .select(bucket.alias("bucket"))
             .groupBy("bucket").agg(F.count("*").alias("n")))

@@ -56,12 +56,15 @@ def morton_key(cols: list[str], mins: list[float], maxs: list[float],
     per-column min/max bounds — for call sites that cannot ride the
     in-plan broadcast-stats join (e.g. a sortWithinPartitions expression
     inside the bucketed write path). Same bit layout as
-    ``zorder_cluster``; constant columns scale to 0 and drop out."""
+    ``zorder_cluster``; constant columns scale to 0 and drop out.
+    ``None`` bounds (a non-numeric column whose double cast is all-NULL,
+    or an empty table) are the constant-column case — the column drops
+    out of the ordering instead of raising on the comparison."""
     top = (1 << bits) - 1
     scaled = []
     for c, mn, mx in zip(cols, mins, maxs):
-        if mx > mn:
-            frac = (F.col(c).cast("double") - F.lit(mn)) / (mx - mn)
+        if mn is not None and mx is not None and mx > mn:
+            frac = (F.col(c).try_cast("double") - F.lit(mn)) / (mx - mn)
             scaled.append((frac * top).cast("long"))
         else:
             scaled.append(F.lit(0).cast("long"))
@@ -88,16 +91,16 @@ def zorder_cluster(df: DataFrame, cols: list[str], n_parts: int,
     shift/mask expression, and the only data movement is the range
     shuffle the rewrite needs anyway. Constant columns scale to 0 and
     simply drop out of the ordering."""
-    stats = df.agg(*[F.min(F.col(c).cast("double")).alias(f"_mn_{c}")
+    stats = df.agg(*[F.min(F.col(c).try_cast("double")).alias(f"_mn_{c}")
                      for c in cols],
-                   *[F.max(F.col(c).cast("double")).alias(f"_mx_{c}")
+                   *[F.max(F.col(c).try_cast("double")).alias(f"_mx_{c}")
                      for c in cols])
     top = (1 << bits) - 1
     j = df.crossJoin(F.broadcast(stats))
     scaled = []
     for c in cols:
         mn, mx = F.col(f"_mn_{c}"), F.col(f"_mx_{c}")
-        frac = (F.col(c).cast("double") - mn) / (mx - mn)
+        frac = (F.col(c).try_cast("double") - mn) / (mx - mn)
         scaled.append(F.when(mx > mn, (frac * top).cast("long"))
                        .otherwise(F.lit(0)))
     k = len(cols)
@@ -626,7 +629,11 @@ class TableStore:
         (layout, not just size, is the point).
 
         Returns the new version, or the current one if nothing needed
-        compacting (no empty commit)."""
+        compacting (no empty commit). Exception: ``cluster_by`` is an
+        UNCONDITIONAL full-rewrite commit — layout, not fragmentation,
+        is what it changes, and the store records no clustering state to
+        detect "already clustered", so calling it twice rewrites twice.
+        Schedule it on layout change, not per cycle."""
         meta = self._read_meta(name)
         latest = meta["latest"]
         if latest < 0:
@@ -644,9 +651,9 @@ class TableStore:
             # sortWithinPartitions — no shuffle beyond the bucket
             # clustering the write performs anyway.
             cur = self.read(spark, name)
-            row = cur.agg(*[F.min(F.col(c).cast("double")).alias(f"mn_{c}")
+            row = cur.agg(*[F.min(F.col(c).try_cast("double")).alias(f"mn_{c}")
                             for c in cluster_by],
-                          *[F.max(F.col(c).cast("double")).alias(f"mx_{c}")
+                          *[F.max(F.col(c).try_cast("double")).alias(f"mx_{c}")
                             for c in cluster_by]).head()
             z = morton_key(cluster_by,
                            [row[f"mn_{c}"] for c in cluster_by],

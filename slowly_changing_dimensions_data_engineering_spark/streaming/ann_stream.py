@@ -48,7 +48,11 @@ VEC_SCHEMA = T.StructType([
 
 
 def centroids_path(index_path: str) -> str:
-    return os.path.join(os.path.dirname(index_path.rstrip("/")), "_centroids")
+    """``<index_path>/_centroids`` — INSIDE the index directory, so two
+    indexes sharing a parent never collide on centroid geometry. Spark's
+    file listing ignores underscore-prefixed paths, so reads of the
+    ``centroid_id=`` partitions are unaffected by the sibling dir."""
+    return os.path.join(index_path.rstrip("/"), "_centroids")
 
 
 def _index_initialized(index_path: str) -> bool:
@@ -91,9 +95,11 @@ def start_streaming_ann_index(
             # vectors, persist it beside the index, then build.
             cents = (batch_df.orderBy(F.asc(id_col)).limit(n_centroids)
                      .select(F.col(id_col).alias("centroid_id"), vec_col))
+            # Build FIRST (overwrite mode would wipe a pre-written
+            # ``_centroids`` inside the index dir), then persist the
+            # frozen geometry beside the partitions it produced.
+            ivf_build_index(batch_df, cents, index_path, id_col, vec_col)
             cents.write.mode("overwrite").parquet(centroids_path(index_path))
-            ivf_build_index(batch_df, load_centroids(spark, index_path),
-                            index_path, id_col, vec_col)
         else:
             ivf_index_append(batch_df, load_centroids(spark, index_path),
                              index_path, id_col, vec_col)

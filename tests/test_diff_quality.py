@@ -92,6 +92,43 @@ def test_check_expectations_counts_and_null_as_violation(spark):
         check_expectations(df, {})
 
 
+def test_check_expectations_empty_frame_passes_explicitly(spark):
+    """Empty-input contract (ADVICE r5): zero rows must yield
+    n_violations=0 and pass_frac=1.0 — NOT NULL — so a gate like
+    `n_violations == 0` passes an empty micro-batch vacuously instead
+    of evaluating to unknown."""
+    df = spark.createDataFrame([], "x int, y string")
+    out = {r["rule"]: (r["n_rows"], r["n_violations"], r["pass_frac"])
+           for r in check_expectations(df, {
+               "x_not_null": F.col("x").isNotNull(),
+               "y_in_set": F.col("y").isin("a", "b"),
+           }).collect()}
+    assert out["x_not_null"] == (0, 0, 1.0)
+    assert out["y_in_set"] == (0, 0, 1.0)
+
+
+def test_snapshot_diff_check_keys_false_skips_guard(spark):
+    """check_keys=False (ADVICE r5 / VERDICT #6): the uniqueness guard
+    and its two eager pre-aggregations are skipped. Same result on
+    clean-keyed input; duplicate keys no longer raise (documented
+    contract-violation mode)."""
+    store = TableStore(tempfile.mkdtemp())
+    store.create("t", schemas.SUPPLIER)
+    store.commit("t", _rows(spark, [(1, "A", "a", "NY")]))
+    store.commit("t", _rows(spark, [(1, "A", "a", "NJ")]))
+    got = {(r["supplier_code"], r["change_type"])
+           for r in snapshot_diff(store, spark, "t", 0, 1, KEY,
+                                  check_keys=False).collect()}
+    assert got == {("A", "update_preimage"), ("A", "update_postimage")}
+
+    dup = TableStore(tempfile.mkdtemp())
+    dup.create("t", schemas.SUPPLIER)
+    dup.commit("t", _rows(spark, [(1, "A", "a", "NY"), (2, "A", "a2", "CA")]))
+    dup.commit("t", _rows(spark, [(1, "A", "a", "NY")]))
+    # guard off: no raise (result is fan-out garbage by contract)
+    snapshot_diff(dup, spark, "t", 0, 1, KEY, check_keys=False).collect()
+
+
 def test_diff_as_cdc_feeds_scd2_like_the_stream(spark):
     """Round-trip interop: folding snapshot_diff(v0→v1) re-encoded via
     as_cdc through scd2_merge must produce the IDENTICAL staging state

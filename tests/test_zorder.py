@@ -124,3 +124,26 @@ def test_zorder_within_buckets_preserves_layout_and_sorts(spark, tmp_path):
             assert zs == sorted(zs), f
             checked += 1
     assert checked >= 4
+
+
+def test_zorder_bucketed_non_numeric_or_constant_cluster_cols(spark, tmp_path):
+    """ADVICE r5 (store.py compact): a cluster column whose double cast
+    is all-NULL (a string code) or whose bounds are degenerate must be
+    treated as the constant-column case — it drops out of the Morton
+    ordering instead of raising TypeError on a None comparison."""
+    rows = [(i, f"S{i}", float(i % 100)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, code string, x double")
+    store = TableStore(str(tmp_path))
+    store.create("b", df.schema, bucket_by=(["code"], 2))
+    store.commit("b", df)
+
+    # 'code' casts to all-NULL doubles -> None bounds -> constant case
+    v = store.compact(spark, "b", cluster_by=["code", "x"])
+    got = store.read(spark, "b")
+    assert got.count() == 200
+    assert v == store.version("b")
+
+    # all-constant cluster set (every bound degenerate) also commits
+    v2 = store.compact(spark, "b", cluster_by=["code"])
+    assert store.read(spark, "b").count() == 200
+    assert v2 == store.version("b")
