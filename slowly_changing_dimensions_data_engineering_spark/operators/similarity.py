@@ -44,13 +44,60 @@ def l2sq(a: Column, b: Column) -> Column:
     return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x)
 
 
+#: Above this many centroids, ``ivf_assign`` switches from the flat
+#: all-centroids scoring pass to the two-level coarse→fine quantizer.
+#: Rationale: with cell population held constant (k = n/250), flat
+#: assignment is O(n·k) = O(n²/250) total distance evaluations AND
+#: broadcasts all k centroid vectors — both die long before n = 10⁹
+#: (k ≈ 4M). Two-level keeps the broadcast at O(√k) seed vectors and
+#: the per-vector work at O(√k·probes), so build/append cost stays
+#: O(n·√k) — linear-ish in corpus size with k scaled. 512 flat
+#: centroids ≈ a few hundred KB broadcast and ≤512 distance evals per
+#: row: comfortably cheap, and every driver/oracle scale (k ≤ 80)
+#: stays on the flat path whose semantics the DuckDB oracles mirror
+#: exactly.
+FLAT_MAX_CENTROIDS = 512
+
+
 def ivf_assign(vectors: DataFrame, centroids: DataFrame,
                id_col: str = "vec_id", vec_col: str = "embedding",
-               cid_col: str = "centroid_id") -> DataFrame:
+               cid_col: str = "centroid_id",
+               flat_max_centroids: int = FLAT_MAX_CENTROIDS,
+               coarse_probe: int = 2) -> DataFrame:
     """Assign each vector to its nearest centroid (squared-L2, rounded;
     ties → lowest centroid id). centroids: (centroid_id, embedding).
-    One broadcast nested-loop against the tiny centroid table, then a
-    per-row argmin — no shuffle of the corpus."""
+
+    Two regimes (the count() on the dictionary-sized centroid frame is
+    the only driver action):
+
+    - **k ≤ flat_max_centroids — flat, exact**: one broadcast
+      nested-loop against the tiny centroid table, then a per-row
+      argmin. This is the path every registered query and oracle runs
+      (and mirrors bit-for-bit in DuckDB).
+    - **k > flat_max_centroids — two-level coarse→fine**
+      (``coarse_probe`` ≥ 1): ~√k coarse seed centroids are broadcast
+      as ONE array row; each vector ranks its ``coarse_probe`` nearest
+      coarse cells with pure array expressions (no shuffle), then
+      scores only those cells' fine centroids via equi-joins on the
+      coarse id. Distance evaluations drop from n·k to
+      n·√k·(1+probes), and no plan ever broadcasts the full centroid
+      set — the fine-centroid join is a plain equi-join Catalyst can
+      execute as broadcast OR shuffle hash join as size dictates.
+      APPROXIMATION CONTRACT: a vector whose true nearest fine
+      centroid lives in a non-probed coarse cell gets its best probed
+      cell instead (standard IMI/coarse-quantizer behavior; raise
+      ``coarse_probe`` to trade cost for fidelity — probing ALL coarse
+      cells reproduces the flat assignment exactly, tested in
+      tests/test_llm_ops.py)."""
+    k = centroids.count()
+    if k <= flat_max_centroids:
+        return _ivf_assign_flat(vectors, centroids, id_col, vec_col, cid_col)
+    return _ivf_assign_two_level(vectors, centroids, k, id_col, vec_col,
+                                 cid_col, coarse_probe)
+
+
+def _ivf_assign_flat(vectors: DataFrame, centroids: DataFrame,
+                     id_col: str, vec_col: str, cid_col: str) -> DataFrame:
     v = vectors.select(id_col, as_double(vec_col).alias("_v"),
                        *[c for c in vectors.columns if c not in (id_col, vec_col)])
     c = centroids.select(F.col(cid_col), as_double("embedding").alias("_c"))
@@ -61,6 +108,83 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame,
     best = scored.groupBy(id_col).agg(
         F.min(F.struct(F.col("_d"), F.col(cid_col))).alias("_best"))
     return best.select(id_col, F.col(f"_best.{cid_col}").alias(cid_col))
+
+
+def _l2sq_arr(a, b):
+    """l2sq over already-double array expressions (lambda-safe twin)."""
+    d = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
+    return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _ivf_assign_two_level(vectors: DataFrame, centroids: DataFrame, k: int,
+                          id_col: str, vec_col: str, cid_col: str,
+                          coarse_probe: int) -> DataFrame:
+    """Coarse→fine assignment for large centroid sets (see ivf_assign).
+
+    Coarse seeds are the ⌈√k⌉ lowest-id fine centroids (the same
+    deterministic lowest-ids convention the streaming bootstrap uses for
+    centroids themselves); every fine centroid is assigned to its
+    nearest seed with the flat path (a k×√k scoring over the
+    dictionary-sized centroid frame, not the corpus). The per-cell fine
+    lists ride a groupBy(coarse) collect_list — √k rows whose TOTAL
+    payload is the k fine centroids, never materialized as one
+    broadcast row."""
+    import math
+    m = max(2, math.isqrt(k - 1) + 1)  # ceil(sqrt(k))
+    p = max(1, coarse_probe)
+    cents = centroids.select(F.col(cid_col), as_double("embedding").alias("_ce"))
+    seeds = (cents.orderBy(F.asc(cid_col)).limit(m)
+             .select(F.col(cid_col).alias("_coarse"),
+                     F.col("_ce").alias("_se")))
+    # fine centroid -> owning coarse cell (k rows scored against m
+    # seeds; renamed to dodge the fine-id/centroid-id name collision)
+    f2c = _ivf_assign_flat(
+        cents.select(F.col(cid_col).alias("_fid"),
+                     F.col("_ce").alias("embedding")),
+        seeds.select(F.col("_coarse").alias("centroid_id"),
+                     F.col("_se").alias("embedding")),
+        "_fid", "embedding", "centroid_id") \
+        .select(F.col("_fid").alias(cid_col),
+                F.col("centroid_id").alias("_coarse"))
+    fine_by_coarse = (cents.join(f2c, cid_col)
+                      .groupBy("_coarse")
+                      .agg(F.collect_list(F.struct(
+                          F.col(cid_col).alias("c"),
+                          F.col("_ce").alias("e"))).alias("_fines")))
+    # one array row of seeds, broadcast: per-vector coarse ranking is a
+    # pure codegen expression — zero shuffle on the corpus
+    seeds_arr = seeds.agg(F.collect_list(F.struct(
+        F.col("_coarse").alias("c"), F.col("_se").alias("e"))).alias("_seeds"))
+    v = vectors.select(id_col, as_double(vec_col).alias("_v"))
+    ranked = (v.crossJoin(F.broadcast(seeds_arr))
+              .withColumn("_probes", F.slice(F.array_sort(F.transform(
+                  F.col("_seeds"),
+                  lambda s: F.struct(
+                      F.round(_l2sq_arr(F.col("_v"), s["e"]), 9).alias("d"),
+                      s["c"].alias("c")))), 1, p))
+              .drop("_seeds"))
+    # score the p probed cells' fine centroids: p equi-joins (Catalyst
+    # picks broadcast vs shuffle by build size), per-cell argmin as an
+    # array_min over the cell's fine list, overall argmin via least()
+    # — identical (d, cid) lexicographic tie-break as the flat path.
+    out = ranked
+    bests = []
+    for i in range(1, p + 1):
+        fbc = fine_by_coarse.select(
+            F.col("_coarse").alias(f"_pc_{i}"),
+            F.col("_fines").alias(f"_fines_{i}"))
+        out = out.join(
+            fbc,
+            F.try_element_at(F.col("_probes"), F.lit(i))["c"]
+            == F.col(f"_pc_{i}"),
+            "left")
+        bests.append(F.array_min(F.transform(
+            F.col(f"_fines_{i}"),
+            lambda f: F.struct(
+                F.round(_l2sq_arr(F.col("_v"), f["e"]), 9).alias("d"),
+                f["c"].alias("c")))))
+    best = bests[0] if p == 1 else F.least(*bests)
+    return out.select(F.col(id_col), best["c"].alias(cid_col))
 
 
 def ivf_search(vectors: DataFrame, centroids: DataFrame, query_id: int,
@@ -117,18 +241,24 @@ def ivf_index_append(new_vectors: DataFrame, centroids: DataFrame, path: str,
 
 def nearest_centroids(centroids: DataFrame, query_vec: list[float],
                       nprobe: int = 1, cid_col: str = "centroid_id") -> list[int]:
-    """Driver-side top-``nprobe`` centroids for a query — query planning,
-    not data processing (the centroid set is dictionary-sized); mirrors
-    ivf_assign's rounding and lowest-id tie-break. Multi-probe is the
-    standard IVF recall knob: scanning p clusters instead of 1 recovers
-    neighbors that fell across a Voronoi boundary, at p× scan cost —
-    still a partition-pruned fraction of the corpus."""
-    scored = []
-    for row in centroids.select(cid_col, "embedding").collect():
-        d = round(sum((float(a) - float(b)) ** 2
-                      for a, b in zip(row["embedding"], query_vec)), 9)
-        scored.append((d, row[cid_col]))
-    return [cid for _, cid in sorted(scored)[:nprobe]]
+    """Top-``nprobe`` centroid ids for a query — query planning, not
+    data processing. The ranking runs IN-PLAN (distance + TakeOrdered
+    over the centroid frame, same ``round(l2sq, 9)`` + lowest-id
+    tie-break as ``ivf_assign``); only the ``nprobe`` winning ids reach
+    the driver, never the centroid set itself — at k = millions of
+    centroids the old full-collect would be the first thing to die.
+    Multi-probe is the standard IVF recall knob: scanning p clusters
+    instead of 1 recovers neighbors that fell across a Voronoi
+    boundary, at p× scan cost — still a partition-pruned fraction of
+    the corpus."""
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    rows = (centroids
+            .select(F.col(cid_col),
+                    F.round(l2sq(as_double("embedding"), qv), 9).alias("_d"))
+            .orderBy(F.asc("_d"), F.asc(cid_col))
+            .limit(nprobe)
+            .collect())
+    return [r[cid_col] for r in rows]
 
 
 def nearest_centroid(centroids: DataFrame, query_vec: list[float],
