@@ -3550,3 +3550,234 @@ def set_except_all_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (o.filter("o_orderstatus = 'O'").select("o_orderpriority")
             .exceptAll(o.filter("o_orderstatus = 'F'")
                        .select("o_orderpriority")))
+
+
+# =====================================================================
+# Streaming pipelines on the oracle board (VERDICT r5 #4): the Spark
+# side RUNS the foreachBatch streaming machinery to completion over
+# deterministic micro-batches; the oracle states the final table in SQL.
+# =====================================================================
+
+#: sf_dir -> tmp root of a completed streaming-MV run (run once per
+#: process per sf_dir; both phases share the checkpoint).
+_STREAM_MV_CACHE: dict[str, str] = {}
+
+
+def _stage_json(df: DataFrame, tmp_root: str, in_dir: str, name: str) -> None:
+    """Write ``df`` as ONE JSON-lines file named ``name`` inside the
+    stream's input directory (coalesce(1) — load files are delta-sized
+    by construction; the executors write, the driver only renames)."""
+    import glob
+    import os
+    import shutil
+
+    stage = os.path.join(tmp_root, "_stage_" + name)
+    df.coalesce(1).write.mode("overwrite").json(stage)
+    part = glob.glob(os.path.join(stage, "part-*"))[0]
+    shutil.move(part, os.path.join(in_dir, name))
+    shutil.rmtree(stage)
+
+
+def _streaming_mv_store(spark: SparkSession, sf_dir: str):
+    """Drive streaming/mv_stream.py end-to-end on order data:
+
+    - phase 1: three disjoint insert files (o_orderkey % 3 splits of the
+      ``% 7 == 0`` subset), consumed as three micro-batches
+      (maxFilesPerTrigger=1 under availableNow) — each batch is one
+      MERGE into the bucketed base + one incremental MV fold;
+    - phase 2: a RESTART on the same checkpoint (exactly-once file
+      consumption across runs) with one update+delete file — keys
+      ``% 11 == 0`` are tombstoned via delete_match, keys ``% 5 == 0``
+      move to status 'X' (group churn through the signed fold).
+
+    Insert batches touch disjoint keys, so the final state is
+    independent of micro-batch order — deterministic without relying on
+    file-listing order. The registered query returns the final MV; the
+    oracle restates it as one SQL aggregate over the same rules."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from .store import TableStore
+    from .streaming.mv_stream import start_streaming_mv
+
+    root = _STREAM_MV_CACHE.get(sf_dir)
+    if root and os.path.exists(
+            os.path.join(root, "store", "_meta", "mv_status.json")):
+        return TableStore(os.path.join(root, "store"))
+
+    root = tempfile.mkdtemp(prefix="sds_smv_")
+    in_dir = os.path.join(root, "in")
+    ckpt = os.path.join(root, "ckpt")
+    os.makedirs(in_dir)
+    store = TableStore(os.path.join(root, "store"))
+    schema = T.StructType([
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_orderstatus", T.StringType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+    ])
+    store.create("base", schema, bucket_by=(["o_orderkey"], 8))
+
+    src = (_t(spark, sf_dir, "orders")["orders"]
+           .filter(F.col("o_orderkey") % 7 == 0)
+           .select("o_orderkey", "o_orderstatus",
+                   F.col("o_totalprice").cast("double").alias("o_totalprice")))
+    for i in range(3):
+        _stage_json(src.filter(F.col("o_orderkey") % 3 == i),
+                    root, in_dir, f"load{i}.json")
+
+    def run_stream():
+        q = start_streaming_mv(
+            spark, in_dir, store, "base", "mv_status", schema,
+            key=["o_orderkey"],
+            compare_cols=["o_orderstatus", "o_totalprice"],
+            group_cols=["o_orderstatus"],
+            sum_cols={"sum_key": "o_orderkey"},
+            checkpoint=ckpt, available_now=True,
+            delete_match="o_totalprice < 0", max_files_per_trigger=1)
+        q.awaitTermination()
+
+    run_stream()
+    upd = (src.filter((F.col("o_orderkey") % 11 == 0)
+                      | (F.col("o_orderkey") % 5 == 0))
+           .select("o_orderkey",
+                   F.when(F.col("o_orderkey") % 11 == 0,
+                          F.col("o_orderstatus"))
+                    .otherwise(F.lit("X")).alias("o_orderstatus"),
+                   F.when(F.col("o_orderkey") % 11 == 0, F.lit(-1.0))
+                    .otherwise(F.col("o_totalprice") + 1000.0)
+                    .alias("o_totalprice")))
+    _stage_json(upd, root, in_dir, "load3.json")
+    run_stream()
+
+    _STREAM_MV_CACHE[sf_dir] = root
+    return store
+
+
+@register("streaming_mv_order_status", """
+WITH src AS (
+  SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey % 7 = 0
+),
+final AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN 'X' ELSE o_orderstatus END
+           AS o_orderstatus
+  FROM src
+  WHERE o_orderkey % 11 <> 0
+)
+SELECT o_orderstatus, COUNT(*) AS n_rows,
+       CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+FROM final
+GROUP BY o_orderstatus
+""")
+def streaming_mv_order_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MV maintenance, driver-checked end-to-end: readStream →
+    foreachBatch(MERGE → signed CDC fold) across four micro-batches and
+    a checkpointed restart (streaming/mv_stream.py), then the FINAL MV
+    is compared against a from-scratch SQL aggregate of the same
+    insert/update/delete rules. Proves the streaming loop — exactly-once
+    file consumption, per-batch merge, offset-tracked incremental fold,
+    delete tombstones, group churn — lands on the batch-SQL answer."""
+    store = _streaming_mv_store(spark, sf_dir)
+    return store.read(spark, "mv_status").select(
+        "o_orderstatus", "n_rows", F.col("sum_key").cast("long").alias("sum_key"))
+
+
+#: sf_dir -> (tmp root, index path) of a completed streaming-ANN run.
+_STREAM_ANN_CACHE: dict[str, tuple[str, str]] = {}
+
+
+def _streaming_ann_index(spark: SparkSession, sf_dir: str) -> str:
+    """Drive streaming/ann_stream.py end-to-end on the embeddings table:
+    phase 1 streams the EVEN vec_ids (bootstrap — the 8 lowest ids of
+    that batch freeze the centroid geometry and the first
+    centroid-partitioned index lands); phase 2 RESTARTS on the same
+    checkpoint with the odd vec_ids (one broadcast scoring pass +
+    partitioned append, stored corpus untouched). Two separate runs, so
+    which batch bootstraps is deterministic without depending on file
+    listing order.
+
+    Embeddings are rounded to 6 decimals BEFORE streaming (JSON-lines
+    transport) so the values the index assigns on are exactly
+    re-derivable in the oracle — float->JSON->double round-tripping
+    would otherwise perturb near-tie argmins."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from .streaming.ann_stream import start_streaming_ann_index
+
+    cached = _STREAM_ANN_CACHE.get(sf_dir)
+    if cached and os.path.isdir(cached[1]):
+        return cached[1]
+
+    root = tempfile.mkdtemp(prefix="sds_sann_")
+    in_dir = os.path.join(root, "in")
+    ckpt = os.path.join(root, "ckpt")
+    index_path = os.path.join(root, "index")
+    os.makedirs(in_dir)
+
+    e = (_t(spark, sf_dir, "embeddings")["embeddings"]
+         .select("vec_id",
+                 F.transform(F.col("embedding"),
+                             lambda x: F.round(x.cast("double"), 6))
+                  .alias("embedding"),
+                 "label"))
+
+    def run_stream():
+        q = start_streaming_ann_index(
+            spark, in_dir, index_path, ckpt, n_centroids=8,
+            available_now=True)
+        q.awaitTermination()
+
+    _stage_json(e.filter(F.col("vec_id") % 2 == 0), root, in_dir,
+                "batch0.json")
+    run_stream()
+    _stage_json(e.filter(F.col("vec_id") % 2 == 1), root, in_dir,
+                "batch1.json")
+    run_stream()
+
+    _STREAM_ANN_CACHE[sf_dir] = (root, index_path)
+    return index_path
+
+
+@register("streaming_ann_index_state", """
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[], x -> round(x, 6)) AS ve
+  FROM embeddings
+),
+c AS (SELECT vec_id AS cid, ve AS ce FROM v
+      WHERE vec_id % 2 = 0 AND vec_id < 16),
+scored AS (
+  SELECT v.vec_id, c.cid,
+         round(list_dot_product(
+                 list_transform(range(1, len(ve)+1), i -> ve[i] - ce[i]),
+                 list_transform(range(1, len(ve)+1), i -> ve[i] - ce[i])), 9) AS d
+  FROM v, c
+),
+assign AS (
+  SELECT vec_id, cid FROM scored
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+)
+SELECT CAST(cid AS BIGINT) AS centroid_id,
+       COUNT(*) AS n_vectors,
+       CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id
+FROM assign
+GROUP BY cid
+""")
+def streaming_ann_index_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN index maintenance, driver-checked end-to-end: the
+    foreachBatch bootstrap freezes centroid geometry from the first
+    micro-batch's 8 lowest ids, a checkpointed restart appends the
+    second batch under the SAME frozen centroids
+    (streaming/ann_stream.py), and the final on-disk index's per-cluster
+    membership (count + key-sum per centroid_id partition) must equal a
+    from-scratch SQL argmin assignment of every vector against those
+    centroids — proving exactly-once consumption, geometry freezing, and
+    append-only growth land on the batch answer."""
+    path = _streaming_ann_index(spark, sf_dir)
+    return (spark.read.parquet(path)
+            .groupBy(F.col("centroid_id").cast("long").alias("centroid_id"))
+            .agg(F.count("*").alias("n_vectors"),
+                 F.sum("vec_id").alias("sum_vec_id")))

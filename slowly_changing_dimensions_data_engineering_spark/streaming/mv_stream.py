@@ -43,6 +43,7 @@ def start_streaming_mv(
     trigger_interval: str = "1 minute",
     available_now: bool = False,
     delete_match=None,
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
     """Start the merge→fold loop over JSON-lines load files arriving in
     ``input_dir``. The MV table named ``mv_name`` tracks
@@ -50,11 +51,17 @@ def start_streaming_mv(
     boundary. Restart with the same ``checkpoint`` to resume.
     ``delete_match`` forwards the MERGE tombstone clause — load rows
     satisfying it REMOVE their base row (and the fold subtracts them),
-    so a CDC feed carrying deletes maintains base + MV in one loop."""
+    so a CDC feed carrying deletes maintains base + MV in one loop.
+    ``max_files_per_trigger`` caps files per micro-batch (with
+    ``available_now`` this partitions a backlog into deterministic-size
+    batches instead of one giant catch-up batch)."""
     from ..operators.incremental import refresh_aggregate
     from ..operators.merge import merge_upsert
 
-    src = spark.readStream.schema(schema).json(input_dir)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    src = reader.json(input_dir)
 
     def process_batch(batch_df, epoch_id: int) -> None:
         if batch_df.isEmpty():

@@ -77,7 +77,9 @@ def test_board_order_covers_unconfirmed_queries():
               # assignment path (two-level coarse→fine, similarity.py)
               "ivf_search_ann", "ivf_recall_at10", "ann_batch_topk",
               "ann_filtered_topk", "embedding_near_dup_pairs",
-              "semantic_dedup_summary"):
+              "semantic_dedup_summary",
+              # r6-new: streaming pipelines on the oracle board
+              "streaming_mv_order_status", "streaming_ann_index_state"):
         assert n in board, n
     # oracle_sql() iterates in the same board order as queries()
     oracle_names = list(q.oracle_sql())
