@@ -79,7 +79,9 @@ def test_board_order_covers_unconfirmed_queries():
               "ann_filtered_topk", "embedding_near_dup_pairs",
               "semantic_dedup_summary",
               # r6-new: streaming pipelines on the oracle board
-              "streaming_mv_order_status", "streaming_ann_index_state"):
+              "streaming_mv_order_status", "streaming_ann_index_state",
+              # r6-new: SCD2 pipeline at bucket scale
+              "scd2_orders_history_bucketed"):
         assert n in board, n
     # oracle_sql() iterates in the same board order as queries()
     oracle_names = list(q.oracle_sql())
