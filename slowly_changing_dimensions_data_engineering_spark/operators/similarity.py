@@ -214,18 +214,22 @@ def ivf_search(vectors: DataFrame, centroids: DataFrame, query_id: int,
 
 
 def ivf_build_index(vectors: DataFrame, centroids: DataFrame, path: str,
-                    id_col: str = "vec_id", vec_col: str = "embedding") -> None:
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    **assign_opts) -> None:
     """Materialize the IVF index: the corpus written partitioned by
     ``centroid_id``. This is the 100 TB layout — each cluster is its own
     partition directory, so a search's cluster filter prunes at the file
-    listing (``PartitionFilters`` in the scan, zero non-cluster IO)."""
-    assign = ivf_assign(vectors, centroids, id_col, vec_col)
+    listing (``PartitionFilters`` in the scan, zero non-cluster IO).
+    ``assign_opts`` forward to ``ivf_assign`` (``flat_max_centroids``,
+    ``coarse_probe`` — the cost/fidelity knobs of the two-level path)."""
+    assign = ivf_assign(vectors, centroids, id_col, vec_col, **assign_opts)
     (vectors.join(assign, id_col)
      .write.mode("overwrite").partitionBy("centroid_id").parquet(path))
 
 
 def ivf_index_append(new_vectors: DataFrame, centroids: DataFrame, path: str,
-                     id_col: str = "vec_id", vec_col: str = "embedding") -> None:
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     **assign_opts) -> None:
     """Grow the stored IVF index with a batch of new vectors: assign the
     BATCH (one broadcast scoring pass over the new rows only — the
     stored corpus is never re-read or re-assigned) and append into the
@@ -233,8 +237,11 @@ def ivf_index_append(new_vectors: DataFrame, centroids: DataFrame, path: str,
     cost profile as ``minhash_index_append``: O(batch), never a rewrite.
     Centroids must be the index's own (frozen) centroid set — appending
     under re-trained centroids would mis-partition the history; retrain
-    = rebuild (``ivf_build_index``)."""
-    assign = ivf_assign(new_vectors, centroids, id_col, vec_col)
+    = rebuild (``ivf_build_index``). ``assign_opts`` forward to
+    ``ivf_assign``; pass the SAME values the build used, or a batch can
+    be assigned under different coarse geometry than the stored rows."""
+    assign = ivf_assign(new_vectors, centroids, id_col, vec_col,
+                        **assign_opts)
     (new_vectors.join(assign, id_col)
      .write.mode("append").partitionBy("centroid_id").parquet(path))
 
