@@ -18,6 +18,25 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def summary_line(timings: dict[str, float], sf: float) -> str:
+    """The bench's LAST output line — the machine-readable total.
+
+    CONTRACT (tests/test_orchestration.py): compact — metric, value,
+    unit, n_queries, sf and NOTHING else (in particular no embedded
+    per-query dict), well under the driver's tail-capture width. Rounds
+    4 and 5 both lost their recorded totals because a giant final line
+    was truncated from the FRONT; per-query timings belong on their own
+    earlier line."""
+    return json.dumps({
+        "metric": "total_query_seconds",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "n_queries": len(timings),  # registry grows round over round —
+        # compare totals per query set, not raw
+        "sf": sf,
+    })
+
+
 def main():
     import __spark_entry__ as e
     from slowly_changing_dimensions_data_engineering_spark.session import get_spark
@@ -79,20 +98,7 @@ def main():
     # earlier line; the compact machine-readable summary is the LAST line
     # so a tail capture of any reasonable size always parses it.
     print(json.dumps({"per_query_seconds": timings}))
-    # The LAST line is the compact summary ONLY — no embedded per-query
-    # dict. r4 and r5 both lost the machine-readable total because the
-    # final line exceeded the driver's tail-capture width and truncation
-    # cut the front off. Keep this line short (<200 chars); the
-    # per-query timings live on the previous line.
-    out = {
-        "metric": "total_query_seconds",
-        "value": round(sum(timings.values()), 3),
-        "unit": "sec",
-        "n_queries": len(timings),  # registry grows round over round —
-        # compare totals per query set, not raw
-        "sf": sf,
-    }
-    print(json.dumps(out))
+    print(summary_line(timings, sf))
 
 
 if __name__ == "__main__":

@@ -188,3 +188,22 @@ def test_maintenance_task_is_data_neutral_and_retires_changes(spark, tmp_path):
     p.stage.put("/root/reference/suppliers_v2.csv")
     p.run_cycle(now=dt.datetime(2024, 3, 1))
     assert p.store.read(spark, STAGING).count() == 10
+
+
+def test_bench_summary_line_is_compact_and_parseable():
+    """The bench's FINAL stdout line is the driver's machine-readable
+    total; its tail capture truncates long lines from the FRONT (this
+    silently cost rounds 4 and 5 their recorded totals). Pin the
+    contract: exactly the five summary keys, no embedded per-query
+    dict, and comfortably under 200 chars even with a big registry."""
+    import json as _json
+
+    import bench
+
+    timings = {f"query_{i:03d}": 123.456 for i in range(200)}
+    line = bench.summary_line(timings, 0.1)
+    assert len(line) < 200, len(line)
+    parsed = _json.loads(line)
+    assert set(parsed) == {"metric", "value", "unit", "n_queries", "sf"}
+    assert parsed["n_queries"] == 200
+    assert parsed["value"] == round(123.456 * 200, 3)
