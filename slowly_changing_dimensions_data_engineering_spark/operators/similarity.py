@@ -339,12 +339,22 @@ def ivf_search_index_inplan(spark, path: str, query_df: DataFrame,
                         as_double(vec_col).alias("_qv"))
     c = centroids.select(F.col("centroid_id").alias("_qc"),
                          as_double("embedding").alias("_ce"))
-    scored = (q.crossJoin(F.broadcast(c))
+    # Broadcast the QUERY side (1 row / a small batch), not the centroid
+    # frame: the centroid set scales with the corpus (k = n/250) and
+    # broadcasting it dies first at 100 TB — the same asymptote the
+    # two-level ivf_assign removes from the build path. With q
+    # broadcast, centroids stream through executors and the probe
+    # ranking shuffles only (qid, cid, d) triples into the per-query
+    # window — k small rows, no embedding payload.
+    scored = (c.crossJoin(F.broadcast(q))
               .withColumn("_d", F.round(l2sq(F.col("_qv"), F.col("_ce")), 9)))
     w = Window.partitionBy("_qid").orderBy(F.asc("_d"), F.asc("_qc"))
-    probes = (scored.withColumn("_r", F.row_number().over(w))
+    ranked = (scored.select("_qid", "_qc", "_d")
+              .withColumn("_r", F.row_number().over(w))
               .filter(F.col("_r") <= nprobe)
-              .select("_qid", "_qv", "_qc"))
+              .select("_qid", "_qc"))
+    probes = ranked.join(F.broadcast(q), "_qid")\
+        .select("_qid", "_qv", "_qc")
     idx = spark.read.parquet(path)
     if pre_filter is not None:
         pf = F.expr(pre_filter) if isinstance(pre_filter, str) else pre_filter
