@@ -63,7 +63,8 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame,
                id_col: str = "vec_id", vec_col: str = "embedding",
                cid_col: str = "centroid_id",
                flat_max_centroids: int = FLAT_MAX_CENTROIDS,
-               coarse_probe: int = 2) -> DataFrame:
+               coarse_probe: int = 2,
+               n_centroids: int | None = None) -> DataFrame:
     """Assign each vector to its nearest centroid (squared-L2, rounded;
     ties → lowest centroid id). centroids: (centroid_id, embedding).
 
@@ -88,8 +89,12 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame,
       cell instead (standard IMI/coarse-quantizer behavior; raise
       ``coarse_probe`` to trade cost for fidelity — probing ALL coarse
       cells reproduces the flat assignment exactly, tested in
-      tests/test_llm_ops.py)."""
-    k = centroids.count()
+      tests/test_llm_ops.py).
+
+    ``n_centroids`` lets callers that already know the centroid count
+    skip the regime-selecting ``count()`` job (e.g. the registry
+    computes k = max(8, n//250) before building the centroid frame)."""
+    k = centroids.count() if n_centroids is None else n_centroids
     if k <= flat_max_centroids:
         return _ivf_assign_flat(vectors, centroids, id_col, vec_col, cid_col)
     return _ivf_assign_two_level(vectors, centroids, k, id_col, vec_col,
@@ -98,8 +103,9 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame,
 
 def _ivf_assign_flat(vectors: DataFrame, centroids: DataFrame,
                      id_col: str, vec_col: str, cid_col: str) -> DataFrame:
-    v = vectors.select(id_col, as_double(vec_col).alias("_v"),
-                       *[c for c in vectors.columns if c not in (id_col, vec_col)])
+    # Only (id, vector) enter the n×k crossJoin — payload columns would
+    # be replicated k-fold and discarded by the aggregate anyway.
+    v = vectors.select(id_col, as_double(vec_col).alias("_v"))
     c = centroids.select(F.col(cid_col), as_double("embedding").alias("_c"))
     scored = (
         v.crossJoin(F.broadcast(c))
@@ -108,12 +114,6 @@ def _ivf_assign_flat(vectors: DataFrame, centroids: DataFrame,
     best = scored.groupBy(id_col).agg(
         F.min(F.struct(F.col("_d"), F.col(cid_col))).alias("_best"))
     return best.select(id_col, F.col(f"_best.{cid_col}").alias(cid_col))
-
-
-def _l2sq_arr(a, b):
-    """l2sq over already-double array expressions (lambda-safe twin)."""
-    d = F.zip_with(a, b, lambda x, y: (x - y) * (x - y))
-    return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x)
 
 
 def _ivf_assign_two_level(vectors: DataFrame, centroids: DataFrame, k: int,
@@ -160,7 +160,7 @@ def _ivf_assign_two_level(vectors: DataFrame, centroids: DataFrame, k: int,
               .withColumn("_probes", F.slice(F.array_sort(F.transform(
                   F.col("_seeds"),
                   lambda s: F.struct(
-                      F.round(_l2sq_arr(F.col("_v"), s["e"]), 9).alias("d"),
+                      F.round(l2sq(F.col("_v"), s["e"]), 9).alias("d"),
                       s["c"].alias("c")))), 1, p))
               .drop("_seeds"))
     # score the p probed cells' fine centroids: p equi-joins (Catalyst
@@ -181,7 +181,7 @@ def _ivf_assign_two_level(vectors: DataFrame, centroids: DataFrame, k: int,
         bests.append(F.array_min(F.transform(
             F.col(f"_fines_{i}"),
             lambda f: F.struct(
-                F.round(_l2sq_arr(F.col("_v"), f["e"]), 9).alias("d"),
+                F.round(l2sq(F.col("_v"), f["e"]), 9).alias("d"),
                 f["c"].alias("c")))))
     best = bests[0] if p == 1 else F.least(*bests)
     return out.select(F.col(id_col), best["c"].alias(cid_col))
@@ -335,8 +335,13 @@ def ivf_search_index_inplan(spark, path: str, query_df: DataFrame,
 
     if single_query:
         query_df = query_df.limit(1)
-    q = query_df.select(F.col(id_col).alias("_qid"),
-                        as_double(vec_col).alias("_qv"))
+    # q has TWO consumers below (the probe-ranking cross join and the
+    # post-ranking re-join). An unordered limit(1) — or any
+    # non-deterministic query frame — could resolve to different rows
+    # per evaluation, silently emptying the _qid equi-join; stabilize
+    # pins one evaluation (session.stabilize, delta-sized frame).
+    q = stabilize(query_df.select(F.col(id_col).alias("_qid"),
+                                  as_double(vec_col).alias("_qv")))
     c = centroids.select(F.col("centroid_id").alias("_qc"),
                          as_double("embedding").alias("_ce"))
     # Broadcast the QUERY side (1 row / a small batch), not the centroid

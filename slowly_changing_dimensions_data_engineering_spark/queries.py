@@ -1138,7 +1138,9 @@ def _ivf_index_and_cents(spark, sf_dir) -> tuple[str, DataFrame]:
         # needs the metadata column NEXT TO the vectors so its predicate
         # prunes row groups inside the probed partitions
         # (ann_filtered_topk_index).
-        ivf_build_index(e.select("vec_id", "label", "embedding"), cents, path)
+        ivf_build_index(e.select("vec_id", "label", "embedding"), cents, path,
+                        n_centroids=k)  # k already computed — skip the
+        # regime-selecting count() inside ivf_assign
         _IVF_INDEX_CACHE[sf_dir] = (path, k)
     cents = (e.filter(F.col("vec_id") < k)
              .select(F.col("vec_id").alias("centroid_id"), "embedding"))

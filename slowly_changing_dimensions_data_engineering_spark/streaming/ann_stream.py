@@ -56,8 +56,16 @@ def centroids_path(index_path: str) -> str:
 
 
 def _index_initialized(index_path: str) -> bool:
-    return os.path.isdir(index_path) and any(
-        d.startswith("centroid_id=") for d in os.listdir(index_path))
+    """Initialized = partitions AND the frozen-geometry sidecar exist.
+    Requiring ``_centroids`` too makes the bootstrap crash-safe: a crash
+    between the index build and the sidecar write leaves a partial
+    bootstrap that RE-RUNS on restart (the build's overwrite mode makes
+    that idempotent) instead of wedging the append path on a missing
+    centroid read forever."""
+    return (os.path.isdir(index_path)
+            and any(d.startswith("centroid_id=")
+                    for d in os.listdir(index_path))
+            and os.path.isdir(centroids_path(index_path)))
 
 
 def load_centroids(spark: SparkSession, index_path: str):
