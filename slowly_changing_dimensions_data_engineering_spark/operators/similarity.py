@@ -63,7 +63,7 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame,
                id_col: str = "vec_id", vec_col: str = "embedding",
                cid_col: str = "centroid_id",
                flat_max_centroids: int = FLAT_MAX_CENTROIDS,
-               coarse_probe: int = 2,
+               coarse_probe: int = 4,
                n_centroids: int | None = None) -> DataFrame:
     """Assign each vector to its nearest centroid (squared-L2, rounded;
     ties → lowest centroid id). centroids: (centroid_id, embedding).
@@ -89,7 +89,21 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame,
       cell instead (standard IMI/coarse-quantizer behavior; raise
       ``coarse_probe`` to trade cost for fidelity — probing ALL coarse
       cells reproduces the flat assignment exactly, tested in
-      tests/test_llm_ops.py).
+      tests/test_llm_ops.py). Measured agreement with the exact flat
+      assignment on UNIFORM random vectors (the worst case — no
+      cluster structure, distances concentrate in high dim; clustered
+      real corpora agree far better), 800 vectors:
+
+        probes   dim=4 k=36/100   dim=16 k=36/100
+           1       0.70 / 0.67      0.53 / 0.39
+           2       0.86 / 0.88      0.72 / 0.57
+           4       0.98 / 0.98      0.93 / 0.84
+
+      The default probes=4 costs ~2× probes=2 but stays ~3× cheaper
+      than flat at n=200k/k=800 (11.5s vs 5.9s vs 33.4s, local[16])
+      while holding worst-case fidelity ≥0.84 — assignment fidelity is
+      search recall: a vector parked outside its true cell is invisible
+      to a search probing that cell.
 
     ``n_centroids`` lets callers that already know the centroid count
     skip the regime-selecting ``count()`` job (e.g. the registry
