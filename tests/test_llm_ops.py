@@ -810,3 +810,45 @@ def test_two_level_index_build_append_search(spark, tmp_path):
     rows = out.collect()
     assert 0 < len(rows) <= 5
     assert all(r["centroid_id"] == qc for r in rows)
+
+
+def test_two_level_probe_all_equals_flat_property(spark):
+    """Property form of the probe-all exactness contract: across random
+    dimensions, centroid counts, and vector sets, probing every coarse
+    cell must reproduce the flat assignment EXACTLY (same rounded
+    distances, same lowest-id tie-break). Guards the invariant the
+    fixed-seed test pins at one point in parameter space."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from slowly_changing_dimensions_data_engineering_spark.operators.similarity import (
+        _ivf_assign_flat, _ivf_assign_two_level,
+    )
+
+    @settings(max_examples=5, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(data=st.data())
+    def run(data):
+        import random as _random
+        dim = data.draw(st.integers(2, 8), label="dim")
+        k = data.draw(st.integers(9, 40), label="k")
+        n = data.draw(st.integers(20, 120), label="n")
+        seed = data.draw(st.integers(0, 2**16), label="seed")
+        rng = _random.Random(seed)
+
+        def frame(count, idc):
+            return spark.createDataFrame(
+                [(i, [round(rng.uniform(-1, 1), 6) for _ in range(dim)])
+                 for i in range(count)], [idc, "embedding"])
+
+        vecs, cents = frame(n, "vec_id"), frame(k, "centroid_id")
+        flat = {r["vec_id"]: r["centroid_id"] for r in _ivf_assign_flat(
+            vecs, cents, "vec_id", "embedding", "centroid_id").collect()}
+        import math
+        m = max(2, math.isqrt(k - 1) + 1)
+        two = {r["vec_id"]: r["centroid_id"] for r in _ivf_assign_two_level(
+            vecs, cents, k, "vec_id", "embedding", "centroid_id",
+            coarse_probe=m).collect()}
+        assert two == flat
+
+    run()
