@@ -84,13 +84,16 @@ def start_streaming_ann_index(
     vec_col: str = "embedding",
     trigger_interval: str = "1 minute",
     available_now: bool = False,
+    **assign_opts,
 ) -> StreamingQuery:
     """Start the streaming IVF index builder over JSON-lines vector
     files arriving in ``input_dir``. Restarting with the same
     ``checkpoint`` resumes exactly-once; the index at ``index_path``
     grows by partitioned appends and is searchable between batches via
     ``ivf_search_index_inplan(spark, index_path, ...,
-    load_centroids(spark, index_path))``."""
+    load_centroids(spark, index_path))``. ``assign_opts`` forward to
+    ``ivf_assign`` (two-level knobs) for BOTH bootstrap and appends —
+    the same-geometry rule that binds batch ``ivf_index_append``."""
     from ..operators.similarity import ivf_build_index, ivf_index_append
 
     src = spark.readStream.schema(schema).json(input_dir)
@@ -106,11 +109,12 @@ def start_streaming_ann_index(
             # Build FIRST (overwrite mode would wipe a pre-written
             # ``_centroids`` inside the index dir), then persist the
             # frozen geometry beside the partitions it produced.
-            ivf_build_index(batch_df, cents, index_path, id_col, vec_col)
+            ivf_build_index(batch_df, cents, index_path, id_col, vec_col,
+                            **assign_opts)
             cents.write.mode("overwrite").parquet(centroids_path(index_path))
         else:
             ivf_index_append(batch_df, load_centroids(spark, index_path),
-                             index_path, id_col, vec_col)
+                             index_path, id_col, vec_col, **assign_opts)
 
     writer = (src.writeStream.foreachBatch(process_batch)
               .option("checkpointLocation", checkpoint))
