@@ -186,6 +186,7 @@ def _spread(spark: SparkSession, df: DataFrame) -> DataFrame:
 # =====================================================================
 
 _TS1, _TS2 = dt.datetime(2024, 1, 1), dt.datetime(2024, 2, 1)
+_TS3 = dt.datetime(2024, 3, 1)
 
 
 def _supplier_load1(spark, sf_dir) -> DataFrame:
@@ -3796,12 +3797,17 @@ _ORDERS_SCD2_CACHE: dict[str, str] = {}
 
 
 def _orders_scd2_store(spark: SparkSession, sf_dir: str):
-    """Two-load SCD2 pipeline over order rows: load 1 = every even
+    """Three-load SCD2 pipeline over order rows: load 1 = every even
     o_orderkey; load 2 = status change to 'X' for keys %6==0 plus new
-    max-offset keys for %10==0. Landing and staging are bucketed on
-    order_code (32 buckets), so the load-2 merge and SCD2 close/open
-    rewrite ONLY touched buckets (merge.merge_upsert / scd2.scd2_merge
-    pruning) — the write path a 100 TB dimension load takes."""
+    max-offset keys for %10==0; load 3 = a SINGLE-key late correction
+    (the max even key moves to status 'Z'). Landing and staging are
+    bucketed on order_code (32 buckets). Load 2 is the bucket-PARALLEL
+    profile (40k delta keys hash across all buckets — every bucket
+    rewrites, each bounded by its own footprint); load 3 is the
+    bucket-PRUNED profile: one touched key ⇒ one rewritten bucket, the
+    other 31 keep their load-2 file pointers untouched
+    (tests/test_plans.py asserts the bucket map). Together they are the
+    two write shapes a 100 TB dimension load takes."""
     import os
 
     from pyspark.sql import types as T
@@ -3850,10 +3856,18 @@ def _orders_scd2_store(spark: SparkSession, sf_dir: str):
                        F.col("o_orderpriority").alias("order_priority"),
                        F.col("o_orderstatus").alias("order_status")))
     load2 = changed.unionByName(newrows)
+    mk2 = (o.filter(F.col("o_orderkey") % 2 == 0)
+           .agg(F.max("o_orderkey").alias("_m2")))
+    load3 = (o.crossJoin(F.broadcast(mk2))
+             .filter(F.col("o_orderkey") == F.col("_m2"))
+             .select(code.alias("order_code"),
+                     F.col("o_orderkey").alias("order_key"),
+                     F.col("o_orderpriority").alias("order_priority"),
+                     F.lit("Z").alias("order_status")))
 
     key, scd2_key = ["order_code"], ["order_code", "order_status"]
     cmp_cols = ["order_status", "order_priority", "order_key"]
-    for load, ts in ((load1, _TS1), (load2, _TS2)):
+    for load, ts in ((load1, _TS1), (load2, _TS2), (load3, _TS3)):
         offset = store.get_offset("oscd2")
         merge_upsert(store, spark, "landing", load, key, cmp_cols)
         stream = store.read_changes(spark, "landing", since=offset)
@@ -3866,7 +3880,9 @@ def _orders_scd2_store(spark: SparkSession, sf_dir: str):
 
 
 @register("scd2_orders_history_bucketed", """
-WITH load1 AS (
+WITH m2 AS (SELECT MAX(o_orderkey) AS m2
+            FROM orders WHERE o_orderkey % 2 = 0),
+load1 AS (
   SELECT 'O' || CAST(o_orderkey AS VARCHAR) AS order_code,
          o_orderkey AS order_key,
          o_orderpriority AS order_priority,
@@ -3886,26 +3902,41 @@ WITH load1 AS (
   FROM orders, (SELECT MAX(o_orderkey) AS mk FROM orders)
   WHERE o_orderkey % 10 = 0
 )
+-- load-1 versions: closed at TS2 by the 'X' change, else at TS3 if the
+-- row is the load-3 single-key correction target, else still open
 SELECT l.order_key, l.order_code, l.order_priority, l.order_status,
        '2024-01-01 00:00:00' AS start_date,
-       CASE WHEN c.order_code IS NOT NULL
-            THEN '2024-02-01 00:00:00' END AS end_date,
-       CASE WHEN c.order_code IS NOT NULL THEN 'N' ELSE 'Y' END
-         AS current_flag
-FROM load1 l LEFT JOIN changed c ON l.order_code = c.order_code
+       CASE WHEN c.order_code IS NOT NULL THEN '2024-02-01 00:00:00'
+            WHEN l.order_key = m2 THEN '2024-03-01 00:00:00'
+       END AS end_date,
+       CASE WHEN c.order_code IS NOT NULL OR l.order_key = m2
+            THEN 'N' ELSE 'Y' END AS current_flag
+FROM load1 l LEFT JOIN changed c ON l.order_code = c.order_code, m2
 UNION ALL
+-- 'X' versions: the correction target's closes at TS3, rest stay open
 SELECT order_key, order_code, order_priority, order_status,
-       '2024-02-01 00:00:00', NULL, 'Y' FROM changed
+       '2024-02-01 00:00:00',
+       CASE WHEN order_key = m2 THEN '2024-03-01 00:00:00' END,
+       CASE WHEN order_key = m2 THEN 'N' ELSE 'Y' END
+FROM changed, m2
 UNION ALL
 SELECT order_key, order_code, order_priority, order_status,
        '2024-02-01 00:00:00', NULL, 'Y' FROM newrows
+UNION ALL
+-- the load-3 'Z' version, open
+SELECT o_orderkey, 'O' || CAST(o_orderkey AS VARCHAR), o_orderpriority,
+       'Z', '2024-03-01 00:00:00', NULL, 'Y'
+FROM orders, m2 WHERE o_orderkey = m2
 """)
 def scd2_orders_history_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference SCD2 pipeline at bucket scale: M1 merge → CDC
-    stream → M2 SCD2 merge over order-derived loads (75k rows, 32
-    buckets at sf0.1) with the load-2 writes PRUNED to touched buckets.
-    Oracle = the same windowless two-load reconstruction pattern as the
-    supplier flagship (scd2_supplier_history), at 75× its row count."""
+    stream → M2 SCD2 merge over three order-derived loads (75k load-1
+    rows, 32 buckets at sf0.1). Load 2 is a 40k-key delta
+    (bucket-parallel rewrite); load 3 is a single-key correction whose
+    close/open rewrites exactly ONE bucket — the other 31 keep their
+    pointers (bucket map asserted in tests/test_plans.py). Oracle = the
+    same windowless reconstruction pattern as the supplier flagship
+    (scd2_supplier_history), at 75× its row count."""
     store = _orders_scd2_store(spark, sf_dir)
     return store.read(spark, "staging").select(
         "order_key", "order_code", "order_priority", "order_status",

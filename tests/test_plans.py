@@ -184,3 +184,20 @@ def test_store_reads_are_snapshot_isolated(spark, tmp_path):
     assert reader.filter(F.col("supplier_name") == "NEW").count() == 0
     assert store.read(spark, "t").filter(
         F.col("supplier_name") == "NEW").count() == 1
+
+
+def test_bucketed_orders_scd2_load3_prunes_buckets(spark):
+    """The registered bucket-scale SCD2 pipeline's third load is a
+    single-key correction: its staging commit must rewrite exactly the
+    buckets holding that key (close + open land in the same
+    order_code bucket) and leave every other bucket's file pointer at
+    the load-2 version — the 0.001%-delta ⇒ 0.001%-rewrite cost
+    profile bucketing exists for."""
+    store = q._orders_scd2_store(spark, SF)
+    meta = store._read_meta("staging")
+    hist = {h["v"]: h["buckets"] for h in meta.get("history", [])}
+    assert meta["latest"] == 2 and 1 in hist and 2 in hist
+    untouched = [k for k in hist[2] if hist[2][k] == hist[1][k]]
+    rewritten = [k for k in hist[2] if hist[2][k] != hist[1][k]]
+    assert len(rewritten) == 1, rewritten  # one key -> one bucket
+    assert len(untouched) == 31
