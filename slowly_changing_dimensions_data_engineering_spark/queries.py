@@ -3943,3 +3943,90 @@ def scd2_orders_history_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         _fmt("start_date").alias("start_date"),
         _fmt("end_date").alias("end_date"),
         "current_flag")
+
+
+@register("ivf_two_level_assign_state", """
+WITH v AS (
+  SELECT i AS vec_id,
+         list_transform(range(1, 9),
+                        j -> ((i*31 + j*17) % 1000) / 500.0 - 1.0) AS ve
+  FROM range(20000) t(i)
+),
+c AS (
+  SELECT i AS cid,
+         list_transform(range(1, 9),
+                        j -> ((i*73 + j*29) % 1000) / 500.0 - 1.0) AS ce
+  FROM range(600) t(i)
+),
+seeds AS (SELECT cid AS sid, ce AS se FROM c WHERE cid < 25),
+f2c_scored AS (
+  SELECT c.cid, s.sid,
+         round(list_dot_product(
+                 list_transform(range(1, len(ce)+1), i -> ce[i] - se[i]),
+                 list_transform(range(1, len(ce)+1), i -> ce[i] - se[i])), 9) AS d
+  FROM c, seeds s
+),
+f2c AS (
+  SELECT cid, sid FROM f2c_scored
+  QUALIFY row_number() OVER (PARTITION BY cid ORDER BY d, sid) = 1
+),
+coarse_scored AS (
+  SELECT v.vec_id, s.sid,
+         round(list_dot_product(
+                 list_transform(range(1, len(ve)+1), i -> ve[i] - se[i]),
+                 list_transform(range(1, len(ve)+1), i -> ve[i] - se[i])), 9) AS d
+  FROM v, seeds s
+),
+probes AS (
+  SELECT vec_id, sid FROM coarse_scored
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, sid) <= 4
+),
+fine_scored AS (
+  SELECT p.vec_id, c.cid,
+         round(list_dot_product(
+                 list_transform(range(1, len(ve)+1), i -> ve[i] - ce[i]),
+                 list_transform(range(1, len(ve)+1), i -> ve[i] - ce[i])), 9) AS d
+  FROM probes p
+  JOIN f2c ON f2c.sid = p.sid
+  JOIN c ON c.cid = f2c.cid
+  JOIN v ON v.vec_id = p.vec_id
+),
+assign AS (
+  SELECT vec_id, cid FROM fine_scored
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+)
+SELECT CAST(cid AS BIGINT) AS centroid_id,
+       COUNT(*) AS n_vectors,
+       CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id
+FROM assign
+GROUP BY cid
+""")
+def ivf_two_level_assign_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIVER-checked correctness of the two-level coarse→fine IVF
+    quantizer — the k > FLAT_MAX_CENTROIDS scale path, which the
+    sf-scaled registry queries never reach (their k stays ≤ 80). A
+    deterministic synthetic workload (20k vectors × 600 centroids, all
+    values exact integer-ratio arithmetic so both engines compute
+    bit-identical doubles) is assigned through ivf_assign's two-level
+    regime (600 > 512, default coarse_probe=4) and summarized per cell;
+    the oracle restates the ENTIRE two-level semantics in SQL — ⌈√k⌉
+    lowest-id seeds, fine→coarse argmin, per-vector top-4 coarse probes,
+    argmin over the probed cells' fine centroids, every distance rounded
+    to 9 with lowest-id tie-breaks. Ignores sf_dir by design (a
+    contract query, like ivf_recall_nprobe)."""
+    n, k, dim = 20_000, 600, 8
+    vecs = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(1), F.lit(dim)),
+                    lambda j: ((F.col("id") * 31 + j * 17) % 1000)
+                    .cast("double") / 500.0 - 1.0).alias("embedding"))
+    cents = spark.range(k).select(
+        F.col("id").alias("centroid_id"),
+        F.transform(F.sequence(F.lit(1), F.lit(dim)),
+                    lambda j: ((F.col("id") * 73 + j * 29) % 1000)
+                    .cast("double") / 500.0 - 1.0).alias("embedding"))
+    from .operators.similarity import ivf_assign
+    assign = ivf_assign(vecs, cents, n_centroids=k)
+    return (assign.groupBy(F.col("centroid_id").cast("long").alias("centroid_id"))
+            .agg(F.count("*").alias("n_vectors"),
+                 F.sum("vec_id").alias("sum_vec_id")))

@@ -31,7 +31,10 @@ NESTED_LOOP_ALLOWED = {"embed_topk_cosine", "ann_filtered_topk",
                        "domain_mix_quotas",
                        # 1-row bounds / doc-count broadcasts
                        "histogram_prices", "tfidf_top_terms",
-                       "lm_quality_scores"}
+                       "lm_quality_scores",
+                       # 1-row seeds-array broadcast (two-level coarse
+                       # ranking is a codegen expression over it)
+                       "ivf_two_level_assign_state"}
 
 
 def _plan(spark, name: str) -> str:
@@ -81,7 +84,9 @@ def test_board_order_covers_unconfirmed_queries():
               # r6-new: streaming pipelines on the oracle board
               "streaming_mv_order_status", "streaming_ann_index_state",
               # r6-new: SCD2 pipeline at bucket scale
-              "scd2_orders_history_bucketed"):
+              "scd2_orders_history_bucketed",
+              # r6-new: two-level quantizer contract
+              "ivf_two_level_assign_state"):
         assert n in board, n
     # oracle_sql() iterates in the same board order as queries()
     oracle_names = list(q.oracle_sql())
