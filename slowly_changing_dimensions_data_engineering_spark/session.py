@@ -100,13 +100,23 @@ def get_spark(app_name: str = "sds-spark-engine", cpus: int | None = None,
         .config("spark.driver.maxResultSize", "4g")
         # local mode: driver heap IS the executor heap. The JVM default
         # (1g) OOMs building sub-threshold broadcast tables once the
-        # data reaches sf1 (150k-row dimensions under the 64MB
-        # broadcast cap) — size it to the box, overridable for small
+        # data reaches sf1 — size it to the box, overridable for small
         # harnesses. Launch-time conf: applies to the session that
         # creates the JVM.
         .config("spark.driver.memory",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Broadcast threshold stays at the PRODUCTION DEFAULT (10MB),
+        # deliberately. An earlier 64MB setting let size estimates
+        # implicit-broadcast fact-scale frames at sf1 (a pruned 6M-row
+        # lineitem in the TPC-H Q3 shape; minhash band self-joins over
+        # 50k documents) — plans a 1000-executor cluster would never
+        # run, and measurably slower even here (q3 sf1: 4.5s broadcast
+        # vs 1.0s shuffle; 13-query family total 70.6s → 42.0s at sf1).
+        # True dimensions are explicitly F.broadcast()-ed at the query
+        # sites (threshold-independent), and AQE still converts joins
+        # whose RUNTIME size is genuinely small, so toy scales lose
+        # nothing while the plan shape is the one that survives 100×.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
