@@ -64,7 +64,13 @@ def ngram_candidate_pairs(docs: DataFrame, id_col: str = "doc_id",
         keep = (ex.groupBy("sh").agg(F.count("*").alias("df"))
                 .filter(F.col("df") <= max_df).select("sh"))
         ex = ex.join(keep, "sh")
-    a, b = ex.alias("a"), ex.alias("b")
+    # shuffle_hash pins the self-join to a shuffle on the uniform
+    # shingle key: both sides are the SAME corpus-sized frame, so a
+    # size-estimate broadcast (seen at sf1, where the narrow exploded
+    # frame slips under the threshold) would hash-build the whole
+    # corpus on every task — and be re-chosen at any scale where the
+    # estimate is wrong. Measured at sf1: shuffle 1.8× faster.
+    a, b = ex.alias("a"), ex.hint("shuffle_hash").alias("b")
     return (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) &
                (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
@@ -178,7 +184,12 @@ def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
     """
     bands_df = minhash_band_frame(docs, id_col, text_col, num_hashes,
                                   bands, n).drop("mh")
-    x, y = bands_df.alias("x"), bands_df.alias("y")
+    # Pin the band self-join to a shuffle on (band, bsig): the two
+    # sides are the same corpus-sized frame, so an estimate-driven
+    # broadcast (observed at sf1) evaluates the signature pipeline for
+    # a per-task hash build of the whole corpus. shuffle_hash measured
+    # 5.7s → 3.1s at sf1; ~equal at sf0.1.
+    x, y = bands_df.alias("x"), bands_df.hint("shuffle_hash").alias("y")
     return (
         x.join(y, (F.col("x.band") == F.col("y.band")) &
                (F.col("x.bsig") == F.col("y.bsig")) &
@@ -278,7 +289,9 @@ def simhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
     hs = docs.select(F.col(id_col), _token_hashes(text_col, bits).alias("__hs"))
     sig = hs.select(id_col, _simhash_fold(F.col("__hs"), bits).alias("sh"))
     sig = sig.withColumn("bucket", F.shiftright("sh", bits - bucket_bits))
-    a, b = sig.alias("a"), sig.alias("b")
+    # Same-size self-join on the uniform bucket key: pin the shuffle
+    # (see minhash_lsh_candidates — estimate broadcasts regress at sf1).
+    a, b = sig.alias("a"), sig.hint("shuffle_hash").alias("b")
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) &
                (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))

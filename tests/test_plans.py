@@ -57,6 +57,48 @@ def test_no_cartesian_or_nested_loop_anywhere(spark):
     assert offenders == {}
 
 
+#: Queries allowed an EXPLICIT broadcast whose subtree reaches a fact
+#: scan: the IVF centroid frame is a filter-selected subset of the
+#: embeddings table, bounded at k = max(8, n//250) rows by construction
+#: (and replaced by the √k coarse broadcast of the two-level path for
+#: k > 512 — operators/similarity.py). Nothing else may pin a
+#: fact-derived broadcast: estimate-driven ones flip to shuffles as
+#: data grows, explicit ones do not.
+EXPLICIT_FACT_BCAST_ALLOWED = {
+    "ivf_search_ann", "ivf_recall_at10", "ivf_recall_nprobe",
+    "ann_batch_topk", "ann_filtered_topk_index",
+    "embedding_quantization_recall",
+}
+
+
+def test_no_explicit_fact_broadcast_survives_no_auto(spark):
+    """With autoBroadcastJoinThreshold=-1 every size-estimate broadcast
+    disappears from the plan; a raw (non-aggregate-, non-limit-reduced)
+    fact-table broadcast that SURVIVES is pinned by code and would still
+    be a broadcast at 100× the data. Sweep every single-plan query and
+    assert only the documented centroid-frame broadcasts remain.
+    Found-by: the r6 sf1 plan sweep (tools/plan_sweep.py, BENCH_NOTES)
+    that caught fact-scale implicit broadcasts under a 64MB threshold."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from plan_sweep import PIPELINE_QUERIES, formatted_plan, raw_fact_broadcasts
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        offenders = {}
+        for name, fn in q.queries().items():
+            if name in PIPELINE_QUERIES or name.startswith("scd2"):
+                continue
+            hits = raw_fact_broadcasts(formatted_plan(fn(spark, SF)))
+            if hits and name not in EXPLICIT_FACT_BCAST_ALLOWED:
+                offenders[name] = hits
+        assert offenders == {}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_board_order_covers_unconfirmed_queries():
     """The driver records correctness rows for only the FIRST 50 entries
     of queries().  Queries that still lack a driver-confirmed green row
