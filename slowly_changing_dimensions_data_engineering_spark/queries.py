@@ -3522,7 +3522,11 @@ def lm_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                   F.explode(F.split(F.trim("text"), " ")).alias("token"))
          .filter(F.col("token") != ""))
     cnt = t.groupBy("token").agg(F.count("*").alias("n"))
-    tot = t.agg(F.count("*").alias("nt"))
+    # total tokens = sum of vocabulary counts: a vocabulary-sized
+    # second aggregate instead of a THIRD full explode-the-corpus pass
+    # (the corpus is exploded once for cnt and once for the score join;
+    # this was the query's worst-scaling term at the sf1 soak).
+    tot = cnt.agg(F.sum("n").alias("nt"))
     lp = (cnt.crossJoin(F.broadcast(tot))
           .select("token",
                   F.round(F.log(F.col("n") / F.col("nt").cast("double")), 9)
