@@ -43,9 +43,16 @@ from slowly_changing_dimensions_data_engineering_spark import schemas  # noqa: E
 from slowly_changing_dimensions_data_engineering_spark.session import get_spark  # noqa: E402
 
 SRC = "/root/testdata/sf0.1"
-DST = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "_soak", "sf1")
+_SOAK_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "_soak")
+DST = os.path.join(_SOAK_ROOT, "sf1")
 N_REPLICAS = 10
+# Optional CLI: `python tools/make_soak_sf1.py 30 sf3` builds a 30-replica
+# tree at _soak/sf3 — same construction, third point for a scaling curve.
+if len(sys.argv) > 1:
+    N_REPLICAS = int(sys.argv[1])
+    DST = os.path.join(_SOAK_ROOT, sys.argv[2] if len(sys.argv) > 2
+                       else f"x{N_REPLICAS}")
 
 
 def _stride(df, col):
