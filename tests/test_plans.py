@@ -184,6 +184,17 @@ def test_dedup_queries_stay_jvm_side(spark):
         assert "ArrowEvalPython" not in plan, name
 
 
+def test_candidate_self_joins_pinned_to_shuffle(spark):
+    """The corpus-sized candidate self-joins (shingle / (band,bsig) /
+    simhash bucket) carry an explicit shuffle_hash hint: size estimates
+    on the narrow derived frames otherwise broadcast one side at larger
+    sf (observed at sf1 — a per-task hash build of the whole corpus).
+    The hint must survive in the executed plan as a ShuffledHashJoin."""
+    for name in ("ngram_jaccard_pairs", "minhash_lsh_candidates",
+                 "simhash_near_dups"):
+        assert "ShuffledHashJoin" in _plan(spark, name), name
+
+
 def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
     """DPP: joining a date/key-partitioned fact to a filtered dimension
     must prune fact partitions at RUNTIME from the dim filter (the scan
