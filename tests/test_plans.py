@@ -193,6 +193,14 @@ def test_candidate_self_joins_pinned_to_shuffle(spark):
     for name in ("ngram_jaccard_pairs", "minhash_lsh_candidates",
                  "simhash_near_dups"):
         assert "ShuffledHashJoin" in _plan(spark, name), name
+    # The docstring's single-evaluation claim: both sides shuffle on the
+    # same keys, so AQE's finalized plan reuses the first side's
+    # exchange — the signature pipeline runs ONCE per corpus, not once
+    # per join side. Only visible in the post-execution adaptive plan.
+    df = q.queries()["minhash_lsh_candidates"](spark, SF)
+    df.collect()
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final
 
 
 def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
