@@ -3797,10 +3797,10 @@ def streaming_ann_index_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 # path is exercised at non-toy row counts in every bench round.
 # =====================================================================
 
-_ORDERS_SCD2_CACHE: dict[str, str] = {}
+_ORDERS_SCD2_CACHE: dict[tuple[str, int], str] = {}
 
 
-def _orders_scd2_store(spark: SparkSession, sf_dir: str):
+def _orders_scd2_store(spark: SparkSession, sf_dir: str, n_buckets: int = 32):
     """Three-load SCD2 pipeline over order rows: load 1 = every even
     o_orderkey; load 2 = status change to 'X' for keys %6==0 plus new
     max-offset keys for %10==0; load 3 = a SINGLE-key late correction
@@ -3820,7 +3820,7 @@ def _orders_scd2_store(spark: SparkSession, sf_dir: str):
     from .operators.scd2 import scd2_merge
     from .store import TableStore
 
-    root = _ORDERS_SCD2_CACHE.get(sf_dir)
+    root = _ORDERS_SCD2_CACHE.get((sf_dir, n_buckets))
     if root and os.path.exists(os.path.join(root, "_meta", "staging.json")):
         return TableStore(root)
 
@@ -3836,8 +3836,18 @@ def _orders_scd2_store(spark: SparkSession, sf_dir: str):
         T.StructField("current_flag", T.StringType()),
     ])
     store = TableStore(tempfile.mkdtemp(prefix="sds_oscd2_"))
-    store.create("landing", landing_schema, bucket_by=(["order_code"], 32))
-    store.create("staging", staging_schema, bucket_by=(["order_code"], 32))
+    # n_buckets is the cluster-provisioning knob: buckets bound both
+    # the pruned-rewrite unit and the write parallelism, so at 100 TB
+    # they scale with table size to keep per-bucket footprint constant.
+    # On one box the knob only costs file-count overhead (measured
+    # sf1: 12.5s at 32 buckets vs 15.2s at 128 — same cores either
+    # way), while the pipeline itself is commit-bound, not data-bound:
+    # 11.9s / 12.5s / 15.6s at sf0.1 / sf1 / sf3 (30× data) with 32
+    # buckets. BENCH_NOTES "bucket provisioning" section.
+    store.create("landing", landing_schema,
+                 bucket_by=(["order_code"], n_buckets))
+    store.create("staging", staging_schema,
+                 bucket_by=(["order_code"], n_buckets))
 
     o = _t(spark, sf_dir, "orders")["orders"]
     code = F.concat(F.lit("O"), F.col("o_orderkey").cast("string"))
@@ -3879,7 +3889,7 @@ def _orders_scd2_store(spark: SparkSession, sf_dir: str):
             scd2_merge(store, spark, "staging", stream, scd2_key, ts)
         store.set_offset("oscd2", store.version("landing"))
 
-    _ORDERS_SCD2_CACHE[sf_dir] = store.root
+    _ORDERS_SCD2_CACHE[(sf_dir, n_buckets)] = store.root
     return store
 
 
