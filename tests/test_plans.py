@@ -184,6 +184,29 @@ def test_dedup_queries_stay_jvm_side(spark):
         assert "ArrowEvalPython" not in plan, name
 
 
+def test_plan_signatures_match_ledger(spark):
+    """Every non-pipeline query's STRUCTURAL plan shape (join
+    strategies, exchange kinds, aggregates, Python evals, scans —
+    tools/plan_ledger.py) must match the committed ledger. A silent
+    strategy flip — broadcast that became a shuffle, a new exchange,
+    Python creeping into a JVM path — fails here instead of surfacing
+    as an unexplained soak regression. On an INTENDED plan change run
+    `python tools/plan_ledger.py --update` and commit the new ledger
+    with the code; the ledger diff documents the plan change."""
+    import json
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from plan_ledger import LEDGER, current_signatures
+
+    with open(LEDGER) as f:
+        ref = json.load(f)
+    cur = current_signatures(spark)
+    drift = {n: {"ledger": ref.get(n), "current": cur.get(n)}
+             for n in set(cur) | set(ref) if cur.get(n) != ref.get(n)}
+    assert drift == {}
+
+
 def test_candidate_self_joins_pinned_to_shuffle(spark):
     """The corpus-sized candidate self-joins (shingle / (band,bsig) /
     simhash bucket) carry an explicit shuffle_hash hint: size estimates
