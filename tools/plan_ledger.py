@@ -67,8 +67,11 @@ STRUCTURAL = {
     "GlobalLimit": "global_limit",
     "TakeOrderedAndProject": "take_ordered",
     "BatchEvalPython": "python_row_udf",
+    "BatchEvalPythonUDTF": "python_udtf",
     "ArrowEvalPython": "python_arrow_udf",
+    "ArrowAggregatePython": "python_arrow_agg",
     "FlatMapGroupsInPandas": "pandas_grouped",
+    "FlatMapGroupsInPandasWithState": "pandas_grouped_state",
     "MapInPandas": "pandas_map",
     "Scan parquet": "parquet_scan",
     "Scan ExistingRDD": "rdd_scan",
