@@ -64,6 +64,8 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame,
                cid_col: str = "centroid_id",
                flat_max_centroids: int = FLAT_MAX_CENTROIDS,
                coarse_probe: int = 4,
+               seed_mode: str = "lowid",
+               seed_iters: int = 5,
                n_centroids: int | None = None) -> DataFrame:
     """Assign each vector to its nearest centroid (squared-L2, rounded;
     ties → lowest centroid id). centroids: (centroid_id, embedding).
@@ -105,6 +107,30 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame,
       search recall: a vector parked outside its true cell is invisible
       to a search probing that cell.
 
+      At REALISTIC embedding dimensions (64/256/768) the trade shifts
+      (``tools/bench_twolevel.py --fidelity`` reproduces the table in
+      BENCH_NOTES.md): on an isotropic-uniform corpus — the provable
+      worst case, distances concentrate so the coarse ranking carries
+      little signal — probes=4 agreement falls to ~0.5-0.6 and
+      restoring ≥0.8 takes probes≈8-12 of the ⌈√k⌉≈25 cells. On a
+      CLUSTERED corpus (any real embedding model's output) probes=4
+      holds ≥0.98 at every measured dimension. ``seed_mode="kmeans"``
+      (below) recovers most of the uniform-case loss at no per-vector
+      cost: it Lloyd-refines the coarse seeds over the
+      dictionary-sized fine-centroid set, improving the coarse
+      ranking's signal (dim-768 uniform probes=8: 0.63 → 0.81;
+      clustered probes=1: 0.79 → 1.0).
+
+    ``seed_mode`` selects the coarse seeds of the two-level path:
+    ``"lowid"`` (default — the ⌈√k⌉ lowest-id fine centroids, the
+    deterministic convention the DuckDB oracles restate) or
+    ``"kmeans"`` — start from the lowid seeds and run ``seed_iters``
+    Lloyd rounds over the FINE-CENTROID dictionary only (k rows, never
+    the corpus; per-dimension means use the exact decimal-sum
+    accumulator so the refined seeds are partition-count independent).
+    Refinement cost is O(k·√k·iters) distance evaluations at index
+    build — noise next to the O(n·√k·probes) corpus pass.
+
     ``n_centroids`` lets callers that already know the centroid count
     skip the regime-selecting ``count()`` job (e.g. the registry
     computes k = max(8, n//250) before building the centroid frame)."""
@@ -112,7 +138,7 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame,
     if k <= flat_max_centroids:
         return _ivf_assign_flat(vectors, centroids, id_col, vec_col, cid_col)
     return _ivf_assign_two_level(vectors, centroids, k, id_col, vec_col,
-                                 cid_col, coarse_probe)
+                                 cid_col, coarse_probe, seed_mode, seed_iters)
 
 
 def _ivf_assign_flat(vectors: DataFrame, centroids: DataFrame,
@@ -130,9 +156,48 @@ def _ivf_assign_flat(vectors: DataFrame, centroids: DataFrame,
     return best.select(id_col, F.col(f"_best.{cid_col}").alias(cid_col))
 
 
+def _lloyd_refine_seeds(seeds: DataFrame, cents: DataFrame,
+                        iters: int) -> DataFrame:
+    """Lloyd-refine the coarse seeds over the FINE-CENTROID dictionary
+    (k rows — the corpus is never touched). Each round assigns every
+    fine centroid to its nearest current seed (one broadcast of the
+    m-row seed array, distances rounded + lowest-seed-id tie-break,
+    exactly the coarse-ranking convention) and moves each seed to the
+    per-dimension mean of its members; a seed that captures no members
+    keeps its position. Seed IDENTITY is stable — ``_coarse`` stays the
+    founding lowid centroid id — only the positions move. Means use the
+    exact decimal-sum accumulator (associative addition), so refined
+    seeds are bit-identical under any partitioning of the centroid
+    frame. Everything here is dictionary-sized: per round, k×m rounded
+    distances plus a k·dim posexplode aggregation."""
+    for _ in range(max(0, iters)):
+        sarr = seeds.agg(F.collect_list(F.struct(
+            F.col("_coarse").alias("c"), F.col("_se").alias("e"))).alias("_s"))
+        owned = (cents.crossJoin(F.broadcast(sarr))
+                 .select("_ce",
+                         F.array_min(F.transform(
+                             F.col("_s"),
+                             lambda s: F.struct(
+                                 F.round(l2sq(F.col("_ce"), s["e"]), 9).alias("d"),
+                                 s["c"].alias("c"))))["c"].alias("_coarse")))
+        means = (owned.select("_coarse", F.posexplode("_ce"))
+                 .groupBy("_coarse", "pos")
+                 .agg((F.sum(F.col("col").cast("decimal(38,15)"))
+                       .cast("double") / F.count("*")).alias("v"))
+                 .groupBy("_coarse")
+                 .agg(F.transform(
+                     F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                     lambda s: s["v"]).alias("_new")))
+        seeds = (seeds.join(means, "_coarse", "left")
+                 .select("_coarse",
+                         F.coalesce(F.col("_new"), F.col("_se")).alias("_se")))
+    return seeds
+
+
 def _ivf_assign_two_level(vectors: DataFrame, centroids: DataFrame, k: int,
                           id_col: str, vec_col: str, cid_col: str,
-                          coarse_probe: int) -> DataFrame:
+                          coarse_probe: int, seed_mode: str = "lowid",
+                          seed_iters: int = 5) -> DataFrame:
     """Coarse→fine assignment for large centroid sets (see ivf_assign).
 
     Coarse seeds are the ⌈√k⌉ lowest-id fine centroids (the same
@@ -150,6 +215,10 @@ def _ivf_assign_two_level(vectors: DataFrame, centroids: DataFrame, k: int,
     seeds = (cents.orderBy(F.asc(cid_col)).limit(m)
              .select(F.col(cid_col).alias("_coarse"),
                      F.col("_ce").alias("_se")))
+    if seed_mode == "kmeans":
+        seeds = _lloyd_refine_seeds(seeds, cents, seed_iters)
+    elif seed_mode != "lowid":
+        raise ValueError(f"unknown seed_mode {seed_mode!r}")
     # fine centroid -> owning coarse cell (k rows scored against m
     # seeds; renamed to dodge the fine-id/centroid-id name collision)
     f2c = _ivf_assign_flat(

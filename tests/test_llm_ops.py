@@ -852,3 +852,66 @@ def test_two_level_probe_all_equals_flat_property(spark):
         assert two == flat
 
     run()
+
+
+def test_two_level_kmeans_seeds_probe_all_equals_flat(spark):
+    """seed_mode="kmeans" moves the coarse seed POSITIONS but every fine
+    centroid still belongs to exactly one cell, so probing every cell
+    must reproduce the flat assignment exactly — the probe-all contract
+    is seed-placement independent."""
+    from slowly_changing_dimensions_data_engineering_spark.operators.similarity import (
+        _ivf_assign_flat, _ivf_assign_two_level,
+    )
+    import random as _random
+    rng = _random.Random(5)
+    dim = 16
+    vecs = spark.createDataFrame(
+        [(i, [round(rng.uniform(-1, 1), 6) for _ in range(dim)])
+         for i in range(300)], ["vec_id", "embedding"])
+    cents = spark.createDataFrame(
+        [(i, [round(rng.uniform(-1, 1), 6) for _ in range(dim)])
+         for i in range(25)], ["centroid_id", "embedding"])
+    flat = {r["vec_id"]: r["centroid_id"] for r in _ivf_assign_flat(
+        vecs, cents, "vec_id", "embedding", "centroid_id").collect()}
+    two = {r["vec_id"]: r["centroid_id"] for r in _ivf_assign_two_level(
+        vecs, cents, 25, "vec_id", "embedding", "centroid_id",
+        coarse_probe=5, seed_mode="kmeans", seed_iters=3).collect()}
+    assert two == flat
+
+
+def test_two_level_kmeans_seeds_improve_agreement(spark):
+    """At a fixed probe budget, Lloyd-refined seeds must not LOSE
+    fidelity vs the arbitrary lowid seeds on this fixed corpus (measured
+    0.823 vs 0.707 at probe=2 — the decimal-accumulated Lloyd rounds
+    make the whole path deterministic, so this is a stable regression
+    bar, not a flaky statistical one). Unknown seed modes must raise."""
+    import pytest
+
+    from slowly_changing_dimensions_data_engineering_spark.operators.similarity import (
+        _ivf_assign_flat, _ivf_assign_two_level,
+    )
+    import random as _random
+    rng = _random.Random(5)
+    dim = 16
+    vecs = spark.createDataFrame(
+        [(i, [round(rng.uniform(-1, 1), 6) for _ in range(dim)])
+         for i in range(300)], ["vec_id", "embedding"])
+    cents = spark.createDataFrame(
+        [(i, [round(rng.uniform(-1, 1), 6) for _ in range(dim)])
+         for i in range(25)], ["centroid_id", "embedding"])
+    flat = {r["vec_id"]: r["centroid_id"] for r in _ivf_assign_flat(
+        vecs, cents, "vec_id", "embedding", "centroid_id").collect()}
+
+    def agree(mode):
+        two = {r["vec_id"]: r["centroid_id"] for r in _ivf_assign_two_level(
+            vecs, cents, 25, "vec_id", "embedding", "centroid_id",
+            coarse_probe=2, seed_mode=mode).collect()}
+        return sum(two[i] == flat[i] for i in two) / len(two)
+
+    a_low, a_km = agree("lowid"), agree("kmeans")
+    assert a_km >= a_low, (a_km, a_low)
+    assert a_km >= 0.8, a_km
+    with pytest.raises(ValueError):
+        _ivf_assign_two_level(vecs, cents, 25, "vec_id", "embedding",
+                              "centroid_id", coarse_probe=2,
+                              seed_mode="bogus")
