@@ -51,30 +51,53 @@ def register(name: str, oracle: str | None):
 # consecutive prior rounds.  Rotate per round until every registered
 # query has at least one green driver row on record.
 #
-# r6 rotation: CORRECTNESS_r05 was 50/50 green, making 32 board queries
-# twice-green (r4+r5) and demote-eligible. The 18 r5-new green-once
-# queries STAY for their second green. Of the 32, six are KEPT on the
-# board because r6 rewrites the IVF assignment path they share
-# (two-level coarse→fine, operators/similarity.py): ivf_search_ann,
-# ivf_recall_at10, ann_batch_topk, ann_filtered_topk,
-# embedding_near_dup_pairs, semantic_dedup_summary. The other 26 are
-# demoted below; r6-new queries (streaming-MV oracle, bucketed SCD2)
-# enter at the front.
+# r7 rotation: CORRECTNESS_r06 was 50/50 green; after it, 91 of the 95
+# r6-registered queries have >=2 lifetime greens and exactly 4 are
+# green-once (the r6-new streaming/bucketed-SCD2/two-level contracts).
+# Those 4 STAY at the front for their second green — landing them
+# closes the FULL-registry rotation invariant (every query >=2 lifetime
+# greens). The one r7-new query (ivf_two_level_assign_highdim) joins
+# them. Everything else is demoted; the ANN/embedding family leads the
+# demote list so it backfills the remaining board slots — r7 touches
+# their shared module (operators/similarity.py kmeans seed mode), so a
+# fresh driver check under the new code is the right use of filler
+# slots. (Board greens beyond the second are harmless; the invariant
+# only needs >=2.)
 _BOARD_DEMOTE = [
-    # -- demoted r6 (green r4 + r5, untouched by r6 changes) --
-    "anti_join_dormant_customers",
+    # -- ANN/embedding family: >=2 lifetime greens, but r7 touches
+    #    operators/similarity.py (kmeans seed mode), so they backfill
+    #    the board FIRST for a fresh driver check under the new code --
+    "embed_topk_cosine",
+    "ivf_search_ann",
+    "ivf_recall_at10",
+    "ivf_recall_nprobe",
+    "ann_batch_topk",
+    "embedding_near_dup_pairs",
     "array_functions_embeddings",
+    "semantic_dedup_summary",
+    "ann_filtered_topk",
+    "ann_filtered_topk_index",
+    "embedding_quantization_recall",
+    # -- demoted r7 (green r5 + r6; alphabetical) --
+    "anti_join_dormant_customers",
+    "approx_topk_contract_orders",
     "classifier_quality_scores",
     "decontamination_overlap",
     "dedup_clusters_cc",
     "dedup_corpus_minhash",
     "delete_dml_state_stats",
+    "doc_chunks",
     "domain_mix_quotas",
+    "dq_checks_orders",
+    "epoch_shuffle_shards",
     "funnel_conversion_users",
+    "histogram_prices",
     "hll_sketch_region_customers",
     "incremental_mv_state_stats",
+    "lm_quality_scores",
     "map_functions_events",
     "minhash_incremental_dedup",
+    "nation_supplier_roster",
     "pii_scrub_customers",
     "pivot_status_revenue_by_year",
     "pretraining_pipeline_summary",
@@ -84,52 +107,59 @@ _BOARD_DEMOTE = [
     "quantile_sketch_prices",
     "repetition_signals_docs",
     "scd2_master_current",
+    "sessionize_events_gap_rule",
+    "set_except_all_orders",
+    "snapshot_diff_suppliers",
+    "stats_aggregates_lineitem",
+    "tfidf_top_terms",
+    "token_freq_topk",
+    "weighted_sample_docs",
+    "window_rank_family_orders",
+    # -- demoted in earlier rounds (>=2 lifetime greens; alphabetical) --
+    "agg_distinct_suppliers",
+    "approx_distinct_nations",
+    "asof_latest_order",
+    "bpe_token_stats",
+    "corpus_curation_summary",
+    "correlated_above_avg_orders",
+    "cube_part_brand",
+    "date_parts_orders",
+    "dedup_prefix_fingerprint",
+    "doc_text_profile",
+    "doc_token_stats",
+    "events_hourly_tumbling",
+    "events_session_30m",
+    "events_sliding_1h_15m",
+    "full_outer_nation_activity",
+    "grouping_sets_orders",
+    "json_extract_events",
+    "minhash_lsh_candidates",
+    "minhash_near_dups",
+    "multimodal_binary_stats",
+    "ngram_jaccard_pairs",
+    "pandas_udf_charge",
+    "pandas_udf_grouped_price_range",
+    "q3_shipping_priority",
+    "range_join_active_orders",
+    "right_outer_orders_customer",
+    "rollup_order_status",
+    "row_udf_nation_tag",
+    "salted_agg_event_values",
     "scd2_supplier_history",
+    "semi_join_active_customers",
     "sequence_packing_bins",
+    "set_except_finished_only",
+    "set_intersect_segments",
+    "simhash_near_dups",
     "stratified_sample_docs",
+    "string_functions_parts",
+    "top_customers",
+    "udtf_doc_tokens",
     "unpivot_part_metrics",
-    # -- demoted in earlier rounds --
-    "doc_token_stats",          # green r3 + r4
-    "dedup_prefix_fingerprint",  # green r3 + r4
-    "embed_topk_cosine",        # green r3 + r4, untouched in r5
-    "multimodal_binary_stats",  # green r3 + r4, untouched in r5
-    "pandas_udf_charge",        # green r3 + r4, untouched in r5
-    "ngram_jaccard_pairs",      # green r3 + r4, untouched in r5
-    "minhash_lsh_candidates",   # green r3 + r4, untouched in r5
-    "q3_shipping_priority",     # green r3 + r4, untouched in r5
-    "bpe_token_stats",          # green r3 + r4, untouched in r5
-    "doc_text_profile",         # green r3 + r4, untouched in r5
-    "asof_latest_order",        # green r3 + r4, untouched in r5
-    "range_join_active_orders",  # green r3 + r4, untouched in r5
-    "corpus_curation_summary",  # green r3 + r4, untouched in r5
-    "udtf_doc_tokens",          # green r3 + r4, untouched in r5
-    "minhash_near_dups",        # green r3 + r4, untouched in r5
-    "simhash_near_dups",        # green r3 + r4, untouched in r5
-    "pandas_udf_grouped_price_range",  # green r3 + r4, untouched in r5
-    "row_udf_nation_tag",       # green r3 + r4, untouched in r5
-    "events_sliding_1h_15m",    # green r2 + r3
-    "events_session_30m",       # green r2 + r3
-    "approx_distinct_nations",  # green r2 + r3
-    "grouping_sets_orders",     # green r2 + r3
-    "full_outer_nation_activity",  # green r2 + r3
-    "right_outer_orders_customer",  # green r2 + r3
-    "window_order_gaps",        # green r2 + r3
-    "set_except_finished_only",  # green r2 + r3
-    "set_intersect_segments",   # green r2 + r3
-    "string_functions_parts",   # green r2 + r3
-    "date_parts_orders",        # green r2 + r3
-    "json_extract_events",      # green r2 + r3
-    "cube_part_brand",          # green r2 + r3
-    "rollup_order_status",      # green r2 + r3
-    "correlated_above_avg_orders",  # green r2 + r3
-    "salted_agg_event_values",  # green r2 + r3
-    "window_running_spend",     # green r2 + r3
-    "top_customers",            # green r2 + r3
-    "window_top3_orders_per_customer",  # green r2 + r3
-    "window_range_1h_user_spend",  # green r2 + r3
-    "events_hourly_tumbling",   # green r2 + r3
-    "agg_distinct_suppliers",   # green r2 + r3
-    "semi_join_active_customers",  # green r2 + r3
+    "window_order_gaps",
+    "window_range_1h_user_spend",
+    "window_running_spend",
+    "window_top3_orders_per_customer",
 ]
 
 
@@ -144,6 +174,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return {k: _REGISTRY[k][1] for k in _board_order() if _REGISTRY[k][1] is not None}
+
+
+#: Per-process pipeline state (stores / indexes built under tempdirs and
+#: memoized per sf_dir). Named lazily — the dicts are defined next to
+#: their pipelines further down the module.
+_PIPELINE_CACHE_NAMES = (
+    "_SCD2_STORE_CACHE", "_MINHASH_INDEX_CACHE", "_IVF_INDEX_CACHE",
+    "_DELETE_STORE_CACHE", "_DIFF_STORE_CACHE", "_STREAM_MV_CACHE",
+    "_STREAM_ANN_CACHE", "_ORDERS_SCD2_CACHE",
+)
+
+
+def reset_pipeline_caches() -> None:
+    """Forget all memoized pipeline state so the next registered-query
+    call rebuilds its store/index from scratch. The plan ledger
+    (tools/plan_ledger.py) uses this to capture each pipeline's
+    PER-COMMIT write plans deterministically — on a warm cache a
+    pipeline query performs zero commits and there would be nothing to
+    freeze. The abandoned tempdirs are reclaimed at process exit."""
+    for n in _PIPELINE_CACHE_NAMES:
+        globals()[n].clear()
 
 
 def _t(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
@@ -4041,6 +4092,90 @@ def ivf_two_level_assign_state(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .cast("double") / 500.0 - 1.0).alias("embedding"))
     from .operators.similarity import ivf_assign
     assign = ivf_assign(vecs, cents, n_centroids=k)
+    return (assign.groupBy(F.col("centroid_id").cast("long").alias("centroid_id"))
+            .agg(F.count("*").alias("n_vectors"),
+                 F.sum("vec_id").alias("sum_vec_id")))
+
+
+@register("ivf_two_level_assign_highdim", """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+  FROM embeddings
+),
+c AS (
+  SELECT i AS cid,
+         list_transform(range(1, 65),
+                        j -> ((i*73 + j*29) % 1000) / 500.0 - 1.0) AS ce
+  FROM range(600) t(i)
+),
+seeds AS (SELECT cid AS sid, ce AS se FROM c WHERE cid < 25),
+f2c_scored AS (
+  SELECT c.cid, s.sid,
+         round(list_dot_product(
+                 list_transform(range(1, len(ce)+1), i -> ce[i] - se[i]),
+                 list_transform(range(1, len(ce)+1), i -> ce[i] - se[i])), 9) AS d
+  FROM c, seeds s
+),
+f2c AS (
+  SELECT cid, sid FROM f2c_scored
+  QUALIFY row_number() OVER (PARTITION BY cid ORDER BY d, sid) = 1
+),
+coarse_scored AS (
+  SELECT v.vec_id, s.sid,
+         round(list_dot_product(
+                 list_transform(range(1, len(ve)+1), i -> ve[i] - se[i]),
+                 list_transform(range(1, len(ve)+1), i -> ve[i] - se[i])), 9) AS d
+  FROM v, seeds s
+),
+probes AS (
+  SELECT vec_id, sid FROM coarse_scored
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, sid) <= 8
+),
+fine_scored AS (
+  SELECT p.vec_id, c.cid,
+         round(list_dot_product(
+                 list_transform(range(1, len(ve)+1), i -> ve[i] - ce[i]),
+                 list_transform(range(1, len(ve)+1), i -> ve[i] - ce[i])), 9) AS d
+  FROM probes p
+  JOIN f2c ON f2c.sid = p.sid
+  JOIN c ON c.cid = f2c.cid
+  JOIN v ON v.vec_id = p.vec_id
+),
+assign AS (
+  SELECT vec_id, cid FROM fine_scored
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+)
+SELECT CAST(cid AS BIGINT) AS centroid_id,
+       COUNT(*) AS n_vectors,
+       CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id
+FROM assign
+GROUP BY cid
+""")
+def ivf_two_level_assign_highdim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-level contract at REALISTIC embedding dimension: the
+    driver's real dim-64 ``embeddings`` table (float vectors cast to
+    double — the cross-engine float→double cast is exact) assigned
+    through the k=600 > FLAT_MAX_CENTROIDS two-level regime against a
+    deterministic synthetic centroid dictionary. coarse_probe=8 is the
+    measured guidance for dim 64 (BENCH_NOTES: uniform-worst-case
+    agreement needs probes≈8-12 of the 25 cells at dim≥64; clustered
+    corpora hold ≥0.98 at 4) — so the contract exercises exactly the
+    configuration the docs recommend at this dimension. The oracle
+    restates the full two-level semantics — ⌈√600⌉=25 lowest-id seeds,
+    fine→coarse argmin, per-vector top-8 coarse probes, argmin over the
+    probed cells' fine centroids, distances rounded to 9 with lowest-id
+    tie-breaks — over the same parquet. Complements
+    ivf_two_level_assign_state (dim-8, fully synthetic, probe=4)."""
+    k, dim = 600, 64
+    t = _t(spark, sf_dir, "embeddings")
+    cents = spark.range(k).select(
+        F.col("id").alias("centroid_id"),
+        F.transform(F.sequence(F.lit(1), F.lit(dim)),
+                    lambda j: ((F.col("id") * 73 + j * 29) % 1000)
+                    .cast("double") / 500.0 - 1.0).alias("embedding"))
+    from .operators.similarity import ivf_assign
+    assign = ivf_assign(t["embeddings"], cents, n_centroids=k,
+                        coarse_probe=8)
     return (assign.groupBy(F.col("centroid_id").cast("long").alias("centroid_id"))
             .agg(F.count("*").alias("n_vectors"),
                  F.sum("vec_id").alias("sum_vec_id")))

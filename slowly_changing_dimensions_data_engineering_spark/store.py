@@ -43,6 +43,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+#: Optional plan-capture hook (tools/plan_ledger.py): when set, called
+#: as ``PLAN_CAPTURE(table_name, kind, df)`` with the exact frame each
+#: commit path is about to write (post bucket-clustering), BEFORE the
+#: write executes. Lets the plan ledger freeze per-commit merge shapes
+#: for the multi-commit pipeline queries without instrumenting every
+#: call site. None (the default) costs one ``is not None`` per commit.
+PLAN_CAPTURE = None
+
 
 def bucket_id(cols: list[str], n: int) -> F.Column:
     """Deterministic bucket assignment: pmod(hash(key), n). Murmur3 via
@@ -513,13 +521,18 @@ class TableStore:
         v = self._prep_version(name, meta)
         if meta.get("bucket"):
             cols, n = meta["bucket"]["cols"], meta["bucket"]["n"]
-            (self._clustered(df, cols, n, sort_within)
+            clustered = self._clustered(df, cols, n, sort_within)
+            if PLAN_CAPTURE is not None:
+                PLAN_CAPTURE(name, "commit", clustered)
+            (clustered
              .write.mode("errorifexists").partitionBy("_bucket")
              .parquet(self._vdir(name, v)))
             meta["buckets"] = {str(k): v for k in range(n)}
             meta.setdefault("history", []).append(
                 {"v": v, "buckets": dict(meta["buckets"]), "ts": time.time()})
         else:
+            if PLAN_CAPTURE is not None:
+                PLAN_CAPTURE(name, "commit", df)
             df.write.mode("errorifexists").parquet(self._vdir(name, v))
             meta["segments"] = [v]
             meta.setdefault("history", []).append(
@@ -545,6 +558,8 @@ class TableStore:
                 "commit_buckets so bucket dirs stay complete")
         df = self._check_schema(name, meta, df)
         v = self._prep_version(name, meta)
+        if PLAN_CAPTURE is not None:
+            PLAN_CAPTURE(name, "append", df)
         df.write.mode("errorifexists").parquet(self._vdir(name, v))
         segs = list(meta.get("segments", [meta["latest"]] if meta["latest"] >= 0 else []))
         segs.append(v)
@@ -569,7 +584,10 @@ class TableStore:
             raise ValueError(f"table {name!r} is not bucketed")
         cols, n = meta["bucket"]["cols"], meta["bucket"]["n"]
         v = self._prep_version(name, meta)
-        (self._clustered(df, cols, n)
+        clustered = self._clustered(df, cols, n)
+        if PLAN_CAPTURE is not None:
+            PLAN_CAPTURE(name, "commit_buckets", clustered)
+        (clustered
          .write.mode("errorifexists").partitionBy("_bucket")
          .parquet(self._vdir(name, v)))
         for k in bucket_ids:

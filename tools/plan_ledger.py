@@ -43,7 +43,11 @@ import os
 import re
 import sys
 
+# repo root (package imports) AND the tools dir (plan_sweep import) —
+# pinned at module top so any importer gets working imports without
+# pre-arranging sys.path itself.
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 LEDGER = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                       "tests", "plan_ledger.json")
@@ -98,17 +102,55 @@ def current_signatures(spark) -> dict[str, dict[str, int]]:
     from plan_sweep import PIPELINE_QUERIES, formatted_plan
 
     from slowly_changing_dimensions_data_engineering_spark import queries as q
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     out = {}
     for name, (fn, _) in sorted(q._REGISTRY.items()):
         if name in PIPELINE_QUERIES:
             continue
         out[name] = signature(formatted_plan(fn(spark, SF)))
+    out.update(pipeline_signatures(spark))
+    return out
+
+
+def pipeline_signatures(spark) -> dict[str, dict]:
+    """Ledger entries for the multi-commit pipeline queries — the 10
+    queries the static sweep skips because CONSTRUCTING their result
+    frame executes a pipeline (store builds, streaming runs). For each,
+    freeze (a) the FINAL-READ plan signature and (b) the ordered list
+    of per-commit write plans, captured via ``store.PLAN_CAPTURE`` with
+    the pipeline caches reset so every run rebuilds from scratch. The
+    commit list is where the scale-critical shapes live: the pruned
+    load-3 bucket merge of the SCD2 pipelines must keep its
+    bucket-pruned scan count, a streaming micro-batch commit must not
+    grow an exchange, the incremental-MV fold must never rescan its
+    base. Entries are nested ({final_read, commits}) next to the flat
+    non-pipeline signatures; the diff gate compares them structurally
+    all the same."""
+    from plan_sweep import PIPELINE_QUERIES, formatted_plan
+
+    from slowly_changing_dimensions_data_engineering_spark import (
+        queries as q,
+        store as store_mod,
+    )
+    out = {}
+    for name in sorted(PIPELINE_QUERIES):
+        q.reset_pipeline_caches()
+        commits: list[dict] = []
+
+        def cap(tbl, kind, df, _commits=commits):
+            _commits.append({"table": tbl, "kind": kind,
+                             "sig": signature(formatted_plan(df))})
+
+        store_mod.PLAN_CAPTURE = cap
+        try:
+            df = q._REGISTRY[name][0](spark, SF)
+            final = signature(formatted_plan(df))
+        finally:
+            store_mod.PLAN_CAPTURE = None
+        out[name] = {"final_read": final, "commits": commits}
     return out
 
 
 def main() -> int:
-    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from slowly_changing_dimensions_data_engineering_spark.session import get_spark
     spark = get_spark("sds-plan-ledger", cpus=4, shuffle_partitions=4)
     cur = current_signatures(spark)
