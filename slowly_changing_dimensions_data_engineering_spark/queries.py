@@ -831,11 +831,14 @@ def embed_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     9 dp so cross-engine double ulp noise can't reorder the cutoff."""
     e = _t(spark, sf_dir, "embeddings")["embeddings"]
     ed = e.withColumn("v", F.transform("embedding", lambda x: x.cast("double")))
-    # Scalar-subquery style: the query row is resolved inside the plan
-    # (agg → broadcast join), no driver-side collect / extra job.
-    qdf = ed.agg(F.min("vec_id").alias("_qid"))
-    q = (ed.join(F.broadcast(qdf), F.col("vec_id") == F.col("_qid"))
-         .select(F.col("v").alias("qv"), "_qid"))
+    # The query row (min vec_id) is resolved inside the plan as a TOP-1
+    # (TakeOrderedAndProject → broadcast): one map-side-reduced pass,
+    # and the broadcast subtree is STRUCTURALLY bounded — the previous
+    # agg→self-equi-join shape was 1 row only by key uniqueness, which
+    # the raw-fact-broadcast invariant (tools/plan_sweep.py) rightly
+    # can't see.
+    q = (ed.orderBy(F.asc("vec_id")).limit(1)
+         .select(F.col("v").alias("qv"), F.col("vec_id").alias("_qid")))
 
     def dot(a, b):
         return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),

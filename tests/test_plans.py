@@ -82,7 +82,7 @@ def test_no_explicit_fact_broadcast_survives_no_auto(spark):
     import os
     import sys
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
-    from plan_sweep import PIPELINE_QUERIES, formatted_plan, raw_fact_broadcasts
+    from plan_sweep import PIPELINE_QUERIES, raw_fact_broadcasts
 
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -91,7 +91,7 @@ def test_no_explicit_fact_broadcast_survives_no_auto(spark):
         for name, fn in q.queries().items():
             if name in PIPELINE_QUERIES or name.startswith("scd2"):
                 continue
-            hits = raw_fact_broadcasts(formatted_plan(fn(spark, SF)))
+            hits = raw_fact_broadcasts(fn(spark, SF))
             if hits and name not in EXPLICIT_FACT_BCAST_ALLOWED:
                 offenders[name] = hits
         assert offenders == {}

@@ -39,7 +39,6 @@ part) are legitimately broadcastable at any scale this engine targets.
 from __future__ import annotations
 
 import os
-import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -75,33 +74,73 @@ def formatted_plan(df) -> str:
     return df._jdf.queryExecution().explainString(mode)
 
 
-def raw_fact_broadcasts(plan: str) -> list[str]:
-    """Return the fact files reached RAW (no aggregate between) from
-    any BroadcastExchange in a formatted plan string."""
-    header = plan.split("\n\n")[0]
-    lines = header.splitlines()
+#: Physical-node class names of the REDUCTION_NODES above.
+_REDUCTION_EXECS = {n + "Exec" for n in REDUCTION_NODES}
+
+
+def _static_plan(df):
+    """The statically-planned physical tree WITH exchanges — what
+    formatted explain renders. Under AQE the executed plan is wrapped
+    in AdaptiveSparkPlanExec (whose children() is empty — it hides its
+    subtree); its initialPlan() is the pre-runtime tree."""
+    ep = df._jdf.queryExecution().executedPlan()
+    if ep.getClass().getSimpleName() == "AdaptiveSparkPlanExec":
+        return ep.initialPlan()
+    return ep
+
+
+def _jchildren(node):
+    cs = node.children()
+    return [cs.apply(i) for i in range(cs.size())]
+
+
+def _scan_files(node) -> list[str]:
+    try:
+        paths = node.relation().location().rootPaths()
+        return [str(paths.apply(i)).rsplit("/", 1)[-1]
+                for i in range(paths.size())]
+    except Exception:
+        return []  # not a file scan (RDD/in-memory/v2 source)
+
+
+def _raw_scans_below(node, hits: list[str]) -> None:
+    """Collect fact files reachable from ``node`` WITHOUT crossing a
+    reduction node — the per-scan ancestor-path check: a branch that
+    passes through an aggregate/limit is bounded regardless of what it
+    scans, while sibling branches of the same broadcast subtree are
+    judged on their own path."""
+    name = node.getClass().getSimpleName()
+    if name in _REDUCTION_EXECS:
+        return  # this branch is bounded; nothing below counts as raw
+    for f in _scan_files(node):
+        if f in FACTS:
+            hits.append(f)
+    for c in _jchildren(node):
+        _raw_scans_below(c, hits)
+
+
+def raw_fact_broadcasts(df) -> list[str]:
+    """Return the fact files any BroadcastExchange in ``df``'s static
+    physical plan reaches through only row-preserving nodes. Walks the
+    ACTUAL plan tree via the JVM (not the rendered explain text), so
+    subtree extent and the reduction-on-path test are structural — no
+    indentation arithmetic, and a broadcast joining an aggregated
+    branch with a raw fact branch is correctly flagged for the raw
+    branch. ReusedExchange references are skipped (their target is
+    visited where it physically sits)."""
     hits: list[str] = []
-    for i, ln in enumerate(lines):
-        if "BroadcastExchange" not in ln:
-            continue
-        col = ln.index("BroadcastExchange")
-        sub = [ln]
-        for l2 in lines[i + 1:]:
-            stripped = re.sub(r"^[\s:+|-]*", "", l2)
-            if len(l2) - len(stripped) <= col - 3:
-                break
-            sub.append(l2)
-        subtxt = "\n".join(sub)
-        if any(a in subtxt for a in REDUCTION_NODES):
-            continue  # reduction feeds the broadcast — fine at scale
-        for m in re.finditer(r"Scan parquet[^(]*\((\d+)\)", subtxt):
-            mm = re.search(
-                rf"\({m.group(1)}\) Scan parquet.*?Location: \S+ \[([^\]]+)\]",
-                plan, re.S)
-            if mm:
-                f = mm.group(1).rsplit("/", 1)[-1]
-                if f in FACTS:
-                    hits.append(f)
+
+    def walk(node):
+        name = node.getClass().getSimpleName()
+        if name == "ReusedExchangeExec":
+            return
+        if name == "BroadcastExchangeExec":
+            for c in _jchildren(node):
+                _raw_scans_below(c, hits)
+        for c in _jchildren(node):
+            walk(c)
+
+    walk(_static_plan(df))
     return sorted(set(hits))
 
 
@@ -125,12 +164,11 @@ def main() -> int:
     bad = 0
     for name in names:
         try:
-            plan = formatted_plan(q._REGISTRY[name][0](spark, sf))
+            hits = raw_fact_broadcasts(q._REGISTRY[name][0](spark, sf))
         except Exception as ex:  # surface, keep sweeping
             print(f"ERR   {name}: {str(ex)[:120]}")
             bad += 1
             continue
-        hits = raw_fact_broadcasts(plan)
         if hits:
             print(f"RAW   {name}: broadcasts {hits}")
             bad += 1
