@@ -51,18 +51,22 @@ def register(name: str, oracle: str | None):
 # consecutive prior rounds.  Rotate per round until every registered
 # query has at least one green driver row on record.
 #
-# r7 rotation: CORRECTNESS_r06 was 50/50 green; after it, 91 of the 95
-# r6-registered queries have >=2 lifetime greens and exactly 4 are
-# green-once (the r6-new streaming/bucketed-SCD2/two-level contracts).
-# Those 4 STAY at the front for their second green — landing them
-# closes the FULL-registry rotation invariant (every query >=2 lifetime
-# greens). The one r7-new query (ivf_two_level_assign_highdim) joins
-# them. Everything else is demoted; the ANN/embedding family leads the
-# demote list so it backfills the remaining board slots — r7 touches
-# their shared module (operators/similarity.py kmeans seed mode), so a
-# fresh driver check under the new code is the right use of filler
-# slots. (Board greens beyond the second are harmless; the invariant
-# only needs >=2.)
+# r8 rotation: CORRECTNESS_r07 was 50/50 green; 95/96 queries now have
+# >=2 lifetime greens.  The board is kept IDENTICAL to r7's: the sole
+# green-once query (`ivf_two_level_assign_highdim`, r7-new) stays for
+# its second green, and `ann_filtered_topk` stays because r8 rewrites
+# its query-vector resolution to the structurally bounded
+# TakeOrdered-limit-1 shape (the r7 judge's fix #1b) — the new plan
+# needs a fresh driver green.  The remaining 48 slots re-check the
+# ANN/embedding family (r8 touches operators/similarity.py again:
+# _lloyd_refine_seeds materialization) plus the r5/r6 cohort for a
+# third green.  (Board greens beyond the second are harmless; the
+# invariant only needs >=2.)
+#
+# r7 rationale (kept for the record): the 4 r6-new contracts + the
+# r7-new highdim query led the board; the ANN/embedding family led the
+# demote list so it backfilled the filler slots after r7's kmeans seed
+# change to their shared module.
 _BOARD_DEMOTE = [
     # -- ANN/embedding family: >=2 lifetime greens, but r7 touches
     #    operators/similarity.py (kmeans seed mode), so they backfill
@@ -2688,9 +2692,13 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast + TakeOrderedAndProject."""
     e = _t(spark, sf_dir, "embeddings")["embeddings"]
     ed = e.withColumn("v", F.transform("embedding", lambda x: x.cast("double")))
-    qdf = ed.agg(F.min("vec_id").alias("_qid"))
-    q = (ed.join(F.broadcast(qdf), F.col("vec_id") == F.col("_qid"))
-         .select(F.col("v").alias("qv"), "_qid"))
+    # Query row resolved as a TOP-1 (TakeOrderedAndProject → broadcast):
+    # the broadcast subtree is STRUCTURALLY bounded at one row, the same
+    # shape as embed_topk_cosine — the old agg→self-equi-join was 1 row
+    # only by key uniqueness, which the raw-fact-broadcast invariant
+    # (tools/plan_sweep.py) rightly can't see.
+    q = (ed.orderBy(F.asc("vec_id")).limit(1)
+         .select(F.col("v").alias("qv"), F.col("vec_id").alias("_qid")))
 
     def dot(a, b):
         return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
