@@ -169,7 +169,19 @@ def _lloyd_refine_seeds(seeds: DataFrame, cents: DataFrame,
     exact decimal-sum accumulator (associative addition), so refined
     seeds are bit-identical under any partitioning of the centroid
     frame. Everything here is dictionary-sized: per round, k×m rounded
-    distances plus a k·dim posexplode aggregation."""
+    distances plus a k·dim posexplode aggregation.
+
+    Each round MATERIALIZES the refined m-row seed set to the driver
+    and rebuilds it as a literal frame: the round's plan references the
+    previous seeds twice (the collect_list broadcast AND the join back
+    to the means), so chaining rounds lazily doubles the unresolved
+    plan per iteration (~2^iters copies of the seed subtree) — a large
+    caller-supplied ``seed_iters`` would hang the driver at ANALYSIS
+    time. The collect is bounded at m = ⌈√k⌉ rows (dictionary-sized,
+    like the other audited collect sites); rows are re-sorted by seed
+    id so the rebuilt frame is deterministic, and the downstream
+    two-level plan gets a constant-size seed leaf as a bonus."""
+    spark = seeds.sparkSession
     for _ in range(max(0, iters)):
         sarr = seeds.agg(F.collect_list(F.struct(
             F.col("_coarse").alias("c"), F.col("_se").alias("e"))).alias("_s"))
@@ -188,9 +200,11 @@ def _lloyd_refine_seeds(seeds: DataFrame, cents: DataFrame,
                  .agg(F.transform(
                      F.array_sort(F.collect_list(F.struct("pos", "v"))),
                      lambda s: s["v"]).alias("_new")))
-        seeds = (seeds.join(means, "_coarse", "left")
-                 .select("_coarse",
-                         F.coalesce(F.col("_new"), F.col("_se")).alias("_se")))
+        refined = (seeds.join(means, "_coarse", "left")
+                   .select("_coarse",
+                           F.coalesce(F.col("_new"), F.col("_se")).alias("_se")))
+        rows = sorted(refined.collect(), key=lambda r: r["_coarse"])
+        seeds = spark.createDataFrame(rows, schema=refined.schema)
     return seeds
 
 

@@ -190,13 +190,39 @@ _PIPELINE_CACHE_NAMES = (
 )
 
 
+#: Every pipeline tempdir ever created by this process, in creation
+#: order — reclaimed by one atexit rmtree sweep, so repeated
+#: reset_pipeline_caches() cycles (the plan ledger resets once per
+#: pipeline query) don't leak abandoned parquet store trees into /tmp.
+_PIPELINE_TMPDIRS: list[str] = []
+
+
+def _pipeline_tmpdir(prefix: str) -> str:
+    """tempfile.mkdtemp + registration for the atexit sweep. All
+    pipeline store/index/checkpoint roots MUST come from here, never
+    from a bare mkdtemp — a bare dir outlives the process."""
+    if not _PIPELINE_TMPDIRS:
+        import atexit
+        import shutil
+
+        @atexit.register
+        def _sweep() -> None:
+            for d in _PIPELINE_TMPDIRS:
+                shutil.rmtree(d, ignore_errors=True)
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    _PIPELINE_TMPDIRS.append(d)
+    return d
+
+
 def reset_pipeline_caches() -> None:
     """Forget all memoized pipeline state so the next registered-query
     call rebuilds its store/index from scratch. The plan ledger
     (tools/plan_ledger.py) uses this to capture each pipeline's
     PER-COMMIT write plans deterministically — on a warm cache a
     pipeline query performs zero commits and there would be nothing to
-    freeze. The abandoned tempdirs are reclaimed at process exit."""
+    freeze. The abandoned tempdirs stay registered in
+    _PIPELINE_TMPDIRS and are rmtree'd at process exit."""
     for n in _PIPELINE_CACHE_NAMES:
         globals()[n].clear()
 
@@ -350,7 +376,7 @@ def _scd2_store(spark: SparkSession, sf_dir: str):
     if root and os.path.exists(os.path.join(root, "_meta", "staging.json")):
         return TableStore(root)
 
-    store = TableStore(tempfile.mkdtemp(prefix="sds_scd2_"))
+    store = TableStore(_pipeline_tmpdir("sds_scd2_"))
     # Bucketed on supplier_code: the load-2 incremental merge rewrites
     # only buckets containing changed/new keys (pruned-merge path).
     store.create("landing", schemas.SUPPLIER, bucket_by=(["supplier_code"], 8))
@@ -1022,7 +1048,7 @@ def minhash_incremental_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = d.filter(F.col("doc_id") % 5 == 0)
     path = _MINHASH_INDEX_CACHE.get(sf_dir)
     if not (path and os.path.exists(path)):
-        path = tempfile.mkdtemp(prefix="sds_mh_") + "/index"
+        path = _pipeline_tmpdir("sds_mh_") + "/index"
         minhash_build_index(corpus, path)
         _MINHASH_INDEX_CACHE[sf_dir] = path
     return minhash_near_dups_incremental(spark, new, path, threshold=0.5)
@@ -1192,7 +1218,7 @@ def _ivf_index_and_cents(spark, sf_dir) -> tuple[str, DataFrame]:
         k = max(_IVF_N_CENTROIDS, e.count() // _IVF_CELL_ROWS)
         cents = (e.filter(F.col("vec_id") < k)
                  .select(F.col("vec_id").alias("centroid_id"), "embedding"))
-        path = tempfile.mkdtemp(prefix="sds_ivf_") + "/index"
+        path = _pipeline_tmpdir("sds_ivf_") + "/index"
         # label rides along into the index: filtered (hybrid) search
         # needs the metadata column NEXT TO the vectors so its predicate
         # prunes row groups inside the probed partitions
@@ -2477,7 +2503,7 @@ def delete_dml_state_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     if root and _os.path.exists(_os.path.join(root, "_meta", "t.json")):
         store = TableStore(root)
     else:
-        store = TableStore(tempfile.mkdtemp(prefix="sds_del_"))
+        store = TableStore(_pipeline_tmpdir("sds_del_"))
         store.create("t", schemas.SUPPLIER, bucket_by=(["supplier_code"], 8))
         merge_upsert(store, spark, "t", _supplier_load1(spark, sf_dir),
                      ["supplier_code"],
@@ -3312,7 +3338,7 @@ def snapshot_diff_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     if root and _os.path.exists(_os.path.join(root, "_meta", "t.json")):
         store = TableStore(root)
     else:
-        store = TableStore(tempfile.mkdtemp(prefix="sds_diff_"))
+        store = TableStore(_pipeline_tmpdir("sds_diff_"))
         store.create("t", schemas.SUPPLIER)
         merge_upsert(store, spark, "t", _supplier_load1(spark, sf_dir),
                      key, cmp_cols)
@@ -3675,7 +3701,7 @@ def _streaming_mv_store(spark: SparkSession, sf_dir: str):
             os.path.join(root, "store", "_meta", "mv_status.json")):
         return TableStore(os.path.join(root, "store"))
 
-    root = tempfile.mkdtemp(prefix="sds_smv_")
+    root = _pipeline_tmpdir("sds_smv_")
     in_dir = os.path.join(root, "in")
     ckpt = os.path.join(root, "ckpt")
     os.makedirs(in_dir)
@@ -3780,7 +3806,7 @@ def _streaming_ann_index(spark: SparkSession, sf_dir: str) -> str:
     if cached and os.path.isdir(cached[1]):
         return cached[1]
 
-    root = tempfile.mkdtemp(prefix="sds_sann_")
+    root = _pipeline_tmpdir("sds_sann_")
     in_dir = os.path.join(root, "in")
     ckpt = os.path.join(root, "ckpt")
     index_path = os.path.join(root, "index")
@@ -3897,7 +3923,7 @@ def _orders_scd2_store(spark: SparkSession, sf_dir: str, n_buckets: int = 32):
         T.StructField("end_date", T.TimestampNTZType()),
         T.StructField("current_flag", T.StringType()),
     ])
-    store = TableStore(tempfile.mkdtemp(prefix="sds_oscd2_"))
+    store = TableStore(_pipeline_tmpdir("sds_oscd2_"))
     # n_buckets is the cluster-provisioning knob: buckets bound both
     # the pruned-rewrite unit and the write parallelism, so at 100 TB
     # they scale with table size to keep per-bucket footprint constant.
