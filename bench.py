@@ -18,23 +18,29 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def summary_line(timings: dict[str, float], sf: float) -> str:
+def summary_line(timings: dict[str, float], sf: float,
+                 calib: float | None = None) -> str:
     """The bench's LAST output line — the machine-readable total.
 
     CONTRACT (tests/test_orchestration.py): compact — metric, value,
-    unit, n_queries, sf and NOTHING else (in particular no embedded
-    per-query dict), well under the driver's tail-capture width. Rounds
-    4 and 5 both lost their recorded totals because a giant final line
-    was truncated from the FRONT; per-query timings belong on their own
-    earlier line."""
-    return json.dumps({
+    unit, n_queries, sf, calib_sec and NOTHING else (in particular no
+    embedded per-query dict), well under the driver's tail-capture
+    width. Rounds 4 and 5 both lost their recorded totals because a
+    giant final line was truncated from the FRONT; per-query timings
+    belong on their own earlier line. ``calib_sec`` is the box-drift
+    probe (see main): totals are cross-round comparable only as
+    value/calib_sec ratios."""
+    out = {
         "metric": "total_query_seconds",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "n_queries": len(timings),  # registry grows round over round —
         # compare totals per query set, not raw
         "sf": sf,
-    })
+    }
+    if calib is not None:
+        out["calib_sec"] = calib
+    return json.dumps(out)
 
 
 def main():
@@ -86,8 +92,9 @@ def main():
     # job (20M rows, 1000 groups). The r7 bench total "regressed" 76s →
     # 125s purely from box load (the judge re-benched both commits on
     # one box and found parity), so cross-round totals are comparable
-    # only as total/calibration RATIOS. Emitted on its own line; the
-    # LAST-line summary contract stays untouched.
+    # only as total/calibration RATIOS. Emitted early on its own line
+    # (visible even if the run dies mid-registry) AND as calib_sec in
+    # the machine-readable last line the round driver records.
     def _calib_once() -> float:
         t0 = time.time()
         (spark.range(20_000_000)
@@ -115,7 +122,7 @@ def main():
     # earlier line; the compact machine-readable summary is the LAST line
     # so a tail capture of any reasonable size always parses it.
     print(json.dumps({"per_query_seconds": timings}))
-    print(summary_line(timings, sf))
+    print(summary_line(timings, sf, calib))
 
 
 if __name__ == "__main__":

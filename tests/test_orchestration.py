@@ -201,9 +201,14 @@ def test_bench_summary_line_is_compact_and_parseable():
     import bench
 
     timings = {f"query_{i:03d}": 123.456 for i in range(200)}
-    line = bench.summary_line(timings, 0.1)
+    line = bench.summary_line(timings, 0.1, calib=1.234)
     assert len(line) < 200, len(line)
     parsed = _json.loads(line)
-    assert set(parsed) == {"metric", "value", "unit", "n_queries", "sf"}
+    assert set(parsed) == {"metric", "value", "unit", "n_queries", "sf",
+                           "calib_sec"}
     assert parsed["n_queries"] == 200
     assert parsed["value"] == round(123.456 * 200, 3)
+    assert parsed["calib_sec"] == 1.234
+    # calib omitted (older callers) still parses with the five base keys
+    base = _json.loads(bench.summary_line(timings, 0.1))
+    assert set(base) == {"metric", "value", "unit", "n_queries", "sf"}
