@@ -109,17 +109,19 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame,
 
       At REALISTIC embedding dimensions (64/256/768) the trade shifts
       (``tools/bench_twolevel.py --fidelity`` reproduces the table in
-      BENCH_NOTES.md): on an isotropic-uniform corpus — the provable
+      BENCH_NOTES.md «r8: two-level fidelity at realistic
+      dimensions»): on an isotropic-uniform corpus — the provable
       worst case, distances concentrate so the coarse ranking carries
-      little signal — probes=4 agreement falls to ~0.5-0.6 and
-      restoring ≥0.8 takes probes≈8-12 of the ⌈√k⌉≈25 cells. On a
+      little signal — probes=4 agreement falls to 0.50-0.58 and
+      restoring ≥0.8 takes probes≈8-16 of the ⌈√k⌉≈25 cells. On a
       CLUSTERED corpus (any real embedding model's output) probes=4
-      holds ≥0.98 at every measured dimension. ``seed_mode="kmeans"``
+      holds ≥0.994 at every measured dimension. ``seed_mode="kmeans"``
       (below) recovers most of the uniform-case loss at no per-vector
       cost: it Lloyd-refines the coarse seeds over the
       dictionary-sized fine-centroid set, improving the coarse
-      ranking's signal (dim-768 uniform probes=8: 0.63 → 0.81;
-      clustered probes=1: 0.79 → 1.0).
+      ranking's signal by 0.07-0.15 agreement at every uniform cell
+      (dim-768 probes=8: 0.686 → 0.835; clustered reaches exact-1.0
+      agreement at probes=4).
 
     ``seed_mode`` selects the coarse seeds of the two-level path:
     ``"lowid"`` (default — the ⌈√k⌉ lowest-id fine centroids, the
