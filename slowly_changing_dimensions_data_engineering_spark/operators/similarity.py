@@ -286,6 +286,95 @@ def _ivf_assign_two_level(vectors: DataFrame, centroids: DataFrame, k: int,
     return out.select(F.col(id_col), best["c"].alias(cid_col))
 
 
+def kmeans_fit(vectors: DataFrame, k: int, iters: int = 2,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               mean_mode: str = "exact",
+               coarse_probe: int = 4) -> DataFrame:
+    """Corpus-level Lloyd k-means: train ``k`` centroids over the FULL
+    vector table with ``iters`` assign→update rounds. Returns
+    (centroid_id, embedding) — feed it to ``ivf_assign``/``ivf_build``
+    as a trained centroid dictionary instead of the lowest-id data-row
+    convention (the fidelity matrix in BENCH_NOTES «r8: two-level
+    fidelity at realistic dimensions» shows data-row seeds are the weak
+    spot on unstructured corpora; trained centroids are the standard
+    IVF answer).
+
+    Per round: every vector is assigned to its nearest centroid through
+    ``ivf_assign`` — so the scoring inherits the flat path's broadcast
+    argmin for k ≤ 512 and the two-level coarse→fine path above it
+    (distance evaluations stay O(n·√k·probes), never O(n·k), at large
+    k) — then each centroid moves to the element-wise mean of its
+    members; an empty centroid keeps its position (deterministic rule,
+    restated by the oracle). Initialization is the k lowest-``id_col``
+    vectors with dense ids 0..k-1 (the registry's deterministic lowid
+    convention).
+
+    ``mean_mode`` picks the mean accumulator:
+
+    - ``"exact"`` (default): per (centroid, dimension), fold the member
+      values in ascending ``id_col`` order — a sequential left fold
+      over an ``array_sort``-ed ``collect_list``. Bit-identical under
+      any partitioning AND bit-identical to DuckDB's
+      ``list_reduce(list(x ORDER BY id), +)`` — measured: the
+      decimal-cast accumulator used elsewhere in the registry is NOT
+      cross-engine-stable on float32 embeddings (Spark casts
+      double→decimal through the SHORTEST decimal repr, DuckDB through
+      the exact binary expansion; per-mean divergence ~1e-17 on real
+      data), while ordered folds matched 21/21 probe cells exactly.
+      Cost: the collect_list cannot partially aggregate, so the update
+      shuffles n·dim (id, value) pairs per round.
+    - ``"fast"``: plain ``avg`` — map-side partial aggregation shuffles
+      only k·dim partials per partition (the 100 TB path), at the price
+      of run-to-run low-order-bit drift from partition order. Use for
+      production training where a ±1 ulp centroid wobble is
+      irrelevant; use "exact" wherever a downstream oracle or golden
+      file replays the centroids.
+
+    Each round MATERIALIZES the k-row centroid frame (driver collect,
+    re-sorted by id, rebuilt as a literal frame — the same linear-plan
+    discipline as ``_lloyd_refine_seeds``; beyond 4096 centroids it
+    switches to ``localCheckpoint``, keeping the collect bounded)."""
+    spark = vectors.sparkSession
+    v = vectors.select(F.col(id_col), as_double(vec_col).alias("_v"))
+    from pyspark.sql.window import Window
+    cents = (v.orderBy(id_col).limit(k)
+             .select((F.row_number().over(Window.orderBy(id_col)) - 1)
+                     .alias("centroid_id"), F.col("_v").alias("embedding")))
+    vv = v.select(id_col, F.col("_v").alias(vec_col))
+    for _ in range(max(0, iters)):
+        assigned = ivf_assign(vv, cents, id_col=id_col, vec_col=vec_col,
+                              n_centroids=k, coarse_probe=coarse_probe)
+        exploded = (vv.join(assigned, id_col)
+                    .select("centroid_id", F.col(id_col).alias("_id"),
+                            F.posexplode(vec_col)))
+        if mean_mode == "exact":
+            mean_col = (F.aggregate(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_id", "col"))),
+                    lambda s: s["col"]),
+                F.lit(0.0), lambda a, x: a + x) / F.count("*"))
+        elif mean_mode == "fast":
+            mean_col = F.avg("col")
+        else:
+            raise ValueError(f"unknown mean_mode {mean_mode!r}")
+        means = (exploded.groupBy("centroid_id", "pos")
+                 .agg(mean_col.alias("_m"))
+                 .groupBy("centroid_id")
+                 .agg(F.transform(
+                     F.array_sort(F.collect_list(F.struct("pos", "_m"))),
+                     lambda s: s["_m"]).alias("_new")))
+        moved = (cents.join(means, "centroid_id", "left")
+                 .select("centroid_id",
+                         F.coalesce(F.col("_new"), F.col("embedding"))
+                         .alias("embedding")))
+        if k <= 4096:
+            rows = sorted(moved.collect(), key=lambda r: r["centroid_id"])
+            cents = spark.createDataFrame(rows, schema=moved.schema)
+        else:
+            cents = stabilize(moved)
+    return cents
+
+
 def ivf_search(vectors: DataFrame, centroids: DataFrame, query_id: int,
                k: int = 5, id_col: str = "vec_id",
                vec_col: str = "embedding") -> DataFrame:

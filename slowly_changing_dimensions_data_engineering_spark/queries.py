@@ -4216,3 +4216,104 @@ def ivf_two_level_assign_highdim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (assign.groupBy(F.col("centroid_id").cast("long").alias("centroid_id"))
             .agg(F.count("*").alias("n_vectors"),
                  F.sum("vec_id").alias("sum_vec_id")))
+
+
+@register("kmeans_train_embeddings", """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+  FROM embeddings
+),
+poses AS (SELECT unnest(range(1, 65)) AS pos),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, ve AS ce
+  FROM v QUALIFY row_number() OVER (ORDER BY vec_id) <= 40
+),
+s1 AS (
+  SELECT v.vec_id, c0.cid,
+         round(list_dot_product(
+                 list_transform(range(1, len(ve)+1), i -> ve[i] - ce[i]),
+                 list_transform(range(1, len(ve)+1), i -> ve[i] - ce[i])), 9) AS d
+  FROM v, c0
+),
+a1 AS (SELECT vec_id, cid FROM s1
+       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1),
+m1 AS (
+  SELECT cid, pos,
+         list_reduce(list(ve[pos] ORDER BY vec_id), (x, y) -> x + y)
+           / COUNT(*) AS m
+  FROM a1 JOIN v USING (vec_id) CROSS JOIN poses
+  GROUP BY cid, pos
+),
+c1 AS (
+  SELECT c0.cid, COALESCE(n.ce, c0.ce) AS ce
+  FROM c0 LEFT JOIN (SELECT cid, list(m ORDER BY pos) AS ce
+                     FROM m1 GROUP BY cid) n USING (cid)
+),
+s2 AS (
+  SELECT v.vec_id, c1.cid,
+         round(list_dot_product(
+                 list_transform(range(1, len(ve)+1), i -> ve[i] - ce[i]),
+                 list_transform(range(1, len(ve)+1), i -> ve[i] - ce[i])), 9) AS d
+  FROM v, c1
+),
+a2 AS (SELECT vec_id, cid FROM s2
+       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1),
+m2 AS (
+  SELECT cid, pos,
+         list_reduce(list(ve[pos] ORDER BY vec_id), (x, y) -> x + y)
+           / COUNT(*) AS m
+  FROM a2 JOIN v USING (vec_id) CROSS JOIN poses
+  GROUP BY cid, pos
+),
+c2 AS (
+  SELECT c1.cid, COALESCE(n.ce, c1.ce) AS ce
+  FROM c1 LEFT JOIN (SELECT cid, list(m ORDER BY pos) AS ce
+                     FROM m2 GROUP BY cid) n USING (cid)
+),
+s3 AS (
+  SELECT v.vec_id, c2.cid,
+         round(list_dot_product(
+                 list_transform(range(1, len(ve)+1), i -> ve[i] - ce[i]),
+                 list_transform(range(1, len(ve)+1), i -> ve[i] - ce[i])), 9) AS d
+  FROM v, c2
+),
+a3 AS (SELECT vec_id, cid FROM s3
+       QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1)
+SELECT CAST(a3.cid AS BIGINT) AS centroid_id,
+       COUNT(*) AS n_vectors,
+       CAST(SUM(a3.vec_id) AS BIGINT) AS sum_vec_id,
+       ANY_VALUE(round(list_dot_product(c2.ce, c2.ce), 9)) AS centroid_norm
+FROM a3 JOIN c2 ON c2.cid = a3.cid
+GROUP BY a3.cid
+""")
+def kmeans_train_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIVER-checked corpus-level Lloyd k-means: two full
+    assign→update rounds of ``kmeans_fit`` over the real dim-64
+    ``embeddings`` table (k=40 — the flat exact-assignment regime),
+    then a final assignment against the trained centroids, summarized
+    per cluster with the trained centroid's squared norm so the oracle
+    verifies the centroid VALUES, not just the memberships. The oracle
+    restates the ENTIRE training loop in SQL — lowid init with dense
+    ids, per-round argmin (distances rounded to 9, lowest-id
+    tie-break), per-dimension means as ORDERED sequential folds
+    (``list_reduce`` over ``list(x ORDER BY vec_id)`` — measured
+    bit-identical to Spark's fold over the sorted collect_list, unlike
+    the decimal accumulator, which diverges ~1e-17 on float32 inputs
+    because Spark casts double→decimal via the shortest decimal repr
+    and DuckDB via the exact expansion), empty-centroid keep-position
+    fallback. Complements the IVF contracts: those verify ASSIGNMENT
+    through a fixed dictionary; this verifies the TRAINING loop that
+    produces the dictionary."""
+    from .operators.similarity import dot, ivf_assign, kmeans_fit
+    k = 40
+    t = _t(spark, sf_dir, "embeddings")
+    cents = kmeans_fit(t["embeddings"], k=k, iters=2)
+    assign = ivf_assign(t["embeddings"], cents, n_centroids=k)
+    norms = cents.select(
+        F.col("centroid_id").cast("long").alias("centroid_id"),
+        F.round(dot(F.col("embedding"), F.col("embedding")), 9)
+        .alias("centroid_norm"))
+    return (assign.groupBy(F.col("centroid_id").cast("long").alias("centroid_id"))
+            .agg(F.count("*").alias("n_vectors"),
+                 F.sum("vec_id").alias("sum_vec_id"))
+            .join(norms, "centroid_id"))

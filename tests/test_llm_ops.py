@@ -915,3 +915,75 @@ def test_two_level_kmeans_seeds_improve_agreement(spark):
         _ivf_assign_two_level(vecs, cents, 25, "vec_id", "embedding",
                               "centroid_id", coarse_probe=2,
                               seed_mode="bogus")
+
+
+def test_kmeans_fit_recovers_blob_centers(spark):
+    """Three well-separated blobs, k=3: after 3 Lloyd rounds each
+    trained centroid sits at its blob's exact member mean and the final
+    assignment is the blob partition."""
+    from slowly_changing_dimensions_data_engineering_spark.operators.similarity import (
+        ivf_assign, kmeans_fit,
+    )
+    blobs = {0: (0.0, 0.0), 1: (10.0, 10.0), 2: (-10.0, 5.0)}
+    # ids interleave blobs (id % 3 == blob) so the k lowest-id seeds
+    # land one per blob and centroid_id b converges onto blob b
+    rows = [(b + i * 3, [blobs[b][0] + 0.1 * i, blobs[b][1] - 0.1 * i])
+            for b in blobs for i in range(5)]
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = kmeans_fit(vecs, k=3, iters=3)
+    got = {r["centroid_id"]: r["embedding"] for r in cents.collect()}
+    assert len(got) == 3
+    # exact member means: each blob's x-mean = cx + 0.1*mean(0..4) = cx+0.2
+    for cid, (cx, cy) in enumerate(blobs.values()):
+        assert got[cid] == pytest.approx([cx + 0.2, cy - 0.2], abs=1e-12)
+    assign = {r["vec_id"]: r["centroid_id"]
+              for r in ivf_assign(vecs, cents, n_centroids=3).collect()}
+    for vid, _ in rows:
+        assert assign[vid] == vid % 3
+
+
+def test_kmeans_fit_empty_centroid_keeps_position(spark):
+    """Duplicate seed vectors: the lowest-id centroid wins every tie in
+    round 1, so the other centroid goes memberless and must keep its
+    founding position — which then RE-CAPTURES the origin points in
+    round 2 once centroid 0 has drifted off them (textbook Lloyd)."""
+    from slowly_changing_dimensions_data_engineering_spark.operators.similarity import (
+        kmeans_fit,
+    )
+    rows = [(0, [0.0, 0.0]), (1, [0.0, 0.0]),
+            (2, [0.5, 0.0]), (3, [0.0, 0.5])]
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    one = {r["centroid_id"]: r["embedding"]
+           for r in kmeans_fit(vecs, k=2, iters=1).collect()}
+    assert one[1] == [0.0, 0.0]            # memberless: founding position
+    assert one[0] == pytest.approx([0.125, 0.125])  # mean of all 4
+    two = {r["centroid_id"]: r["embedding"]
+           for r in kmeans_fit(vecs, k=2, iters=2).collect()}
+    assert two[1] == [0.0, 0.0]            # recaptured vecs 0,1: mean holds
+    assert two[0] == pytest.approx([0.25, 0.25])    # mean of vecs 2,3
+
+
+def test_kmeans_fit_fast_mode_close_and_exact_deterministic(spark):
+    """mean_mode="fast" agrees with "exact" to float noise; "exact" is
+    bit-identical across repeated runs and partition counts."""
+    from slowly_changing_dimensions_data_engineering_spark.operators.similarity import (
+        kmeans_fit,
+    )
+    vecs = spark.range(60).select(
+        F.col("id").alias("vec_id"),
+        F.array(((F.col("id") * 37) % 11).cast("double") / 7.0,
+                ((F.col("id") * 53) % 13).cast("double") / 9.0,
+                ((F.col("id") * 71) % 17).cast("double") / 11.0)
+        .alias("embedding"))
+    exact1 = sorted(map(tuple, (r["embedding"] for r in
+                    kmeans_fit(vecs, k=4, iters=2).collect())))
+    exact2 = sorted(map(tuple, (r["embedding"] for r in
+                    kmeans_fit(vecs.repartition(7), k=4, iters=2).collect())))
+    fast = sorted(map(tuple, (r["embedding"] for r in
+                  kmeans_fit(vecs, k=4, iters=2,
+                             mean_mode="fast").collect())))
+    assert exact1 == exact2                 # bit-stable under repartition
+    for a, b in zip(exact1, fast):
+        assert a == pytest.approx(b, abs=1e-9)
+    with pytest.raises(ValueError):
+        kmeans_fit(vecs, k=4, iters=1, mean_mode="bogus").collect()

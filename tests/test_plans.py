@@ -38,7 +38,11 @@ NESTED_LOOP_ALLOWED = {"embed_topk_cosine", "ann_filtered_topk",
                        # same bounded shape at dim-64: ~25-row coarse-seed
                        # frame broadcast × 600-row centroid dictionary —
                        # dictionary-sized cross, not corpus-sized
-                       "ivf_two_level_assign_highdim"}
+                       "ivf_two_level_assign_highdim",
+                       # flat ivf_assign per Lloyd round: k=40 centroid
+                       # dictionary broadcast (limit-reduced seed frame /
+                       # literal re-materialized frame), corpus streams
+                       "kmeans_train_embeddings"}
 
 
 def _plan(spark, name: str) -> str:
