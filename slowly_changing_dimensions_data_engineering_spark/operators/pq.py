@@ -1,0 +1,223 @@
+"""Product quantization (PQ) — sub-vector codebook compression for
+embedding columns, the standard way a 100 TB vector corpus fits in
+serving memory (Jégou et al., "Product Quantization for Nearest
+Neighbor Search", TPAMI 2011 — public literature, no reference-repo
+counterpart; this extends the LLM-pipeline similarity surface next to
+``similarity.quantize_int8``).
+
+A dim-d vector is split into ``m`` contiguous sub-vectors of d/m dims;
+each sub-vector is replaced by the id of its nearest codeword in that
+subspace's ``ks``-entry codebook. Storage drops from d floats to m
+small ints (dim-64 float32 → m=8 one-byte codes = 32×); search runs
+against the codes with an asymmetric distance computation (ADC): the
+query is NOT quantized — per subspace, its exact distances to all ks
+codewords form an m×ks lookup table, and a document's approximate
+distance is the sum of m table lookups.
+
+Everything here is pure column expressions over a ONE-ROW broadcast
+codebook frame (m·ks codewords — dictionary-sized, like the IVF
+centroid and two-level seed broadcasts): encoding, reconstruction, and
+ADC scoring all run inside whole-stage codegen with zero shuffles on
+the corpus. Determinism follows the registry convention: distances
+rounded to 9 before argmin, ties → lowest code id.
+
+Codebooks come in two modes, mirroring the IVF centroid story:
+``"lowid"`` (subspace j's codewords are the j-th sub-vectors of the ks
+lowest-id corpus rows — the deterministic convention the DuckDB oracle
+restates) and ``"kmeans"`` (per-subspace Lloyd training via
+``kmeans_fit`` on the projected sub-vector column — the quality path;
+``tools/bench_pq.py`` measures what it buys).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from .similarity import as_double, l2sq
+
+
+def _subvec(vec: Column, j: Column | int, sub: int) -> Column:
+    """Sub-vector j (0-based) of a vector column: elements
+    [j*sub+1 .. (j+1)*sub] (slice is 1-based)."""
+    jj = F.lit(j) if isinstance(j, int) else j
+    return F.slice(vec, jj * sub + 1, sub)
+
+
+def pq_codebooks(vectors: DataFrame, m: int, ks: int, dim: int,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 mode: str = "lowid", iters: int = 5) -> DataFrame:
+    """Train/derive the per-subspace codebooks: (subspace, code,
+    codeword array<double>), ``m``·``ks`` rows. ``dim`` must divide by
+    ``m``. ``mode="lowid"``: codeword c of subspace j is the j-th
+    sub-vector of the c-th lowest-id row (oracle-restatable).
+    ``mode="kmeans"``: each subspace's codebook is ``kmeans_fit`` over
+    that subspace's projection of the WHOLE corpus (m dictionary-sized
+    trainings; fast means — this is the production-quality path)."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    v = vectors.select(F.col(id_col), as_double(vec_col).alias("_v"))
+    if mode == "lowid":
+        from pyspark.sql.window import Window
+        seed = (v.orderBy(id_col).limit(ks)
+                .select((F.row_number().over(Window.orderBy(id_col)) - 1)
+                        .alias("code"), F.col("_v")))
+        return (seed.select(
+            "code",
+            F.posexplode(F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: _subvec(F.col("_v"), j, sub))))
+            .select(F.col("pos").alias("subspace"), "code",
+                    F.col("col").alias("codeword")))
+    if mode == "kmeans":
+        from .similarity import kmeans_fit
+        parts = []
+        for j in range(m):
+            proj = v.select(F.col(id_col),
+                            _subvec(F.col("_v"), j, sub).alias(vec_col))
+            cb = kmeans_fit(proj, k=ks, iters=iters, id_col=id_col,
+                            vec_col=vec_col, mean_mode="fast")
+            parts.append(cb.select(F.lit(j).alias("subspace"),
+                                   F.col("centroid_id").alias("code"),
+                                   F.col("embedding").alias("codeword")))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+    raise ValueError(f"unknown mode {mode!r}")
+
+
+def _codebook_arr(codebooks: DataFrame) -> DataFrame:
+    """Collapse the codebook frame to ONE row: _cb[j][c] = codeword —
+    the broadcastable dictionary every PQ expression indexes into."""
+    return (codebooks
+            .groupBy("subspace")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("code", "codeword"))),
+                lambda s: s["codeword"]).alias("_row"))
+            .groupBy()
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("subspace", "_row"))),
+                lambda s: s["_row"]).alias("_cb")))
+
+
+def pq_encode(vectors: DataFrame, codebooks: DataFrame, m: int, dim: int,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              keep: list[str] | None = None,
+              with_dist: bool = False) -> DataFrame:
+    """(id, codes array<int>): per subspace, the id of the nearest
+    codeword (L2², rounded to 9, ties → lowest code). One broadcast of
+    the 1-row codebook frame; encoding is a pure codegen expression —
+    no shuffle, no join fan-out, the corpus streams once.
+    ``with_dist`` adds ``dists array<double>`` — the per-subspace
+    quantization error of the chosen codeword (the contract query's
+    checksum; production encoding skips it)."""
+    sub = dim // m
+    v = vectors.select(F.col(id_col), *(keep or []),
+                       as_double(vec_col).alias("_v"))
+    enc = v.crossJoin(F.broadcast(_codebook_arr(codebooks)))
+    best = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.array_min(F.transform(
+            F.try_element_at(F.col("_cb"), j + 1),
+            (lambda cw, c: F.struct(
+                F.round(l2sq(_subvec(F.col("_v"), j, sub), cw), 9).alias("d"),
+                c.alias("c"))))))
+    if not with_dist:
+        return enc.select(F.col(id_col), *(keep or []),
+                          F.transform(best, lambda s: s["c"]).alias("codes"))
+    # materialize the argmin array in its own projection so codes and
+    # dists don't each re-evaluate the m×ks scoring (expressions
+    # referenced twice run twice — operators/dedup.py precedent)
+    staged = enc.select(F.col(id_col), *(keep or []), best.alias("_best"))
+    return staged.select(
+        F.col(id_col), *(keep or []),
+        F.transform("_best", lambda s: s["c"]).alias("codes"),
+        F.transform("_best", lambda s: s["d"]).alias("dists"))
+
+
+def pq_reconstruct(codes_df: DataFrame, codebooks: DataFrame,
+                   id_col: str = "vec_id") -> DataFrame:
+    """(id, embedding): concatenation of each code's codeword — the
+    lossy inverse of ``pq_encode`` (reconstruction error is the
+    quantization loss ``tools/bench_pq.py`` measures)."""
+    rec = codes_df.crossJoin(F.broadcast(_codebook_arr(codebooks)))
+    emb = F.flatten(F.transform(
+        F.col("codes"),
+        lambda c, j: F.try_element_at(F.try_element_at(F.col("_cb"), j + 1),
+                                      c + 1)))
+    return rec.select(F.col(id_col), emb.alias("embedding"))
+
+
+def pq_adc_topk(codes_df: DataFrame, codebooks: DataFrame,
+                query_vec: DataFrame, m: int, dim: int, k: int = 10,
+                id_col: str = "vec_id") -> DataFrame:
+    """Asymmetric-distance top-k over the ENCODED corpus: the query
+    stays exact; its per-subspace distances to every codeword form the
+    m×ks lookup table (one 1-row broadcast — computed once, reused by
+    every corpus row), and each document scores as the sum of m table
+    lookups — no vector math on the corpus at all, which is the point
+    of PQ at 100 TB: the float corpus is never read at query time.
+    ``query_vec`` is a 1-row DataFrame with ``embedding`` (the exact
+    query vector; resolve it with a limit-1 shape so the broadcast
+    subtree stays structurally bounded — see queries.embed_topk_cosine).
+    Returns (id, adc_d): the k lowest approximate distances, distances
+    rounded to 9, ties → lowest id."""
+    sub = dim // m
+    q = query_vec.select(as_double("embedding").alias("_q"))
+    # distance table: _dtab[j][c] = round(l2sq(q_sub_j, cb[j][c]), 9)
+    tab = (q.crossJoin(F.broadcast(_codebook_arr(codebooks)))
+           .select(F.transform(
+               F.col("_cb"),
+               lambda row, j: F.transform(
+                   row, lambda cw: F.round(
+                       l2sq(_subvec(F.col("_q"), j, sub), cw), 9)))
+               .alias("_dtab")))
+    scored = (codes_df.crossJoin(F.broadcast(tab))
+              .select(F.col(id_col),
+                      F.round(F.aggregate(
+                          F.transform(
+                              F.col("codes"),
+                              lambda c, j: F.try_element_at(
+                                  F.try_element_at(F.col("_dtab"), j + 1),
+                                  c + 1)),
+                          F.lit(0.0), lambda a, x: a + x), 9).alias("adc_d")))
+    return scored.orderBy(F.asc("adc_d"), F.asc(id_col)).limit(k)
+
+
+def pq_adc_topk_batch(codes_df: DataFrame, codebooks: DataFrame,
+                      queries_df: DataFrame, m: int, dim: int, k: int = 10,
+                      id_col: str = "vec_id", qid_col: str = "qid",
+                      qvec_col: str = "qv") -> DataFrame:
+    """Batch ADC: top-k for EVERY query in one plan. The per-query m×ks
+    distance tables are materialized as a (qid, subspace, code, d)
+    frame — |Q|·m·ks rows, queries × dictionary, not corpus — and the
+    encoded corpus joins it per subspace on (subspace, code): an
+    equi-join Catalyst can broadcast (small Q) or shuffle (large Q),
+    never a per-query driver loop. Scoring sums each (qid, doc)'s m
+    lookups with an ORDERED fold over subspace (collect_list sorted —
+    the deterministic convention), then ranks top-k per query with a
+    (adc_d, id) tie-break window. The float corpus is never read."""
+    sub = dim // m
+    q = queries_df.select(F.col(qid_col), as_double(qvec_col).alias("_q"))
+    cb = codebooks.select("subspace", "code",
+                          as_double("codeword").alias("_cw"))
+    dtab = (q.crossJoin(F.broadcast(cb))
+            .select(qid_col, "subspace", "code",
+                    F.round(l2sq(_subvec(F.col("_q"),
+                                         F.col("subspace").cast("int"), sub),
+                                 F.col("_cw")), 9).alias("_d")))
+    ex = codes_df.select(
+        F.col(id_col),
+        F.posexplode("codes").alias("subspace", "code"))
+    scored = (ex.join(dtab, ["subspace", "code"])
+              .groupBy(qid_col, id_col)
+              .agg(F.round(F.aggregate(
+                  F.transform(
+                      F.array_sort(F.collect_list(F.struct("subspace", "_d"))),
+                      lambda s: s["_d"]),
+                  F.lit(0.0), lambda a, x: a + x), 9).alias("adc_d")))
+    from pyspark.sql.window import Window
+    w = Window.partitionBy(qid_col).orderBy(F.asc("adc_d"), F.asc(id_col))
+    return (scored.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k).drop("_rk"))

@@ -52,16 +52,18 @@ def register(name: str, oracle: str | None):
 # query has at least one green driver row on record.
 #
 # r8 rotation: CORRECTNESS_r07 was 50/50 green; 95/96 queries now have
-# >=2 lifetime greens.  The board is kept IDENTICAL to r7's: the sole
-# green-once query (`ivf_two_level_assign_highdim`, r7-new) stays for
-# its second green, and `ann_filtered_topk` stays because r8 rewrites
-# its query-vector resolution to the structurally bounded
+# >=2 lifetime greens.  The board leads with the r8-NEW contract
+# queries (kmeans_train_embeddings and the pq_* family — zero lifetime
+# greens, auto-promoted by registration order), then r7's carry-overs:
+# the sole green-once query (`ivf_two_level_assign_highdim`, r7-new)
+# stays for its second green, and `ann_filtered_topk` stays because r8
+# rewrote its query-vector resolution to the structurally bounded
 # TakeOrdered-limit-1 shape (the r7 judge's fix #1b) — the new plan
-# needs a fresh driver green.  The remaining 48 slots re-check the
+# needs a fresh driver green.  The remaining slots re-check the
 # ANN/embedding family (r8 touches operators/similarity.py again:
-# _lloyd_refine_seeds materialization) plus the r5/r6 cohort for a
-# third green.  (Board greens beyond the second are harmless; the
-# invariant only needs >=2.)
+# _lloyd_refine_seeds materialization + kmeans_fit) plus the r5/r6
+# cohort for a third green.  (Board greens beyond the second are
+# harmless; the invariant only needs >=2.)
 #
 # r7 rationale (kept for the record): the 4 r6-new contracts + the
 # r7-new highdim query led the board; the ANN/embedding family led the
@@ -4317,3 +4319,148 @@ def kmeans_train_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_vectors"),
                  F.sum("vec_id").alias("sum_vec_id"))
             .join(norms, "centroid_id"))
+
+
+_PQ_ORACLE_PRELUDE = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+  FROM embeddings
+),
+seed AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, ve
+  FROM v QUALIFY row_number() OVER (ORDER BY vec_id) <= 16
+),
+subs AS (SELECT unnest(range(0, 8)) AS subspace),
+cb AS (
+  SELECT subspace, code, list_slice(ve, subspace*8 + 1, subspace*8 + 8) AS cw
+  FROM seed, subs
+),
+enc_scored AS (
+  SELECT v.vec_id, cb.subspace, cb.code,
+         round(list_dot_product(
+                 list_transform(range(1, 9), i -> ve[subspace*8 + i] - cw[i]),
+                 list_transform(range(1, 9), i -> ve[subspace*8 + i] - cw[i])),
+               9) AS d
+  FROM v, cb
+),
+enc AS (
+  SELECT vec_id, subspace, code, d FROM enc_scored
+  QUALIFY row_number()
+          OVER (PARTITION BY vec_id, subspace ORDER BY d, code) = 1
+)
+"""
+
+
+@register("pq_encode_embeddings", _PQ_ORACLE_PRELUDE + """
+SELECT CAST(subspace AS BIGINT) AS subspace,
+       CAST(code AS BIGINT) AS code,
+       COUNT(*) AS n_vectors,
+       CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id,
+       CAST(SUM(CAST(d AS DECIMAL(38,12))) AS DOUBLE) AS sum_sq_err
+FROM enc
+GROUP BY subspace, code
+""")
+def pq_encode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIVER-checked product quantization: the dim-64 ``embeddings``
+    corpus encoded as m=8 sub-vector codes against ks=16 lowest-id-row
+    codebooks (the oracle-restatable deterministic convention —
+    ``mode="kmeans"`` is the trained quality path, measured in
+    tools/bench_pq.py), summarized per (subspace, codeword) with the
+    member count, id checksum, AND the summed per-subspace quantization
+    error — so the oracle verifies the chosen distances, not just the
+    argmins. The error sum is exact cross-engine: each distance is
+    rounded to 9 (true decimal zeros at positions 10+), so the
+    DECIMAL(38,12) accumulator sums identical decimals in both engines.
+    The oracle restates the whole encoder in SQL: 1-based sub-vector
+    slices, per-(vector, subspace) argmin with rounded distances and
+    lowest-code tie-breaks."""
+    from .operators.pq import pq_codebooks, pq_encode
+    m, ks, dim = 8, 16, 64
+    t = _t(spark, sf_dir, "embeddings")
+    cb = pq_codebooks(t["embeddings"], m, ks, dim)
+    enc = pq_encode(t["embeddings"], cb, m, dim, with_dist=True)
+    ex = enc.select("vec_id", F.posexplode(F.arrays_zip("codes", "dists")))
+    return (ex.groupBy(F.col("pos").cast("long").alias("subspace"),
+                       F.col("col.codes").cast("long").alias("code"))
+            .agg(F.count("*").alias("n_vectors"),
+                 F.sum("vec_id").alias("sum_vec_id"),
+                 F.sum(F.col("col.dists").cast("decimal(38,12)"))
+                 .cast("double").alias("sum_sq_err")))
+
+
+@register("pq_adc_topk_embeddings", _PQ_ORACLE_PRELUDE + """,
+q AS (SELECT ve AS qv FROM v WHERE vec_id = 123),
+dtab AS (
+  SELECT subspace, code,
+         round(list_dot_product(
+                 list_transform(range(1, 9), i -> qv[subspace*8 + i] - cw[i]),
+                 list_transform(range(1, 9), i -> qv[subspace*8 + i] - cw[i])),
+               9) AS d
+  FROM cb, q
+),
+scores AS (
+  SELECT e.vec_id,
+         round(list_reduce(list(t.d ORDER BY e.subspace), (a, b) -> a + b),
+               9) AS adc_d
+  FROM enc e JOIN dtab t ON t.subspace = e.subspace AND t.code = e.code
+  GROUP BY e.vec_id
+)
+SELECT vec_id, adc_d FROM scores ORDER BY adc_d, vec_id LIMIT 10
+""")
+def pq_adc_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIVER-checked asymmetric-distance PQ search: top-10 by ADC over
+    the encoded corpus for query vec_id=123 (resolved with the
+    limit-1 bounded shape). The document side touches ONLY the m int
+    codes — the float corpus is never read at query time, which is the
+    100 TB point of PQ. The oracle rebuilds the m×ks distance table and
+    sums each document's 8 lookups with an ORDERED sequential fold
+    (list_reduce over subspace order — the bit-exact mirror of Spark's
+    left fold; a plain SUM would reorder doubles), then re-rounds to 9.
+    Top-10 ties break on vec_id."""
+    from .operators.pq import pq_adc_topk, pq_codebooks, pq_encode
+    m, ks, dim = 8, 16, 64
+    t = _t(spark, sf_dir, "embeddings")
+    cb = pq_codebooks(t["embeddings"], m, ks, dim)
+    codes = pq_encode(t["embeddings"], cb, m, dim)
+    qv = (t["embeddings"].filter(F.col("vec_id") == 123)
+          .orderBy("vec_id").limit(1))
+    return pq_adc_topk(codes, cb, qv, m, dim, k=10)
+
+
+@register("pq_adc_batch_embeddings", _PQ_ORACLE_PRELUDE + """,
+q AS (SELECT vec_id AS qid, ve AS qv FROM v WHERE vec_id IN (123, 256, 389)),
+dtab AS (
+  SELECT q.qid, cb.subspace, cb.code,
+         round(list_dot_product(
+                 list_transform(range(1, 9), i -> qv[subspace*8 + i] - cw[i]),
+                 list_transform(range(1, 9), i -> qv[subspace*8 + i] - cw[i])),
+               9) AS d
+  FROM cb, q
+),
+scores AS (
+  SELECT t.qid, e.vec_id,
+         round(list_reduce(list(t.d ORDER BY e.subspace), (a, b) -> a + b),
+               9) AS adc_d
+  FROM enc e JOIN dtab t ON t.subspace = e.subspace AND t.code = e.code
+  GROUP BY t.qid, e.vec_id
+)
+SELECT qid, vec_id, adc_d FROM scores
+QUALIFY row_number() OVER (PARTITION BY qid ORDER BY adc_d, vec_id) <= 5
+""")
+def pq_adc_batch_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIVER-checked batch ADC: top-5 per query for three query
+    vectors in ONE plan — the per-query m×ks distance tables ride a
+    (qid, subspace, code) frame the encoded corpus equi-joins on, so
+    query count scales without driver loops (the ann_batch_topk pattern
+    applied to PQ codes). Per-document sums use the ordered-fold
+    convention (collect_list sorted by subspace ↔ list_reduce over
+    subspace order) and the top-5 window ties break on vec_id."""
+    from .operators.pq import pq_adc_topk_batch, pq_codebooks, pq_encode
+    m, ks, dim = 8, 16, 64
+    t = _t(spark, sf_dir, "embeddings")
+    cb = pq_codebooks(t["embeddings"], m, ks, dim)
+    codes = pq_encode(t["embeddings"], cb, m, dim)
+    qdf = (t["embeddings"].filter(F.col("vec_id").isin(123, 256, 389))
+           .select(F.col("vec_id").alias("qid"),
+                   F.col("embedding").alias("qv")))
+    return pq_adc_topk_batch(codes, cb, qdf, m, dim, k=5)

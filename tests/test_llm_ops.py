@@ -987,3 +987,102 @@ def test_kmeans_fit_fast_mode_close_and_exact_deterministic(spark):
         assert a == pytest.approx(b, abs=1e-9)
     with pytest.raises(ValueError):
         kmeans_fit(vecs, k=4, iters=1, mean_mode="bogus").collect()
+
+
+def test_pq_roundtrip_identity_on_codebook_rows(spark):
+    """A vector that IS a codebook row in every subspace encodes to its
+    own codes with zero error and reconstructs exactly."""
+    from slowly_changing_dimensions_data_engineering_spark.operators.pq import (
+        pq_codebooks, pq_encode, pq_reconstruct,
+    )
+    rows = [(i, [float(i * 8 + d) for d in range(8)]) for i in range(6)]
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cb = pq_codebooks(vecs, m=2, ks=4, dim=8)     # codebooks = rows 0-3
+    enc = {r["vec_id"]: (r["codes"], r["dists"])
+           for r in pq_encode(vecs, cb, m=2, dim=8, with_dist=True).collect()}
+    for i in range(4):                            # codebook rows: exact
+        assert enc[i][0] == [i, i] and enc[i][1] == [0.0, 0.0]
+    rec = {r["vec_id"]: r["embedding"]
+           for r in pq_reconstruct(
+               pq_encode(vecs, cb, m=2, dim=8), cb).collect()}
+    for i in range(4):
+        assert rec[i] == [float(i * 8 + d) for d in range(8)]
+    # non-codebook rows reconstruct to their NEAREST codeword per
+    # subspace (row 4 is nearest row 3 in both)
+    assert enc[4][0] == [3, 3] and rec[4] == rec[3]
+
+
+def test_pq_kmeans_codebooks_reduce_reconstruction_error(spark):
+    """Trained codebooks beat the lowid data-row convention on MSE."""
+    from slowly_changing_dimensions_data_engineering_spark.operators.pq import (
+        pq_codebooks, pq_encode, pq_reconstruct,
+    )
+    from slowly_changing_dimensions_data_engineering_spark.operators.similarity import l2sq
+    vecs = spark.range(300).select(
+        F.col("id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(1), F.lit(8)),
+                    lambda d: ((F.col("id") * 131 + d * 37) % 997)
+                    .cast("double") / 500.0 - 1.0).alias("embedding"))
+
+    def mse(cb):
+        rec = pq_reconstruct(pq_encode(vecs, cb, m=2, dim=8), cb)
+        return (rec.withColumnRenamed("embedding", "rv")
+                .join(vecs, "vec_id")
+                .agg(F.avg(l2sq(F.col("rv"), F.col("embedding"))))
+                .head()[0])
+
+    lowid = mse(pq_codebooks(vecs, m=2, ks=8, dim=8))
+    trained = mse(pq_codebooks(vecs, m=2, ks=8, dim=8,
+                               mode="kmeans", iters=3))
+    assert trained < lowid
+    with pytest.raises(ValueError):
+        pq_codebooks(vecs, m=2, ks=8, dim=8, mode="bogus")
+    with pytest.raises(ValueError):
+        pq_codebooks(vecs, m=3, ks=8, dim=8)      # 8 % 3 != 0
+
+
+def test_pq_adc_ranks_query_first_and_orders_by_distance(spark):
+    """ADC over exact-codebook data: the query's own row scores its
+    quantization floor first; returned distances are non-decreasing."""
+    from slowly_changing_dimensions_data_engineering_spark.operators.pq import (
+        pq_adc_topk, pq_codebooks, pq_encode,
+    )
+    vecs = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(1), F.lit(8)),
+                    lambda d: ((F.col("id") * 611 + d * 83) % 787)
+                    .cast("double") / 400.0 - 1.0).alias("embedding"))
+    cb = pq_codebooks(vecs, m=4, ks=16, dim=8)
+    codes = pq_encode(vecs, cb, m=4, dim=8)
+    qv = vecs.filter(F.col("vec_id") == 7).orderBy("vec_id").limit(1)
+    top = pq_adc_topk(codes, cb, qv, m=4, dim=8, k=5).collect()
+    assert top[0]["vec_id"] == 7                   # own row first
+    ds = [r["adc_d"] for r in top]
+    assert ds == sorted(ds)
+
+
+def test_pq_adc_batch_matches_single_query(spark):
+    """pq_adc_topk_batch must return, per query, exactly the rows the
+    single-query ADC returns (same distances, same tie-breaks)."""
+    from slowly_changing_dimensions_data_engineering_spark.operators.pq import (
+        pq_adc_topk, pq_adc_topk_batch, pq_codebooks, pq_encode,
+    )
+    vecs = spark.range(120).select(
+        F.col("id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(1), F.lit(8)),
+                    lambda d: ((F.col("id") * 449 + d * 61) % 631)
+                    .cast("double") / 300.0 - 1.0).alias("embedding"))
+    cb = pq_codebooks(vecs, m=4, ks=8, dim=8)
+    codes = pq_encode(vecs, cb, m=4, dim=8)
+    qids = [3, 77]
+    qdf = (vecs.filter(F.col("vec_id").isin(qids))
+           .select(F.col("vec_id").alias("qid"),
+                   F.col("embedding").alias("qv")))
+    batch = {}
+    for r in pq_adc_topk_batch(codes, cb, qdf, m=4, dim=8, k=5).collect():
+        batch.setdefault(r["qid"], []).append((r["adc_d"], r["vec_id"]))
+    for qid in qids:
+        qv = vecs.filter(F.col("vec_id") == qid).orderBy("vec_id").limit(1)
+        single = [(r["adc_d"], r["vec_id"])
+                  for r in pq_adc_topk(codes, cb, qv, m=4, dim=8, k=5).collect()]
+        assert sorted(batch[qid]) == single

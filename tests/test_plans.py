@@ -42,7 +42,12 @@ NESTED_LOOP_ALLOWED = {"embed_topk_cosine", "ann_filtered_topk",
                        # flat ivf_assign per Lloyd round: k=40 centroid
                        # dictionary broadcast (limit-reduced seed frame /
                        # literal re-materialized frame), corpus streams
-                       "kmeans_train_embeddings"}
+                       "kmeans_train_embeddings",
+                       # 1-row PQ codebook / ADC distance-table frames
+                       # (m·ks dictionary entries) broadcast-crossed into
+                       # the corpus; encoding/scoring is pure codegen
+                       "pq_encode_embeddings", "pq_adc_topk_embeddings",
+                       "pq_adc_batch_embeddings"}
 
 
 def _plan(spark, name: str) -> str:

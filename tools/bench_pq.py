@@ -1,0 +1,113 @@
+"""Measure the product-quantization trade: compression vs
+reconstruction error vs ADC search recall, lowid vs kmeans codebooks.
+
+Corpora are the fidelity harness's generators (dim 64): hash-uniform
+(worst case) and the 80-center clustered mixture (realistic embedding
+shape). m=8 subspaces × ks=256 codewords → 8 one-byte codes per vector
+vs 64 float32s = **32× compression**. Recall@10 = overlap of the ADC
+top-10 (scored from codes only) with the exact float top-10, averaged
+over 50 queries. Results committed in BENCH_NOTES («r8: product
+quantization — compression vs recall»).
+
+Usage: python tools/bench_pq.py [n_vectors]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench_twolevel import _corpus  # noqa: E402
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from slowly_changing_dimensions_data_engineering_spark.operators.pq import (
+        pq_adc_topk_batch, pq_codebooks, pq_encode,
+    )
+    from slowly_changing_dimensions_data_engineering_spark.operators.similarity import l2sq
+    from slowly_changing_dimensions_data_engineering_spark.session import get_spark
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
+    m, ks, dim, n_queries = 8, 256, 64, 50
+
+    spark = get_spark("sds-pq-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    print(f"n={n} dim={dim} m={m} ks={ks} "
+          f"({dim * 4}B float32 -> {m}B codes = {dim * 4 // m}x); "
+          f"recall@10 over {n_queries} queries")
+    print(f"{'corpus':10s} {'cbooks':8s} {'train_s':>7s} {'mse':>8s} {'r@10':>6s} {'rr100':>6s}")
+    for kind in ("uniform", "clustered"):
+        vecs = _corpus(spark, kind, n, dim).cache()
+        vecs.count()
+        qids = [r["vec_id"] for r in
+                vecs.filter(F.col("vec_id") % 401 == 0)
+                    .limit(n_queries).collect()]
+        # exact float top-10 per query, one pass
+        qdf = vecs.filter(F.col("vec_id").isin(qids)).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+        w = Window.partitionBy("qid").orderBy("d", "vec_id")
+        truth = (vecs.crossJoin(F.broadcast(qdf))
+                 .filter(F.col("vec_id") != F.col("qid"))
+                 .select("qid", "vec_id",
+                         F.round(l2sq(F.col("embedding"), F.col("qv")), 9)
+                         .alias("d"))
+                 .withColumn("rk", F.row_number().over(w)).filter("rk <= 10"))
+        truth_sets = {}
+        for r in truth.collect():
+            truth_sets.setdefault(r["qid"], set()).add(r["vec_id"])
+
+        for mode in ("lowid", "kmeans"):
+            t0 = time.time()
+            cb = pq_codebooks(vecs, m, ks, dim, mode=mode, iters=5)
+            if mode == "kmeans":
+                cb = cb.cache()
+                cb.count()
+            train_s = time.time() - t0
+            codes = pq_encode(vecs, cb, m, dim).cache()
+            from slowly_changing_dimensions_data_engineering_spark.operators.pq import pq_reconstruct
+            mse = (pq_reconstruct(codes, cb)
+                   .withColumnRenamed("embedding", "rv")
+                   .join(vecs, "vec_id")
+                   .agg(F.avg(l2sq(F.col("rv"), F.col("embedding"))))
+                   .head()[0])
+            top = pq_adc_topk_batch(
+                codes, cb, qdf.withColumnRenamed("qid", "q_id"),
+                m, dim, k=101, qid_col="q_id", qvec_col="qv").cache()
+            rows_by_q: dict[int, list] = {}
+            for r in top.collect():
+                rows_by_q.setdefault(r["q_id"], []).append(
+                    (r["adc_d"], r["vec_id"]))
+            hits = 0
+            for qid, rs in rows_by_q.items():
+                rs.sort()
+                got = [vid for _, vid in rs if vid != qid][:10]
+                hits += len(set(got) & truth_sets.get(qid, set()))
+            # the production pattern: ADC top-100 SHORTLIST, exact
+            # re-rank on the floats of just those rows (0.5% of corpus)
+            rr = (top.withColumnRenamed("q_id", "qid")
+                  .join(vecs, "vec_id").join(qdf, "qid")
+                  .filter(F.col("vec_id") != F.col("qid"))
+                  .select("qid", "vec_id",
+                          F.round(l2sq(F.col("embedding"), F.col("qv")), 9)
+                          .alias("d"))
+                  .withColumn("rk", F.row_number().over(w))
+                  .filter("rk <= 10"))
+            rr_hits = sum(
+                1 for r in rr.collect()
+                if r["vec_id"] in truth_sets.get(r["qid"], set()))
+            top.unpersist()
+            print(f"{kind:10s} {mode:8s} {train_s:7.1f} {mse:8.4f} "
+                  f"{hits / (10 * len(qids)):6.3f} "
+                  f"{rr_hits / (10 * len(qids)):6.3f}")
+            codes.unpersist()
+        vecs.unpersist()
+
+
+if __name__ == "__main__":
+    main()
