@@ -221,3 +221,96 @@ def pq_adc_topk_batch(codes_df: DataFrame, codebooks: DataFrame,
     w = Window.partitionBy(qid_col).orderBy(F.asc("adc_d"), F.asc(id_col))
     return (scored.withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") <= k).drop("_rk"))
+
+
+def ivfpq_build_index(vectors: DataFrame, centroids: DataFrame,
+                      codebooks: DataFrame, path: str, m: int, dim: int,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      keep: list[str] | None = None,
+                      **assign_opts) -> None:
+    """IVF-PQ index: the corpus PQ-ENCODED and written partitioned by
+    IVF ``centroid_id`` — the production ANN layout (FAISS IVFPQ
+    shape). A probe reads one partition directory (pruning, from IVF)
+    whose rows are m one-byte codes (compression, from PQ): at 100 TB
+    of float32 embeddings the scanned bytes per probe drop by
+    (corpus/cells) × 32. ``assign_opts`` forward to ``ivf_assign``
+    (two-level regime knobs); ``keep`` carries metadata columns into
+    the index for filtered search."""
+    from .similarity import ivf_assign
+    assign = ivf_assign(vectors, centroids, id_col, vec_col, **assign_opts)
+    codes = pq_encode(vectors, codebooks, m, dim, id_col=id_col,
+                      vec_col=vec_col, keep=keep)
+    (codes.join(assign, id_col)
+     .write.mode("overwrite").partitionBy("centroid_id").parquet(path))
+
+
+def ivfpq_search(spark, path: str, codebooks: DataFrame,
+                 centroids: DataFrame, query_df: DataFrame, m: int, dim: int,
+                 k: int = 10, nprobe: int = 1, shortlist: int | None = None,
+                 rerank_vectors: DataFrame | None = None,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Partition-pruned ADC search over an IVF-PQ index, query resolved
+    IN-PLAN (no driver collect): the query's ``nprobe`` nearest cells
+    are ranked by broadcasting the 1-row query against the streaming
+    centroid frame (the ivf_search_index_inplan convention — never
+    broadcast the corpus-scaled centroid set), the probe frame joins
+    the partitioned index so dynamic partition pruning limits the scan
+    to the probed directories, and the probed rows are scored by ADC
+    from a 1-row broadcast distance table — the float corpus is never
+    read for scoring.
+
+    ``shortlist``/``rerank_vectors`` compose the production two-stage
+    pattern: take the ``shortlist`` best ADC rows, then join ONLY those
+    ids back to the float vectors for an exact re-rank of the final
+    top-``k`` (float IO = shortlist rows, not the corpus). Without
+    ``rerank_vectors`` the raw ADC top-k is returned. Distances follow
+    the registry convention (rounded to 9, ties → lowest id)."""
+    from ..session import stabilize
+
+    q = stabilize(query_df.limit(1).select(
+        F.col(id_col).alias("_qid"), as_double(vec_col).alias("_qv")))
+    c = centroids.select(F.col("centroid_id").alias("_qc"),
+                         as_double("embedding").alias("_ce"))
+    from pyspark.sql.window import Window
+    scored = (c.crossJoin(F.broadcast(q))
+              .withColumn("_d", F.round(l2sq(F.col("_qv"), F.col("_ce")), 9)))
+    w = Window.partitionBy("_qid").orderBy(F.asc("_d"), F.asc("_qc"))
+    probes = (scored.select("_qid", "_qc", "_d")
+              .withColumn("_r", F.row_number().over(w))
+              .filter(F.col("_r") <= nprobe).select("_qid", "_qc"))
+    sub = dim // m
+    dtab = (q.crossJoin(F.broadcast(_codebook_arr(codebooks)))
+            .select("_qid", F.transform(
+                F.col("_cb"),
+                lambda row, j: F.transform(
+                    row, lambda cw: F.round(
+                        l2sq(_subvec(F.col("_qv"), j, sub), cw), 9)))
+                .alias("_dtab")))
+    idx = spark.read.parquet(path)
+    pruned = idx.join(
+        F.broadcast(probes), (idx["centroid_id"] == probes["_qc"]) &
+        (idx[id_col] != probes["_qid"]))
+    adc = (pruned.join(F.broadcast(dtab), "_qid")
+           .select(F.col(id_col), F.col("centroid_id"),
+                   F.round(F.aggregate(
+                       F.transform(
+                           F.col("codes"),
+                           lambda cc, j: F.try_element_at(
+                               F.try_element_at(F.col("_dtab"), j + 1),
+                               cc + 1)),
+                       F.lit(0.0), lambda a, x: a + x), 9).alias("adc_d")))
+    short = (adc.orderBy(F.asc("adc_d"), F.asc(id_col))
+             .limit(shortlist if shortlist else k))
+    if rerank_vectors is None:
+        return short.limit(k)
+    rv = rerank_vectors.select(F.col(id_col),
+                               as_double(vec_col).alias("_rv"))
+    # the shortlist is limit-reduced (structurally bounded) — broadcast
+    # it into the float-vector join so the re-rank reads only its rows
+    rer = (rv.join(F.broadcast(short), id_col)
+           .crossJoin(F.broadcast(q))
+           .select(F.col(id_col), F.col("centroid_id"), F.col("adc_d"),
+                   F.round(l2sq(F.col("_rv"), F.col("_qv")), 9)
+                   .alias("exact_d")))
+    return rer.orderBy(F.asc("exact_d"), F.asc(id_col)).limit(k)

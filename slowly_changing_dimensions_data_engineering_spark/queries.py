@@ -188,7 +188,7 @@ def oracle_sql() -> dict[str, str]:
 _PIPELINE_CACHE_NAMES = (
     "_SCD2_STORE_CACHE", "_MINHASH_INDEX_CACHE", "_IVF_INDEX_CACHE",
     "_DELETE_STORE_CACHE", "_DIFF_STORE_CACHE", "_STREAM_MV_CACHE",
-    "_STREAM_ANN_CACHE", "_ORDERS_SCD2_CACHE",
+    "_STREAM_ANN_CACHE", "_ORDERS_SCD2_CACHE", "_IVFPQ_INDEX_CACHE",
 )
 
 
@@ -1147,6 +1147,7 @@ _IVF_QUERY_ID = 42
 _IVF_N_CENTROIDS = 8
 #: sf_dir -> (materialized index path, n_centroids) (built once per process).
 _IVF_INDEX_CACHE: dict[str, tuple[str, int]] = {}
+_IVFPQ_INDEX_CACHE: dict[str, str] = {}
 
 #: Rows per IVF cell the index layout targets. Centroid count scales as
 #: ``max(8, n // 250)`` so cell POPULATION stays ~constant as the corpus
@@ -4464,3 +4465,98 @@ def pq_adc_batch_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select(F.col("vec_id").alias("qid"),
                    F.col("embedding").alias("qv")))
     return pq_adc_topk_batch(codes, cb, qdf, m, dim, k=5)
+
+
+def _ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per sf_dir) the PQ-encoded centroid-partitioned
+    IVF-PQ index: 8 lowid cells × (m=8, ks=16) lowid codebooks."""
+    import os
+    cached = _IVFPQ_INDEX_CACHE.get(sf_dir)
+    if cached and os.path.exists(cached):
+        return cached
+    from .operators.pq import ivfpq_build_index, pq_codebooks
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    cents = (e.filter(F.col("vec_id") < 8)
+             .select(F.col("vec_id").alias("centroid_id"), "embedding"))
+    cb = pq_codebooks(e, 8, 16, 64)
+    path = _pipeline_tmpdir("sds_ivfpq_") + "/index"
+    ivfpq_build_index(e.select("vec_id", "embedding"), cents, cb, path,
+                      8, 64, n_centroids=8)
+    _IVFPQ_INDEX_CACHE[sf_dir] = path
+    return path
+
+
+@register("ivfpq_search_embeddings", _PQ_ORACLE_PRELUDE + """,
+cents AS (SELECT vec_id AS cid, ve AS ce FROM v WHERE vec_id < 8),
+ivf_scored AS (
+  SELECT v.vec_id, cents.cid,
+         round(list_dot_product(
+                 list_transform(range(1, 65), i -> ve[i] - ce[i]),
+                 list_transform(range(1, 65), i -> ve[i] - ce[i])), 9) AS d
+  FROM v, cents
+),
+ivf AS (
+  SELECT vec_id, cid FROM ivf_scored
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+),
+q AS (SELECT vec_id AS qid, ve AS qv FROM v WHERE vec_id = 123),
+probes AS (
+  SELECT cid FROM cents, q
+  ORDER BY round(list_dot_product(
+             list_transform(range(1, 65), i -> ce[i] - qv[i]),
+             list_transform(range(1, 65), i -> ce[i] - qv[i])), 9), cid
+  LIMIT 2
+),
+dtab AS (
+  SELECT cb.subspace, cb.code,
+         round(list_dot_product(
+                 list_transform(range(1, 9), i -> qv[subspace*8 + i] - cw[i]),
+                 list_transform(range(1, 9), i -> qv[subspace*8 + i] - cw[i])),
+               9) AS d
+  FROM cb, q
+),
+adc AS (
+  SELECT e.vec_id, i.cid,
+         round(list_reduce(list(t.d ORDER BY e.subspace), (a, b) -> a + b),
+               9) AS adc_d
+  FROM enc e
+  JOIN ivf i USING (vec_id)
+  JOIN dtab t ON t.subspace = e.subspace AND t.code = e.code
+  WHERE i.cid IN (SELECT cid FROM probes) AND e.vec_id != 123
+  GROUP BY e.vec_id, i.cid
+),
+short AS (SELECT * FROM adc ORDER BY adc_d, vec_id LIMIT 50),
+rer AS (
+  SELECT s.vec_id, s.cid, s.adc_d,
+         round(list_dot_product(
+                 list_transform(range(1, 65), i -> ve[i] - qv[i]),
+                 list_transform(range(1, 65), i -> ve[i] - qv[i])), 9)
+           AS exact_d
+  FROM short s JOIN v USING (vec_id), q
+)
+SELECT vec_id, CAST(cid AS BIGINT) AS centroid_id, adc_d, exact_d
+FROM rer ORDER BY exact_d, vec_id LIMIT 10
+""")
+def ivfpq_search_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIVER-checked IVF-PQ two-stage search — the production 100 TB
+    ANN composition in one plan: the query's nprobe=2 cells are ranked
+    in-plan (1-row query broadcast against the streaming centroid
+    frame), dynamic partition pruning limits the index read to the
+    probed directories, the probed rows are scored by ADC from their
+    m=8 one-byte codes (the float corpus is never read for scoring),
+    and the top-50 ADC shortlist is exact-re-ranked by joining ONLY
+    those ids back to the float vectors — float IO = 50 rows. The
+    oracle restates every stage: 8-cell IVF assignment, 2-probe
+    selection, the m×ks distance table, ordered-fold ADC sums within
+    probed cells, the 50-row shortlist, and the exact re-rank, all
+    under the rounded-distance + lowest-id conventions."""
+    from .operators.pq import ivfpq_search, pq_codebooks
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    path = _ivfpq_index(spark, sf_dir)
+    cb = pq_codebooks(e, 8, 16, 64)
+    cents = (e.filter(F.col("vec_id") < 8)
+             .select(F.col("vec_id").alias("centroid_id"), "embedding"))
+    q = e.filter(F.col("vec_id") == 123).orderBy("vec_id").limit(1)
+    out = ivfpq_search(spark, path, cb, cents, q, 8, 64, k=10, nprobe=2,
+                       shortlist=50, rerank_vectors=e)
+    return out.withColumn("centroid_id", F.col("centroid_id").cast("long"))

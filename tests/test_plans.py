@@ -47,7 +47,11 @@ NESTED_LOOP_ALLOWED = {"embed_topk_cosine", "ann_filtered_topk",
                        # (m·ks dictionary entries) broadcast-crossed into
                        # the corpus; encoding/scoring is pure codegen
                        "pq_encode_embeddings", "pq_adc_topk_embeddings",
-                       "pq_adc_batch_embeddings"}
+                       "pq_adc_batch_embeddings",
+                       # probe-ranking crossJoin of the 1-row query
+                       # against the 8-row cell frame + the 1-row
+                       # dtab/codebook broadcasts (IVF-PQ search)
+                       "ivfpq_search_embeddings"}
 
 
 def _plan(spark, name: str) -> str:
@@ -81,6 +85,11 @@ EXPLICIT_FACT_BCAST_ALLOWED = {
     "ivf_search_ann", "ivf_recall_at10", "ivf_recall_nprobe",
     "ann_batch_topk", "ann_filtered_topk_index",
     "embedding_quantization_recall",
+    # same centroid-frame shape: the probe ranking broadcasts a frame
+    # whose subtree includes the k=8 filter-selected cell centroids
+    # (bounded by construction); the ADC shortlist rerank broadcast is
+    # limit-reduced and exempt on its own
+    "ivfpq_search_embeddings",
 }
 
 
