@@ -314,3 +314,25 @@ def ivfpq_search(spark, path: str, codebooks: DataFrame,
                    F.round(l2sq(F.col("_rv"), F.col("_qv")), 9)
                    .alias("exact_d")))
     return rer.orderBy(F.asc("exact_d"), F.asc(id_col)).limit(k)
+
+
+def ivfpq_index_append(new_vectors: DataFrame, centroids: DataFrame,
+                       codebooks: DataFrame, path: str, m: int, dim: int,
+                       id_col: str = "vec_id", vec_col: str = "embedding",
+                       keep: list[str] | None = None,
+                       **assign_opts) -> None:
+    """Grow the stored IVF-PQ index with a batch: assign + PQ-encode
+    the BATCH ONLY (the stored corpus is never re-read) and append into
+    the existing ``centroid_id=`` partition directories — O(batch),
+    never a rewrite (the ``ivf_index_append`` contract, inherited).
+    Both the centroid set AND the codebooks must be the index's own
+    frozen dictionaries: appending under re-trained geometry would
+    mis-partition (cells) or mis-decode (codes) the history; retrain =
+    rebuild (``ivfpq_build_index``)."""
+    from .similarity import ivf_assign
+    assign = ivf_assign(new_vectors, centroids, id_col, vec_col,
+                        **assign_opts)
+    codes = pq_encode(new_vectors, codebooks, m, dim, id_col=id_col,
+                      vec_col=vec_col, keep=keep)
+    (codes.join(assign, id_col)
+     .write.mode("append").partitionBy("centroid_id").parquet(path))

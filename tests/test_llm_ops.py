@@ -1137,3 +1137,45 @@ def test_ivfpq_search_prunes_partitions_and_matches_bruteforce(spark, tmp_path):
         (round(sum((a - b) ** 2 for a, b in zip(qv, emb[v])), 9), v)
         for v in member if member[v] in probed and v != 9)[:5]
     assert rows == [(v, d) for d, v in exact]
+
+
+def test_ivfpq_index_append_searchable_under_frozen_dictionaries(spark, tmp_path):
+    """Appending a batch under the index's frozen centroids+codebooks
+    adds rows to the right partitions and makes them searchable; the
+    history is untouched (same file set plus new files only)."""
+    import os
+
+    from slowly_changing_dimensions_data_engineering_spark.operators.pq import (
+        ivfpq_build_index, ivfpq_index_append, ivfpq_search, pq_codebooks,
+    )
+    base = spark.range(80).select(
+        F.col("id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(1), F.lit(8)),
+                    lambda d: ((F.col("id") * 347 + d * 109) % 541)
+                    .cast("double") / 270.0 - 1.0).alias("embedding"))
+    cents = (base.filter(F.col("vec_id") < 4)
+             .select(F.col("vec_id").alias("centroid_id"), "embedding"))
+    cb = pq_codebooks(base, m=4, ks=8, dim=8)
+    path = str(tmp_path / "ivfpq")
+    ivfpq_build_index(base, cents, cb, path, 4, 8, n_centroids=4)
+
+    def files():
+        out = set()
+        for root, _d, fs in os.walk(path):
+            out.update(os.path.join(root, f) for f in fs
+                       if f.endswith(".parquet"))
+        return out
+
+    before = files()
+    # the batch: an exact copy of vec 9 under a new id — must land in
+    # vec 9's partition and become its nearest ADC neighbor
+    batch = base.filter(F.col("vec_id") == 9).select(
+        F.lit(1000).alias("vec_id"), "embedding")
+    ivfpq_index_append(batch, cents, cb, path, 4, 8, n_centroids=4)
+    assert before <= files() and len(files()) > len(before)
+
+    q = base.filter(F.col("vec_id") == 9).orderBy("vec_id").limit(1)
+    top = ivfpq_search(spark, path, cb, cents, q, 4, 8, k=1, nprobe=1,
+                       shortlist=50, rerank_vectors=base.unionByName(batch))
+    r = top.collect()[0]
+    assert r["vec_id"] == 1000 and r["exact_d"] == 0.0
