@@ -336,3 +336,120 @@ def ivfpq_index_append(new_vectors: DataFrame, centroids: DataFrame,
                       vec_col=vec_col, keep=keep)
     (codes.join(assign, id_col)
      .write.mode("append").partitionBy("centroid_id").parquet(path))
+
+
+def residual_frame(vectors: DataFrame, centroids: DataFrame,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   **assign_opts) -> DataFrame:
+    """(id, embedding = vector − assigned-cell centroid): the residual
+    corpus. Classic IVF-PQ refinement (Jégou et al. §IV): residuals
+    have a fraction of the raw vectors' spread, so the same m×ks code
+    budget quantizes them with far less error. Train residual
+    codebooks by passing this frame to ``pq_codebooks``."""
+    from .similarity import ivf_assign
+    assign = ivf_assign(vectors, centroids, id_col, vec_col, **assign_opts)
+    c = centroids.select(F.col("centroid_id"),
+                         as_double("embedding").alias("_ce"))
+    v = vectors.select(F.col(id_col), as_double(vec_col).alias("_v"))
+    return (v.join(assign, id_col).join(c, "centroid_id")
+            .select(F.col(id_col),
+                    F.zip_with("_v", "_ce", lambda x, y: x - y)
+                    .alias(vec_col)))
+
+
+def ivfpq_build_index_residual(vectors: DataFrame, centroids: DataFrame,
+                               codebooks: DataFrame, path: str, m: int,
+                               dim: int, id_col: str = "vec_id",
+                               vec_col: str = "embedding",
+                               **assign_opts) -> None:
+    """IVF-PQ with RESIDUAL encoding: each row's codes quantize
+    (vector − its cell centroid) against residual-trained
+    ``codebooks`` (build them over ``residual_frame`` — mixing raw
+    codebooks with residual encoding mis-decodes everything). Same
+    partitioned layout and append/search contracts as the raw index;
+    ``ivfpq_search_residual`` is the matching read path."""
+    from .similarity import ivf_assign
+    assign = ivf_assign(vectors, centroids, id_col, vec_col, **assign_opts)
+    c = centroids.select(F.col("centroid_id"),
+                         as_double("embedding").alias("_ce"))
+    v = vectors.select(F.col(id_col), as_double(vec_col).alias("_v"))
+    res = (v.join(assign, id_col).join(c, "centroid_id")
+           .select(F.col(id_col), F.col("centroid_id"),
+                   F.zip_with("_v", "_ce", lambda x, y: x - y)
+                   .alias(vec_col)))
+    codes = pq_encode(res, codebooks, m, dim, id_col=id_col,
+                      vec_col=vec_col, keep=["centroid_id"])
+    codes.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+
+def ivfpq_search_residual(spark, path: str, codebooks: DataFrame,
+                          centroids: DataFrame, query_df: DataFrame,
+                          m: int, dim: int, k: int = 10, nprobe: int = 1,
+                          shortlist: int | None = None,
+                          rerank_vectors: DataFrame | None = None,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """Partition-pruned ADC over a RESIDUAL IVF-PQ index. Per probed
+    cell the distance table is computed against the query's residual in
+    THAT cell (q − cell centroid): ||x − q||² = ||x_res − (q − c)||²
+    for x in cell c, so per-cell tables make the ADC approximation
+    exact up to quantization — the accuracy win residual encoding buys
+    (measured in BENCH_NOTES «r8: residual vs raw IVF-PQ»). The tables
+    ride a (cell, subspace, code) frame of nprobe·m·ks rows that the
+    probed partitions' exploded codes equi-join; sums use the
+    ordered-fold convention; shortlist/re-rank compose as in
+    ``ivfpq_search``."""
+    from ..session import stabilize
+
+    q = stabilize(query_df.limit(1).select(
+        F.col(id_col).alias("_qid"), as_double(vec_col).alias("_qv")))
+    c = centroids.select(F.col("centroid_id").alias("_qc"),
+                         as_double("embedding").alias("_ce"))
+    from pyspark.sql.window import Window
+    scored = (c.crossJoin(F.broadcast(q))
+              .withColumn("_d", F.round(l2sq(F.col("_qv"), F.col("_ce")), 9)))
+    w = Window.partitionBy("_qid").orderBy(F.asc("_d"), F.asc("_qc"))
+    probes = (scored.select("_qid", "_qv", "_qc", "_ce", "_d")
+              .withColumn("_r", F.row_number().over(w))
+              .filter(F.col("_r") <= nprobe)
+              .select("_qid", "_qc",
+                      F.zip_with("_qv", "_ce", lambda x, y: x - y)
+                      .alias("_qres")))
+    sub = dim // m
+    cb = codebooks.select("subspace", "code",
+                          as_double("codeword").alias("_cw"))
+    dtab = (probes.crossJoin(F.broadcast(cb))
+            .select("_qid", "_qc", "subspace", "code",
+                    F.round(l2sq(_subvec(F.col("_qres"),
+                                         F.col("subspace").cast("int"), sub),
+                                 F.col("_cw")), 9).alias("_d")))
+    idx = spark.read.parquet(path)
+    pruned = idx.join(
+        F.broadcast(probes.select("_qid", "_qc")),
+        (idx["centroid_id"] == probes["_qc"]) &
+        (idx[id_col] != probes["_qid"]))
+    ex = pruned.select(F.col(id_col), F.col("centroid_id"), "_qid",
+                       F.posexplode("codes").alias("subspace", "code"))
+    adc = (ex.join(F.broadcast(dtab),
+                   (ex["centroid_id"] == dtab["_qc"]) &
+                   (ex["subspace"] == dtab["subspace"]) &
+                   (ex["code"] == dtab["code"]))
+           .groupBy(ex[id_col], ex["centroid_id"])
+           .agg(F.round(F.aggregate(
+               F.transform(
+                   F.array_sort(F.collect_list(
+                       F.struct(ex["subspace"], F.col("_d")))),
+                   lambda s: s["_d"]),
+               F.lit(0.0), lambda a, x: a + x), 9).alias("adc_d")))
+    short = (adc.orderBy(F.asc("adc_d"), F.asc(id_col))
+             .limit(shortlist if shortlist else k))
+    if rerank_vectors is None:
+        return short.limit(k)
+    rv = rerank_vectors.select(F.col(id_col),
+                               as_double(vec_col).alias("_rv"))
+    rer = (rv.join(F.broadcast(short), id_col)
+           .crossJoin(F.broadcast(q))
+           .select(F.col(id_col), F.col("centroid_id"), F.col("adc_d"),
+                   F.round(l2sq(F.col("_rv"), F.col("_qv")), 9)
+                   .alias("exact_d")))
+    return rer.orderBy(F.asc("exact_d"), F.asc(id_col)).limit(k)

@@ -4560,3 +4560,120 @@ def ivfpq_search_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = ivfpq_search(spark, path, cb, cents, q, 8, 64, k=10, nprobe=2,
                        shortlist=50, rerank_vectors=e)
     return out.withColumn("centroid_id", F.col("centroid_id").cast("long"))
+
+
+@register("ivfpq_residual_search_embeddings", """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
+  FROM embeddings
+),
+cents AS (SELECT vec_id AS cid, ve AS ce FROM v WHERE vec_id < 8),
+ivf_scored AS (
+  SELECT v.vec_id, cents.cid,
+         round(list_dot_product(
+                 list_transform(range(1, 65), i -> ve[i] - ce[i]),
+                 list_transform(range(1, 65), i -> ve[i] - ce[i])), 9) AS d
+  FROM v, cents
+),
+ivf AS (
+  SELECT vec_id, cid FROM ivf_scored
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+),
+resv AS (
+  SELECT v.vec_id, ivf.cid,
+         list_transform(range(1, 65), i -> ve[i] - ce[i]) AS rv
+  FROM v JOIN ivf USING (vec_id) JOIN cents ON cents.cid = ivf.cid
+),
+seed AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, rv
+  FROM resv QUALIFY row_number() OVER (ORDER BY vec_id) <= 16
+),
+subs AS (SELECT unnest(range(0, 8)) AS subspace),
+cb AS (
+  SELECT subspace, code, list_slice(rv, subspace*8 + 1, subspace*8 + 8) AS cw
+  FROM seed, subs
+),
+enc_scored AS (
+  SELECT r.vec_id, r.cid, cb.subspace, cb.code,
+         round(list_dot_product(
+                 list_transform(range(1, 9), i -> rv[subspace*8 + i] - cw[i]),
+                 list_transform(range(1, 9), i -> rv[subspace*8 + i] - cw[i])),
+               9) AS d
+  FROM resv r, cb
+),
+enc AS (
+  SELECT vec_id, cid, subspace, code FROM enc_scored
+  QUALIFY row_number()
+          OVER (PARTITION BY vec_id, subspace ORDER BY d, code) = 1
+),
+q AS (SELECT vec_id AS qid, ve AS qv FROM v WHERE vec_id = 123),
+probes AS (
+  SELECT cid, list_transform(range(1, 65), i -> qv[i] - ce[i]) AS qres
+  FROM cents, q
+  ORDER BY round(list_dot_product(
+             list_transform(range(1, 65), i -> ce[i] - qv[i]),
+             list_transform(range(1, 65), i -> ce[i] - qv[i])), 9), cid
+  LIMIT 2
+),
+dtab AS (
+  SELECT p.cid, cb.subspace, cb.code,
+         round(list_dot_product(
+                 list_transform(range(1, 9), i -> qres[subspace*8 + i] - cw[i]),
+                 list_transform(range(1, 9), i -> qres[subspace*8 + i] - cw[i])),
+               9) AS d
+  FROM cb, probes p
+),
+adc AS (
+  SELECT e.vec_id, e.cid,
+         round(list_reduce(list(t.d ORDER BY e.subspace), (a, b) -> a + b),
+               9) AS adc_d
+  FROM enc e
+  JOIN dtab t ON t.cid = e.cid AND t.subspace = e.subspace
+             AND t.code = e.code
+  WHERE e.vec_id != 123
+  GROUP BY e.vec_id, e.cid
+),
+short AS (SELECT * FROM adc ORDER BY adc_d, vec_id LIMIT 50),
+rer AS (
+  SELECT s.vec_id, s.cid, s.adc_d,
+         round(list_dot_product(
+                 list_transform(range(1, 65), i -> ve[i] - qv[i]),
+                 list_transform(range(1, 65), i -> ve[i] - qv[i])), 9)
+           AS exact_d
+  FROM short s JOIN v USING (vec_id), q
+)
+SELECT vec_id, CAST(cid AS BIGINT) AS centroid_id, adc_d, exact_d
+FROM rer ORDER BY exact_d, vec_id LIMIT 10
+""")
+def ivfpq_residual_search_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DRIVER-checked RESIDUAL IVF-PQ search: codes quantize (vector −
+    cell centroid) against residual-trained codebooks, and the per-cell
+    ADC tables score against the query's residual in each probed cell —
+    ||x − q||² = ||x_res − (q − c)||² within cell c, the classic IVFPQ
+    refinement (measured in BENCH_NOTES «r8: residual vs raw IVF-PQ»:
+    −42% MSE / +0.19 recall with trained cells; the lowid cells used
+    here test SEMANTICS — quality guidance lives in the operator
+    docstrings). The oracle restates assignment, residuals, residual
+    lowid codebooks, the per-cell distance tables, ordered-fold ADC
+    sums, the 50-row shortlist and the exact re-rank."""
+    from .operators.pq import (
+        ivfpq_build_index_residual, ivfpq_search_residual, pq_codebooks,
+        residual_frame,
+    )
+    m, ks, dim = 8, 16, 64
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    cents = (e.filter(F.col("vec_id") < 8)
+             .select(F.col("vec_id").alias("centroid_id"), "embedding"))
+    cb = pq_codebooks(residual_frame(e, cents, n_centroids=8), m, ks, dim)
+    key = (sf_dir, "residual")
+    import os
+    path = _IVFPQ_INDEX_CACHE.get(key)
+    if not (path and os.path.exists(path)):
+        path = _pipeline_tmpdir("sds_ivfpqr_") + "/index"
+        ivfpq_build_index_residual(e.select("vec_id", "embedding"), cents,
+                                   cb, path, m, dim, n_centroids=8)
+        _IVFPQ_INDEX_CACHE[key] = path
+    q = e.filter(F.col("vec_id") == 123).orderBy("vec_id").limit(1)
+    out = ivfpq_search_residual(spark, path, cb, cents, q, m, dim, k=10,
+                                nprobe=2, shortlist=50, rerank_vectors=e)
+    return out.withColumn("centroid_id", F.col("centroid_id").cast("long"))

@@ -1179,3 +1179,82 @@ def test_ivfpq_index_append_searchable_under_frozen_dictionaries(spark, tmp_path
                        shortlist=50, rerank_vectors=base.unionByName(batch))
     r = top.collect()[0]
     assert r["vec_id"] == 1000 and r["exact_d"] == 0.0
+
+
+def test_residual_encoding_beats_raw_on_clustered_data(spark):
+    """With centroids that fit the data, residuals have a fraction of
+    the raw spread, so the same m×ks budget quantizes them with lower
+    error. (On structureless data the inequality REVERSES — documented
+    in tools/bench_pq.py --residual — so this asserts the clustered
+    case only.)"""
+    from slowly_changing_dimensions_data_engineering_spark.operators.pq import (
+        pq_codebooks, pq_encode, pq_reconstruct, residual_frame,
+    )
+    from slowly_changing_dimensions_data_engineering_spark.operators.similarity import (
+        kmeans_fit, l2sq,
+    )
+    # 16 cluster centers vs a ks=4 codebook: raw codewords (4 data
+    # rows, 4 different centers) can't cover 16 centers — errors ~ the
+    # center spacing; residuals only span the within-blob noise, which
+    # 4 codewords cover fine. (With centers ≤ ks the two schemes tie —
+    # that's why residual is the option, not the default.)
+    rows = [(b + i * 16, [10.0 * b + 0.1 * ((i * 7) % 5),
+                          -10.0 * b - 0.1 * ((i * 3) % 7)])
+            for b in range(16) for i in range(6)]
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = kmeans_fit(vecs, k=16, iters=3)
+
+    def mse(frame, cb):
+        rec = (pq_reconstruct(pq_encode(frame, cb, m=2, dim=2), cb)
+               .withColumnRenamed("embedding", "rv"))
+        return (rec.join(frame.withColumnRenamed("embedding", "ve"), "vec_id")
+                .agg(F.avg(l2sq(F.col("rv"), F.col("ve")))).head()[0])
+
+    res = residual_frame(vecs, cents, n_centroids=16)
+    raw_mse = mse(vecs, pq_codebooks(vecs, m=2, ks=4, dim=2))
+    res_mse = mse(res, pq_codebooks(res, m=2, ks=4, dim=2))
+    assert res_mse < raw_mse / 10
+
+
+def test_ivfpq_residual_search_matches_bruteforce_in_probed_cells(spark, tmp_path):
+    """Residual-index search with a cell-covering shortlist returns the
+    exact within-probes top-k after re-rank, and the plan partition-
+    prunes (dynamicpruning)."""
+    from slowly_changing_dimensions_data_engineering_spark.operators.pq import (
+        ivfpq_build_index_residual, ivfpq_search_residual, pq_codebooks,
+        residual_frame,
+    )
+    from slowly_changing_dimensions_data_engineering_spark.operators.similarity import (
+        ivf_assign,
+    )
+    vecs = spark.range(160).select(
+        F.col("id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(1), F.lit(8)),
+                    lambda d: ((F.col("id") * 347 + d * 109) % 541)
+                    .cast("double") / 270.0 - 1.0).alias("embedding"))
+    cents = (vecs.filter(F.col("vec_id") < 4)
+             .select(F.col("vec_id").alias("centroid_id"), "embedding"))
+    cb = pq_codebooks(residual_frame(vecs, cents, n_centroids=4),
+                      m=4, ks=16, dim=8)
+    path = str(tmp_path / "ivfpq_res")
+    ivfpq_build_index_residual(vecs, cents, cb, path, 4, 8, n_centroids=4)
+
+    q = vecs.filter(F.col("vec_id") == 9).orderBy("vec_id").limit(1)
+    out = ivfpq_search_residual(spark, path, cb, cents, q, 4, 8, k=5,
+                                nprobe=2, shortlist=200, rerank_vectors=vecs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+
+    rows = [(r["vec_id"], r["exact_d"]) for r in out.collect()]
+    assign = {r["vec_id"]: r["centroid_id"] for r in
+              ivf_assign(vecs, cents, n_centroids=4).collect()}
+    emb = {r["vec_id"]: r["embedding"] for r in vecs.collect()}
+    qv = emb[9]
+    cents_rows = {r["centroid_id"]: r["embedding"] for r in cents.collect()}
+    dists = sorted((round(sum((a - b) ** 2 for a, b in zip(qv, ce)), 9), cid)
+                   for cid, ce in cents_rows.items())
+    probed = {cid for _, cid in dists[:2]}
+    exact = sorted(
+        (round(sum((a - b) ** 2 for a, b in zip(qv, emb[v])), 9), v)
+        for v in assign if assign[v] in probed and v != 9)[:5]
+    assert rows == [(v, d) for d, v in exact]

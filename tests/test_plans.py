@@ -51,7 +51,8 @@ NESTED_LOOP_ALLOWED = {"embed_topk_cosine", "ann_filtered_topk",
                        # probe-ranking crossJoin of the 1-row query
                        # against the 8-row cell frame + the 1-row
                        # dtab/codebook broadcasts (IVF-PQ search)
-                       "ivfpq_search_embeddings"}
+                       "ivfpq_search_embeddings",
+                       "ivfpq_residual_search_embeddings"}
 
 
 def _plan(spark, name: str) -> str:
@@ -90,6 +91,7 @@ EXPLICIT_FACT_BCAST_ALLOWED = {
     # (bounded by construction); the ADC shortlist rerank broadcast is
     # limit-reduced and exempt on its own
     "ivfpq_search_embeddings",
+    "ivfpq_residual_search_embeddings",
 }
 
 
