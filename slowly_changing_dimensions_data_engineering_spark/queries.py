@@ -4677,3 +4677,117 @@ def ivfpq_residual_search_embeddings(spark: SparkSession, sf_dir: str) -> DataFr
     out = ivfpq_search_residual(spark, path, cb, cents, q, m, dim, k=10,
                                 nprobe=2, shortlist=50, rerank_vectors=e)
     return out.withColumn("centroid_id", F.col("centroid_id").cast("long"))
+
+
+def _streaming_ivfpq_index(spark: SparkSession, sf_dir: str) -> str:
+    """Drive streaming/ann_stream.py's IVF-PQ variant end-to-end: phase
+    1 streams the EVEN vec_ids (bootstrap freezes the 8-cell centroid
+    geometry AND the m=8×ks=16 lowid codebooks from that batch, both as
+    sidecars); phase 2 restarts on the same checkpoint with the odd
+    ids (assign + encode + partitioned append under the frozen
+    dictionaries). Values rounded to 6 before JSON transport, like
+    _streaming_ann_index."""
+    import os
+
+    from .streaming.ann_stream import start_streaming_ivfpq_index
+
+    cached = _STREAM_ANN_CACHE.get((sf_dir, "pq"))
+    if cached and os.path.isdir(cached[1]):
+        return cached[1]
+
+    root = _pipeline_tmpdir("sds_spq_")
+    in_dir = os.path.join(root, "in")
+    ckpt = os.path.join(root, "ckpt")
+    index_path = os.path.join(root, "index")
+    os.makedirs(in_dir)
+
+    e = (_t(spark, sf_dir, "embeddings")["embeddings"]
+         .select("vec_id",
+                 F.transform(F.col("embedding"),
+                             lambda x: F.round(x.cast("double"), 6))
+                  .alias("embedding"),
+                 "label"))
+
+    def run_stream():
+        q = start_streaming_ivfpq_index(
+            spark, in_dir, index_path, ckpt, m=8, dim=64,
+            n_centroids=8, ks=16, available_now=True)
+        q.awaitTermination()
+
+    _stage_json(e.filter(F.col("vec_id") % 2 == 0), root, in_dir,
+                "batch0.json")
+    run_stream()
+    _stage_json(e.filter(F.col("vec_id") % 2 == 1), root, in_dir,
+                "batch1.json")
+    run_stream()
+
+    _STREAM_ANN_CACHE[(sf_dir, "pq")] = (root, index_path)
+    return index_path
+
+
+@register("streaming_ivfpq_index_state", """
+WITH v AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[], x -> round(x, 6)) AS ve
+  FROM embeddings
+),
+c AS (SELECT vec_id AS cid, ve AS ce FROM v
+      WHERE vec_id % 2 = 0 AND vec_id < 16),
+ivf_scored AS (
+  SELECT v.vec_id, c.cid,
+         round(list_dot_product(
+                 list_transform(range(1, len(ve)+1), i -> ve[i] - ce[i]),
+                 list_transform(range(1, len(ve)+1), i -> ve[i] - ce[i])), 9) AS d
+  FROM v, c
+),
+ivf AS (
+  SELECT vec_id, cid FROM ivf_scored
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+),
+seed AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, ve
+  FROM v WHERE vec_id % 2 = 0 AND vec_id < 32
+),
+subs AS (SELECT unnest(range(0, 8)) AS subspace),
+cb AS (
+  SELECT subspace, code, list_slice(ve, subspace*8 + 1, subspace*8 + 8) AS cw
+  FROM seed, subs
+),
+enc_scored AS (
+  SELECT v.vec_id, cb.subspace, cb.code,
+         round(list_dot_product(
+                 list_transform(range(1, 9), i -> ve[subspace*8 + i] - cw[i]),
+                 list_transform(range(1, 9), i -> ve[subspace*8 + i] - cw[i])),
+               9) AS d
+  FROM v, cb
+),
+enc AS (
+  SELECT vec_id, subspace, code FROM enc_scored
+  QUALIFY row_number()
+          OVER (PARTITION BY vec_id, subspace ORDER BY d, code) = 1
+)
+SELECT CAST(ivf.cid AS BIGINT) AS centroid_id,
+       COUNT(DISTINCT ivf.vec_id) AS n_vectors,
+       CAST(SUM(DISTINCT ivf.vec_id) AS BIGINT) AS sum_vec_id,
+       CAST(SUM(enc.code) AS BIGINT) AS sum_codes
+FROM ivf JOIN enc USING (vec_id)
+GROUP BY ivf.cid
+""")
+def streaming_ivfpq_index_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming IVF-PQ index maintenance, driver-checked end-to-end:
+    bootstrap freezes centroids + codebooks from the first micro-batch,
+    a checkpointed restart appends the second batch encoded under the
+    SAME frozen dictionaries, and the final on-disk index's per-cell
+    membership AND code content (count, key-sum, and the sum of all m
+    codes per cell) must equal a from-scratch SQL assignment + PQ
+    encode of every vector against those dictionaries — proving
+    exactly-once consumption, double-dictionary freezing, and that the
+    encoded bytes (not just the partitioning) land on the batch
+    answer."""
+    path = _streaming_ivfpq_index(spark, sf_dir)
+    idx = spark.read.parquet(path)
+    return (idx.groupBy(F.col("centroid_id").cast("long").alias("centroid_id"))
+            .agg(F.count("*").alias("n_vectors"),
+                 F.sum("vec_id").alias("sum_vec_id"),
+                 F.sum(F.aggregate("codes", F.lit(0).cast("long"),
+                                   lambda a, x: a + x)).alias("sum_codes")))

@@ -123,3 +123,82 @@ def start_streaming_ann_index(
     else:
         writer = writer.trigger(processingTime=trigger_interval)
     return writer.start()
+
+
+def codebooks_path(index_path: str) -> str:
+    """``<index_path>/_codebooks`` — the PQ dictionary sidecar of a
+    streaming IVF-PQ index, beside ``_centroids`` (same underscore
+    convention: invisible to partition reads)."""
+    return os.path.join(index_path.rstrip("/"), "_codebooks")
+
+
+def load_codebooks(spark: SparkSession, index_path: str):
+    """The index's frozen PQ codebooks (written at bootstrap)."""
+    return spark.read.parquet(codebooks_path(index_path))
+
+
+def start_streaming_ivfpq_index(
+    spark: SparkSession,
+    input_dir: str,
+    index_path: str,
+    checkpoint: str,
+    m: int,
+    dim: int,
+    schema: T.StructType = VEC_SCHEMA,
+    n_centroids: int = 8,
+    ks: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    trigger_interval: str = "1 minute",
+    available_now: bool = False,
+    **assign_opts,
+) -> StreamingQuery:
+    """Streaming growth of an ENCODED (IVF-PQ) index: like
+    ``start_streaming_ann_index``, but the bootstrap freezes TWO
+    dictionaries — the centroid geometry (``_centroids``) AND the
+    m×ks lowid PQ codebooks derived from the first batch
+    (``_codebooks``) — and every appended row is stored as m small int
+    codes instead of floats. The frozen-dictionary rule doubles:
+    appending under re-trained centroids would mis-partition history,
+    under re-trained codebooks it would mis-DECODE history
+    (``ivfpq_index_append``'s contract). Searches between batches:
+    ``operators.pq.ivfpq_search(spark, index_path,
+    load_codebooks(...), load_centroids(...), ...)``. At 100 TB the
+    stream writes 32× fewer index bytes than the float index and the
+    stored corpus is never re-read."""
+    from ..operators.pq import (
+        ivfpq_build_index, ivfpq_index_append, pq_codebooks,
+    )
+
+    src = spark.readStream.schema(schema).json(input_dir)
+
+    def process_batch(batch_df, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if not _index_initialized(index_path):
+            cents = (batch_df.orderBy(F.asc(id_col)).limit(n_centroids)
+                     .select(F.col(id_col).alias("centroid_id"), vec_col))
+            cb = pq_codebooks(batch_df, m, ks, dim, id_col=id_col,
+                              vec_col=vec_col)
+            # Build first (overwrite would wipe pre-written sidecars),
+            # then persist BOTH frozen dictionaries beside the
+            # partitions; _index_initialized requires _centroids, so a
+            # crash mid-bootstrap re-runs the idempotent build.
+            ivfpq_build_index(batch_df, cents, cb, index_path, m, dim,
+                              id_col=id_col, vec_col=vec_col,
+                              **assign_opts)
+            cb.write.mode("overwrite").parquet(codebooks_path(index_path))
+            cents.write.mode("overwrite").parquet(centroids_path(index_path))
+        else:
+            ivfpq_index_append(
+                batch_df, load_centroids(spark, index_path),
+                load_codebooks(spark, index_path), index_path, m, dim,
+                id_col=id_col, vec_col=vec_col, **assign_opts)
+
+    writer = (src.writeStream.foreachBatch(process_batch)
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=trigger_interval)
+    return writer.start()

@@ -534,3 +534,63 @@ def test_streaming_mv_tracks_base_across_batches(spark, tmp_path):
             "supplier_name": "__tombstone__", "supplier_state": "TX"}) + "\n")
     run_once()
     assert mv() == recompute() == {"CA": (3, 6)}
+
+
+def test_streaming_ivfpq_freezes_both_dictionaries(spark, tmp_path):
+    """The IVF-PQ stream's bootstrap freezes centroids AND codebooks;
+    a checkpointed second batch must append rows whose stored codes
+    equal a fresh pq_encode of those rows under the LOADED sidecar
+    codebooks (frozen-dictionary contract, code-level), into the
+    partitions of the loaded centroid geometry."""
+    from slowly_changing_dimensions_data_engineering_spark.operators.pq import pq_encode
+    from slowly_changing_dimensions_data_engineering_spark.operators.similarity import (
+        ivf_assign,
+    )
+    from slowly_changing_dimensions_data_engineering_spark.streaming.ann_stream import (
+        load_centroids, load_codebooks, start_streaming_ivfpq_index,
+    )
+
+    m, dim, ks, ncells = 2, 4, 4, 2
+    root = str(tmp_path)
+    in_dir, ckpt, idx = (os.path.join(root, d) for d in ("in", "ck", "idx"))
+    os.makedirs(in_dir)
+
+    def vec(i):
+        return [round(((i * 37 + d * 11) % 97) / 48.0 - 1.0, 6)
+                for d in range(1, dim + 1)]
+
+    def stage(name, ids):
+        with open(os.path.join(in_dir, name), "w") as fh:
+            for i in ids:
+                fh.write(json.dumps(
+                    {"vec_id": i, "embedding": vec(i), "label": 0}) + "\n")
+
+    def run():
+        q = start_streaming_ivfpq_index(
+            spark, in_dir, idx, ckpt, m=m, dim=dim, n_centroids=ncells,
+            ks=ks, available_now=True)
+        q.awaitTermination()
+
+    stage("b0.json", range(0, 12))
+    run()
+    stage("b1.json", range(100, 108))
+    run()
+
+    cents = load_centroids(spark, idx)
+    cb = load_codebooks(spark, idx)
+    assert {r["centroid_id"] for r in cents.collect()} == {0, 1}  # batch-0 ids
+    assert cb.count() == m * ks
+
+    stored = {r["vec_id"]: (r["codes"], r["centroid_id"])
+              for r in spark.read.parquet(idx).collect()}
+    assert set(stored) == set(range(0, 12)) | set(range(100, 108))
+
+    batch2 = spark.createDataFrame(
+        [(i, vec(i)) for i in range(100, 108)], ["vec_id", "embedding"])
+    expect_codes = {r["vec_id"]: r["codes"]
+                    for r in pq_encode(batch2, cb, m, dim).collect()}
+    expect_cells = {r["vec_id"]: r["centroid_id"]
+                    for r in ivf_assign(batch2, cents,
+                                        n_centroids=ncells).collect()}
+    for i in range(100, 108):
+        assert stored[i] == (expect_codes[i], expect_cells[i])
