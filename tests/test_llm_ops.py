@@ -1258,3 +1258,52 @@ def test_ivfpq_residual_search_matches_bruteforce_in_probed_cells(spark, tmp_pat
         (round(sum((a - b) ** 2 for a, b in zip(qv, emb[v])), 9), v)
         for v in assign if assign[v] in probed and v != 9)[:5]
     assert rows == [(v, d) for d, v in exact]
+
+
+def test_pq_encode_is_idempotent_through_reconstruction(spark):
+    """PQ fixed-point property: a reconstructed vector IS a
+    concatenation of codewords, so re-encoding it returns the same
+    codes with zero error — pins the argmin/tie conventions against
+    drift (a rounding or tie-break change would break the fixed
+    point)."""
+    from slowly_changing_dimensions_data_engineering_spark.operators.pq import (
+        pq_codebooks, pq_encode, pq_reconstruct,
+    )
+    vecs = spark.range(150).select(
+        F.col("id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(1), F.lit(8)),
+                    lambda d: ((F.col("id") * 257 + d * 31) % 509)
+                    .cast("double") / 250.0 - 1.0).alias("embedding"))
+    cb = pq_codebooks(vecs, m=4, ks=8, dim=8)
+    codes1 = pq_encode(vecs, cb, m=4, dim=8)
+    rec = pq_reconstruct(codes1, cb)
+    codes2 = pq_encode(rec, cb, m=4, dim=8, with_dist=True)
+    a = {r["vec_id"]: r["codes"] for r in codes1.collect()}
+    for r in codes2.collect():
+        assert r["codes"] == a[r["vec_id"]]
+        assert r["dists"] == [0.0] * 4
+
+
+def test_kmeans_fit_sse_monotone_nonincreasing(spark):
+    """Lloyd's invariant: total within-cluster SSE never increases with
+    more iterations (exact means)."""
+    from slowly_changing_dimensions_data_engineering_spark.operators.similarity import (
+        ivf_assign, kmeans_fit, l2sq,
+    )
+    vecs = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(1), F.lit(6)),
+                    lambda d: ((F.col("id") * 389 + d * 53) % 701)
+                    .cast("double") / 350.0 - 1.0).alias("embedding"))
+
+    def sse(iters):
+        cents = kmeans_fit(vecs, k=6, iters=iters)
+        a = ivf_assign(vecs, cents, n_centroids=6)
+        return (vecs.join(a, "vec_id")
+                .join(cents.withColumnRenamed("embedding", "ce"),
+                      "centroid_id")
+                .agg(F.sum(l2sq(F.col("embedding"), F.col("ce"))))
+                .head()[0])
+
+    s1, s2, s4 = sse(1), sse(2), sse(4)
+    assert s1 >= s2 - 1e-9 and s2 >= s4 - 1e-9
