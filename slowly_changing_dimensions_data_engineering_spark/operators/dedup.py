@@ -451,3 +451,86 @@ def benchmark_overlap(docs: DataFrame, bench: DataFrame,
     return per.select(id_col, "n_shingles", "n_overlap",
                       F.round(frac, 6).alias("overlap_frac"),
                       (frac >= threshold).alias("contaminated"))
+
+
+def positional_shingles(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", w: int = 8) -> DataFrame:
+    """POSITION-INDEXED w-token shingles: one row per (doc, start
+    position), 1-based, with the md5 of the w-token window — the
+    substrate of substring-level dedup, where *where* a shingle occurs
+    matters, unlike :func:`shingles` (distinct, position-free).
+
+    Docs shorter than ``w`` tokens emit no rows (no w-window exists).
+    The sequence bound is guarded: Spark's ``sequence(1, n)`` counts
+    DOWN when n < 1, so the position list is empty-when-short by a
+    ``when``, not by clamping."""
+    toks = tokens(text_col)
+    n_sh = F.size(toks) - (w - 1)
+    pos_list = F.when(n_sh >= 1, F.sequence(F.lit(1), n_sh)) \
+                .otherwise(F.array().cast("array<int>"))
+    sh = F.transform(
+        pos_list,
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.md5(F.concat_ws(" ", F.slice(toks, i, w))).alias("h")))
+    ex = docs.select(F.col(id_col), F.size(toks).alias("n_tokens"),
+                     F.explode(sh).alias("_s"))
+    return ex.select(id_col, "n_tokens",
+                     F.col("_s.pos").alias("pos"), F.col("_s.h").alias("h"))
+
+
+def substring_dup_spans(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", w: int = 8,
+                        min_count: int = 2) -> DataFrame:
+    """Substring-level exact dedup (the Lee et al. 2021 "Deduplicating
+    Training Data" operator, Spark-shaped): find maximal token spans
+    that are repeated — within a document or across the corpus — and
+    report them as cuttable (start, end) spans per document.
+
+    Shape (all linear, never all-pairs):
+
+    1. position-indexed w-token shingle hashes (:func:`positional_shingles`)
+       — one explode, corpus-linear;
+    2. the corpus-wide duplicate-shingle set: ``groupBy(h)`` keeping
+       hashes with total occurrence count >= ``min_count`` (md5 keys are
+       uniform, so the shuffle is skew-free);
+    3. join positions back to the duplicate set on ``h`` — pinned
+       ``shuffle_hash`` like the candidate self-joins: the dup-hash
+       frame is corpus-scaled in the worst case (boilerplate-heavy
+       corpora), so an estimate-driven broadcast of it is exactly the
+       flip :mod:`tests.test_plans` exists to prevent;
+    4. gaps-and-islands per doc: duplicated start positions whose gap
+       is <= ``w`` have overlapping/abutting w-windows, so they merge
+       into ONE maximal span (window function over ``(doc, pos)``);
+       a gap > w leaves at least one uncovered token between spans,
+       so distinct islands are disjoint by construction.
+
+    Returns one row per span: (id, n_tokens, span_start, span_end,
+    span_tokens) where the span covers tokens ``span_start ..
+    span_start + span_tokens - 1`` (1-based, ``span_tokens =
+    last_window_start - span_start + w``). Aggregate for per-doc
+    dup-fraction; anti-join/slice for the actual cut.
+
+    100 TB: two uniform-key shuffles (h-agg, h-join) + one doc-keyed
+    window — same scale class as :func:`ngram_candidate_pairs` minus
+    the self-join, because substring dedup never compares documents
+    pairwise at all."""
+    ps = positional_shingles(docs, id_col, text_col, w)
+    dup = (ps.groupBy("h").agg(F.count("*").alias("_c"))
+           .filter(F.col("_c") >= min_count).select("h"))
+    hits = ps.join(dup.hint("shuffle_hash"), "h")
+
+    from pyspark.sql.window import Window
+    win = Window.partitionBy(id_col).orderBy("pos")
+    prev = F.lag("pos").over(win)
+    brk = F.when(prev.isNull() | ((F.col("pos") - prev) <= w), 0) \
+           .otherwise(1)
+    spans = (hits.withColumn("_span", F.sum(brk).over(win))
+             .groupBy(id_col, "n_tokens", "_span")
+             .agg(F.min("pos").alias("span_start"),
+                  F.max("pos").alias("_last_start")))
+    return spans.select(
+        F.col(id_col), F.col("n_tokens"), F.col("span_start"),
+        (F.col("_last_start") + (w - 1)).alias("span_end"),
+        (F.col("_last_start") - F.col("span_start") + w)
+        .alias("span_tokens"))

@@ -4791,3 +4791,61 @@ def streaming_ivfpq_index_state(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("vec_id").alias("sum_vec_id"),
                  F.sum(F.aggregate("codes", F.lit(0).cast("long"),
                                    lambda a, x: a + x)).alias("sum_codes")))
+
+
+@register("substring_dedup_spans", """
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id, len(t) AS n_tokens, i AS pos,
+         md5(array_to_string(t[i:i+7], ' ')) AS h
+  FROM toks, unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS u(i)
+),
+dup AS (SELECT h FROM sh GROUP BY h HAVING COUNT(*) >= 2),
+hits AS (SELECT sh.* FROM sh JOIN dup USING (h)),
+isl AS (
+  SELECT doc_id, n_tokens, pos,
+         SUM(CASE WHEN prev IS NULL OR pos - prev <= 8 THEN 0 ELSE 1 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+  FROM (SELECT hits.*,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM hits)
+),
+spans AS (
+  SELECT doc_id, n_tokens, span_id,
+         MIN(pos) AS sp, MAX(pos) AS lp
+  FROM isl GROUP BY doc_id, n_tokens, span_id
+)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) AS BIGINT) AS n_spans,
+       CAST(SUM(lp - sp + 8) AS BIGINT) AS dup_tokens,
+       round(SUM(lp - sp + 8) / CAST(n_tokens AS DOUBLE), 6) AS dup_frac
+FROM spans GROUP BY doc_id, n_tokens
+""")
+def substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup (operators/dedup.py:
+    substring_dup_spans): maximal repeated 8-token runs — within a doc
+    or across the corpus — merged into disjoint cuttable spans, here
+    aggregated to the per-doc removal report (span count, tokens
+    covered, duplicated fraction). The one widely-run LLM-curation
+    operator the document-level dedup family (exact/MinHash/SimHash/
+    SemDeDup) does not cover: it removes the repeated boilerplate
+    INSIDE otherwise-unique documents. Linear end-to-end — one
+    position-indexed shingle explode, a uniform-key duplicate-hash
+    aggregate, a pinned shuffle-hash join back, and a doc-keyed
+    gaps-and-islands window; no document is ever compared to another
+    document. Oracle restates the identical span algebra over DuckDB
+    window functions."""
+    from .operators.dedup import substring_dup_spans
+    d = _spread(spark, _t(spark, sf_dir, "documents")["documents"])
+    spans = substring_dup_spans(d, w=8, min_count=2)
+    return (spans.groupBy("doc_id", "n_tokens")
+            .agg(F.count("*").alias("n_spans"),
+                 F.sum("span_tokens").alias("dup_tokens"))
+            .select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+                    F.col("n_spans").cast("long").alias("n_spans"),
+                    F.col("dup_tokens").cast("long").alias("dup_tokens"),
+                    F.round(F.col("dup_tokens") /
+                            F.col("n_tokens").cast("double"), 6)
+                    .alias("dup_frac")))

@@ -1307,3 +1307,71 @@ def test_kmeans_fit_sse_monotone_nonincreasing(spark):
 
     s1, s2, s4 = sse(1), sse(2), sse(4)
     assert s1 >= s2 - 1e-9 and s2 >= s4 - 1e-9
+
+
+def test_substring_dup_spans_islands_and_coverage(spark):
+    """Span algebra of substring-level dedup: a shared 10-token run
+    between two docs becomes ONE merged span (consecutive duplicated
+    w-window starts collapse), coverage arithmetic is last_start -
+    first_start + w, and a doc with no repeated window emits nothing."""
+    from slowly_changing_dimensions_data_engineering_spark.operators.dedup import (
+        substring_dup_spans,
+    )
+    run = "r1 r2 r3 r4 r5 r6 r7 r8 r9 r10"        # 10-token shared run
+    rows = [
+        (0, f"a0 b0 c0 {run} d0 e0 f0"),           # run at pos 4..13
+        (1, f"{run} x1 y1 z1 w1 v1 u1"),           # run at pos 1..10
+        (2, "n1 n2 n3 n4 n5 n6 n7 n8 n9 n10 n11"),  # unique, no spans
+        (3, "short doc"),                           # < w tokens
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = {r["doc_id"]: r for r in
+             substring_dup_spans(d, w=4, min_count=2).collect()}
+    assert set(spans) == {0, 1}
+    # doc 0: duplicated 4-window starts are 4..10 (every window inside
+    # the run), one island -> span tokens 4..13, span_tokens 10
+    assert spans[0]["span_start"] == 4
+    assert spans[0]["span_end"] == 13
+    assert spans[0]["span_tokens"] == 10
+    assert spans[1]["span_start"] == 1
+    assert spans[1]["span_end"] == 10
+    assert spans[1]["span_tokens"] == 10
+
+
+def test_substring_dup_spans_within_doc_and_gap_rule(spark):
+    """Within-document repeats count toward min_count (a doc repeating
+    its own boilerplate is cut without any partner doc), and two
+    duplicated runs separated by a gap > w stay SEPARATE disjoint
+    spans."""
+    from slowly_changing_dimensions_data_engineering_spark.operators.dedup import (
+        substring_dup_spans,
+    )
+    bp = "p1 p2 p3 p4"                               # 4-token boilerplate
+    # bp at pos 1..4 and again at pos 10..13; gap between duplicated
+    # window starts 1 and 10 is 9 > w=4 -> two islands
+    text = f"{bp} m1 m2 m3 m4 m5 {bp} m6 m7"
+    d = spark.createDataFrame([(7, text)], ["doc_id", "text"])
+    spans = sorted(
+        substring_dup_spans(d, w=4, min_count=2).collect(),
+        key=lambda r: r["span_start"])
+    assert [(s["span_start"], s["span_end"], s["span_tokens"])
+            for s in spans] == [(1, 4, 4), (10, 13, 4)]
+    # spans are disjoint with at least one uncovered token between them
+    assert spans[0]["span_end"] < spans[1]["span_start"] - 1
+
+
+def test_substring_dup_spans_plan_is_linear(spark):
+    """The 100 TB shape: no nested-loop/cartesian anywhere, and the
+    duplicate-hash join back to positions is a pinned ShuffledHashJoin
+    (never an estimate-driven broadcast of the corpus-scaled dup set)."""
+    from slowly_changing_dimensions_data_engineering_spark.operators.dedup import (
+        substring_dup_spans,
+    )
+    d = spark.createDataFrame(
+        [(i, "w1 w2 w3 w4 w5 w6 w7 w8 w9") for i in range(4)],
+        ["doc_id", "text"])
+    plan = substring_dup_spans(d, w=4)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "ShuffledHashJoin" in plan
