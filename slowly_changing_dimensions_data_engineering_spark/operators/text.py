@@ -226,3 +226,104 @@ def chunk_documents(docs: DataFrame, chunk_chars: int = 200,
     return (docs.select(F.col(id_col), F.posexplode(chunks)
                         .alias("chunk_id", "chunk"))
             .select(id_col, F.col("chunk_id").cast("long"), "chunk"))
+
+
+def _bpe_merge_fold(syms: Column, left: str, right: str) -> Column:
+    """Apply ONE BPE merge rule (left, right) -> left||right to a symbol
+    array, greedy left-to-right non-overlapping — the standard rule
+    (Sennrich et al. 2016). A pure codegen fold: the accumulator array
+    either absorbs the incoming symbol into its last element (when the
+    last element is ``left`` and the symbol is ``right``) or appends it.
+    Greediness falls out of the fold order, and the a==b overlap case
+    ([a,a,a] -> [aa,a], never [a,aa]) is handled because a merged last
+    element ``left||right`` is strictly longer than ``left`` and can
+    never re-match it."""
+    merged = F.lit(left + right)
+    return F.aggregate(
+        syms, F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left)) & (s == F.lit(right)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)))
+        .otherwise(F.concat(acc, F.array(s))))
+
+
+def bpe_train(docs: DataFrame, n_merges: int = 12, text_col: str = "text",
+              ) -> tuple[DataFrame, DataFrame]:
+    """Train a byte-pair-encoding merge table against the corpus — the
+    iterative best-pair selection loop proper, completing the tokenizer
+    story started by the counting queries (``bpe_token_stats``,
+    ``token_freq_topk``).
+
+    Algorithm (Sennrich et al. 2016, the shape HuggingFace trainers
+    use): the corpus collapses ONCE to a word-frequency vocabulary;
+    every subsequent round runs over that vocabulary only —
+    (1) count adjacent symbol pairs weighted by word frequency (each
+    position counts, so [a,a,a] contributes (a,a) twice),
+    (2) pick the globally most frequent pair — ties broken by (left,
+    right) ascending so the choice is deterministic cross-engine,
+    (3) rewrite every word's symbol array through the greedy fold
+    (:func:`_bpe_merge_fold`).
+
+    100 TB shape: the corpus is touched exactly once (the word-count
+    shuffle — uniform keys, map-side partial agg). The iterated object
+    is the DISTINCT-WORD table, which Zipf keeps orders of magnitude
+    smaller than the corpus and which stays fully distributed — per
+    round: one explode + pair-count aggregate over the vocab (partial
+    agg, uniform md5-free string keys), one argmax via
+    ``orderBy().limit(1)`` whose driver collect is exactly ONE row, and
+    one codegen fold rewrite. ``stabilize()`` materializes the vocab
+    each round so lineage/expression depth stays O(1) across rounds,
+    the same discipline as ``kmeans_fit``/connected components.
+
+    Returns ``(merges, vocab)``: ``merges`` = (merge_rank, left_sym,
+    right_sym, pair_freq, new_token), rank 1-based in training order —
+    dictionary-sized (n_merges rows, built on the driver like the
+    k-row kmeans centroid frame); ``vocab`` = (word, cnt, syms) with
+    the final segmentation."""
+    from ..session import stabilize
+    spark = docs.sparkSession
+    words = (docs.select(F.explode(_tokens(text_col)).alias("word"))
+             .filter(F.col("word") != "")
+             .groupBy("word").agg(F.count("*").alias("cnt")))
+    cur = stabilize(words.withColumn(
+        "syms", F.filter(F.split("word", ""), lambda x: x != "")))
+    merges: list[tuple] = []
+    for rank in range(1, max(0, n_merges) + 1):
+        pair = F.transform(
+            F.sequence(F.lit(1), F.size("syms") - 1),
+            lambda i: F.struct(F.get("syms", i - 1).alias("l"),
+                               F.get("syms", i).alias("r")))
+        best = (cur.filter(F.size("syms") >= 2)
+                .select("cnt", F.explode(pair).alias("p"))
+                .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+                .agg(F.sum("cnt").alias("pf"))
+                .orderBy(F.desc("pf"), "l", "r")
+                .limit(1).collect())
+        if not best:
+            break
+        left, right, pf = best[0]["l"], best[0]["r"], best[0]["pf"]
+        merges.append((rank, left, right, pf, left + right))
+        cur = stabilize(cur.withColumn(
+            "syms", _bpe_merge_fold(F.col("syms"), left, right)))
+    merges_df = spark.createDataFrame(
+        merges, schema="merge_rank long, left_sym string, right_sym string,"
+                       " pair_freq long, new_token string")
+    return merges_df, cur
+
+
+def bpe_segment(df: DataFrame, syms_col: str,
+                merges: list[tuple[str, str]]) -> DataFrame:
+    """Apply a TRAINED merge table to a symbol-array column, in rank
+    order — tokenization with a fixed vocabulary, the inference side of
+    :func:`bpe_train`. Pure codegen: each merge is one
+    :func:`_bpe_merge_fold` wrap, so the whole merge table compiles
+    into a single projection over the scan — no shuffle, no Python,
+    embarrassingly row-parallel at any corpus size. Expression depth is
+    O(len(merges)); for merge tables beyond a few hundred rules, apply
+    in stages with a ``stabilize()`` between (same lineage discipline
+    as training)."""
+    c = F.col(syms_col)
+    for left, right in merges:
+        c = _bpe_merge_fold(c, left, right)
+    return df.withColumn(syms_col, c)

@@ -189,6 +189,7 @@ _PIPELINE_CACHE_NAMES = (
     "_SCD2_STORE_CACHE", "_MINHASH_INDEX_CACHE", "_IVF_INDEX_CACHE",
     "_DELETE_STORE_CACHE", "_DIFF_STORE_CACHE", "_STREAM_MV_CACHE",
     "_STREAM_ANN_CACHE", "_ORDERS_SCD2_CACHE", "_IVFPQ_INDEX_CACHE",
+    "_BPE_CACHE",
 )
 
 
@@ -1147,7 +1148,9 @@ _IVF_QUERY_ID = 42
 _IVF_N_CENTROIDS = 8
 #: sf_dir -> (materialized index path, n_centroids) (built once per process).
 _IVF_INDEX_CACHE: dict[str, tuple[str, int]] = {}
-_IVFPQ_INDEX_CACHE: dict[str, str] = {}
+#: Raw index keyed by sf_dir; the residual family keys (sf_dir,
+#: "residual") — same tuple-key convention as _STREAM_ANN_CACHE.
+_IVFPQ_INDEX_CACHE: dict[str | tuple[str, str], str] = {}
 
 #: Rows per IVF cell the index layout targets. Centroid count scales as
 #: ``max(8, n // 250)`` so cell POPULATION stays ~constant as the corpus
@@ -4849,3 +4852,138 @@ def substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("dup_tokens") /
                             F.col("n_tokens").cast("double"), 6)
                     .alias("dup_frac")))
+
+
+#: Trained-BPE state per sf_dir: (merges DataFrame, final vocab
+#: DataFrame) — both stabilize()d, so the two registered queries share
+#: one 12-round training run per process.
+_BPE_CACHE: dict[str, tuple] = {}
+
+_BPE_N_MERGES = 12
+
+#: The oracle replays the FULL training loop as one recursive CTE: the
+#: iterated state is (word, cnt, syms, round, merge-that-got-here);
+#: each recursive step explodes symbol positions, window-aggregates
+#: pair frequencies (per-position, frequency-weighted), picks the
+#: global argmax with the same (freq DESC, left, right) tiebreak —
+#: chr(31) separator sorts below every printable char, so the
+#: concatenated-pair order equals Spark's (left, right) tuple order —
+#: then rewrites each word via the windowed gaps-and-islands greedy
+#: (merge at even offsets inside runs of consecutive matching pairs,
+#: exactly the fold's left-to-right non-overlapping semantics).
+_BPE_ORACLE_CTE = """
+WITH RECURSIVE vocab AS (
+  SELECT w AS word, COUNT(*) AS cnt
+  FROM (SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY w
+),
+bpe AS (
+  SELECT word, cnt, str_split(word, '') AS syms, 0 AS r,
+         CAST(NULL AS VARCHAR) AS ml, CAST(NULL AS VARCHAR) AS mr,
+         CAST(NULL AS BIGINT) AS mf
+  FROM vocab
+  UNION ALL
+  SELECT word, cnt,
+         list(CASE WHEN merge_here = 1 THEN sym || nxt ELSE sym END
+              ORDER BY pos) AS syms,
+         r + 1, best_l, best_r, best_f
+  FROM (
+    SELECT *,
+           COALESCE(LAG(merge_here)
+             OVER (PARTITION BY word, r ORDER BY pos), 0) AS consumed
+    FROM (
+      SELECT *,
+             CASE WHEN raw = 1
+                  AND (rn_raw - MIN(CASE WHEN raw = 1 THEN rn_raw END)
+                         OVER (PARTITION BY word, r, pos - rn_raw)) % 2 = 0
+                  THEN 1 ELSE 0 END AS merge_here
+      FROM (
+        SELECT *,
+               SUM(raw) OVER (PARTITION BY word, r ORDER BY pos) AS rn_raw
+        FROM (
+          SELECT *,
+                 CASE WHEN sym = best_l AND nxt = best_r
+                      THEN 1 ELSE 0 END AS raw
+          FROM (
+            SELECT *,
+                   FIRST_VALUE(sym) OVER w_best AS best_l,
+                   FIRST_VALUE(nxt) OVER w_best AS best_r,
+                   FIRST_VALUE(pf) OVER w_best AS best_f
+            FROM (
+              SELECT *,
+                     SUM(CASE WHEN pr IS NOT NULL THEN cnt END)
+                       OVER (PARTITION BY r, pr) AS pf
+              FROM (
+                SELECT word, cnt, r, pos, syms[pos] AS sym,
+                       syms[pos + 1] AS nxt,
+                       CASE WHEN pos < len(syms)
+                            THEN syms[pos] || chr(31) || syms[pos + 1] END AS pr
+                FROM bpe, unnest(range(1, len(syms) + 1)) AS u(pos)
+                WHERE r < 12
+              )
+            )
+            WINDOW w_best AS (PARTITION BY r
+                              ORDER BY pf DESC NULLS LAST, pr ASC NULLS LAST
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND UNBOUNDED FOLLOWING)
+          )
+        )
+      )
+    )
+  )
+  WHERE consumed = 0
+  GROUP BY word, cnt, r, best_l, best_r, best_f
+)
+"""
+
+
+def _bpe_trained(spark: SparkSession, sf_dir: str):
+    if sf_dir not in _BPE_CACHE:
+        from .operators.text import bpe_train
+        d = _spread(spark, _t(spark, sf_dir, "documents")["documents"])
+        _BPE_CACHE[sf_dir] = bpe_train(d, n_merges=_BPE_N_MERGES)
+    return _BPE_CACHE[sf_dir]
+
+
+@register("bpe_train_merges", _BPE_ORACLE_CTE + """
+SELECT DISTINCT CAST(r AS BIGINT) AS merge_rank, ml AS left_sym,
+       mr AS right_sym, CAST(mf AS BIGINT) AS pair_freq,
+       ml || mr AS new_token
+FROM bpe WHERE r >= 1
+""")
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge-loop training proper (operators/text.py:bpe_train —
+    Sennrich et al. 2016): 12 rounds of corpus-weighted best-pair
+    selection over the distinct-word vocabulary, returning the trained
+    merges table (rank, pair, frequency, new token). The corpus is
+    scanned exactly once (word-count shuffle); every round iterates the
+    Zipf-compacted vocab only, with a 1-row argmax collect and a pure
+    codegen fold rewrite — the kmeans_fit driver-bounded iteration
+    pattern applied to tokenizer training. Oracle: the full 12-round
+    loop replayed as ONE recursive CTE (window-aggregated pair
+    frequencies, identical argmax tiebreak, windowed gaps-and-islands
+    greedy rewrite) — equal only if every round's choice AND every
+    word's rewrite match bit-for-bit."""
+    merges, _ = _bpe_trained(spark, sf_dir)
+    return merges
+
+
+@register("bpe_vocab_segmentation", _BPE_ORACLE_CTE + """
+SELECT word, CAST(cnt AS BIGINT) AS cnt,
+       CAST(len(syms) AS BIGINT) AS n_syms,
+       array_to_string(syms, ' ') AS seg
+FROM bpe WHERE r = 12
+""")
+def bpe_vocab_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained tokenizer APPLIED: every vocabulary word's final
+    segmentation under the 12 trained merges (word, corpus frequency,
+    subword count, segmentation) — the inference-side contract of
+    ``bpe_train`` (same discipline as pq_encode vs pq_codebooks: the
+    dictionary is only as good as the encoding it produces). Shares the
+    per-process trained state with ``bpe_train_merges``; the oracle is
+    the same recursive CTE's final-round state."""
+    _, vocab = _bpe_trained(spark, sf_dir)
+    return vocab.select(
+        "word", F.col("cnt").cast("long").alias("cnt"),
+        F.size("syms").cast("long").alias("n_syms"),
+        F.concat_ws(" ", "syms").alias("seg"))
