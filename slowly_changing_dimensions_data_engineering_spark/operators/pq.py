@@ -52,7 +52,10 @@ def pq_codebooks(vectors: DataFrame, m: int, ks: int, dim: int,
     sub-vector of the c-th lowest-id row (oracle-restatable).
     ``mode="kmeans"``: each subspace's codebook is ``kmeans_fit`` over
     that subspace's projection of the WHOLE corpus (m dictionary-sized
-    trainings; fast means — this is the production-quality path)."""
+    trainings; fast means — this is the production-quality path).
+    Analysis-time cost note: the m trainings run SEQUENTIALLY, m·iters
+    Spark jobs of dictionary-sized driver work — fine for a one-off
+    dictionary build, not a per-query path."""
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
@@ -248,8 +251,8 @@ def ivfpq_search(spark, path: str, codebooks: DataFrame,
                  centroids: DataFrame, query_df: DataFrame, m: int, dim: int,
                  k: int = 10, nprobe: int = 1, shortlist: int | None = None,
                  rerank_vectors: DataFrame | None = None,
-                 id_col: str = "vec_id",
-                 vec_col: str = "embedding") -> DataFrame:
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 exclude_query_id: bool = True) -> DataFrame:
     """Partition-pruned ADC search over an IVF-PQ index, query resolved
     IN-PLAN (no driver collect): the query's ``nprobe`` nearest cells
     are ranked by broadcasting the 1-row query against the streaming
@@ -265,7 +268,14 @@ def ivfpq_search(spark, path: str, codebooks: DataFrame,
     ids back to the float vectors for an exact re-rank of the final
     top-``k`` (float IO = shortlist rows, not the corpus). Without
     ``rerank_vectors`` the raw ADC top-k is returned. Distances follow
-    the registry convention (rounded to 9, ties → lowest id)."""
+    the registry convention (rounded to 9, ties → lowest id).
+
+    ``exclude_query_id`` (default True): drop the corpus row whose
+    ``id_col`` equals the query's — the self-match convention for
+    queries drawn FROM the corpus (``pq_adc_topk`` keeps self-matches;
+    this flag makes the difference explicit instead of implicit). Pass
+    False for out-of-corpus query vectors, where an id collision would
+    silently drop a legitimate neighbor."""
     from ..session import stabilize
 
     q = stabilize(query_df.limit(1).select(
@@ -288,9 +298,10 @@ def ivfpq_search(spark, path: str, codebooks: DataFrame,
                         l2sq(_subvec(F.col("_qv"), j, sub), cw), 9)))
                 .alias("_dtab")))
     idx = spark.read.parquet(path)
-    pruned = idx.join(
-        F.broadcast(probes), (idx["centroid_id"] == probes["_qc"]) &
-        (idx[id_col] != probes["_qid"]))
+    cond = idx["centroid_id"] == probes["_qc"]
+    if exclude_query_id:
+        cond = cond & (idx[id_col] != probes["_qid"])
+    pruned = idx.join(F.broadcast(probes), cond)
     adc = (pruned.join(F.broadcast(dtab), "_qid")
            .select(F.col(id_col), F.col("centroid_id"),
                    F.round(F.aggregate(
@@ -357,29 +368,64 @@ def residual_frame(vectors: DataFrame, centroids: DataFrame,
                     .alias(vec_col)))
 
 
+def _residual_codes(vectors: DataFrame, centroids: DataFrame,
+                    codebooks: DataFrame, m: int, dim: int,
+                    id_col: str, vec_col: str,
+                    keep: list[str] | None, assign_opts: dict) -> DataFrame:
+    """Shared residual-encode plan for build and append: assign each
+    vector, subtract its cell centroid, PQ-encode the residual, and
+    carry ``centroid_id`` (+ any ``keep`` metadata) alongside the
+    codes."""
+    from .similarity import ivf_assign
+    assign = ivf_assign(vectors, centroids, id_col, vec_col, **assign_opts)
+    c = centroids.select(F.col("centroid_id"),
+                         as_double("embedding").alias("_ce"))
+    extra = list(keep or [])
+    v = vectors.select(F.col(id_col), as_double(vec_col).alias("_v"),
+                       *[F.col(k) for k in extra])
+    res = (v.join(assign, id_col).join(c, "centroid_id")
+           .select(F.col(id_col), F.col("centroid_id"),
+                   F.zip_with("_v", "_ce", lambda x, y: x - y)
+                   .alias(vec_col), *[F.col(k) for k in extra]))
+    return pq_encode(res, codebooks, m, dim, id_col=id_col,
+                     vec_col=vec_col, keep=["centroid_id"] + extra)
+
+
 def ivfpq_build_index_residual(vectors: DataFrame, centroids: DataFrame,
                                codebooks: DataFrame, path: str, m: int,
                                dim: int, id_col: str = "vec_id",
                                vec_col: str = "embedding",
+                               keep: list[str] | None = None,
                                **assign_opts) -> None:
     """IVF-PQ with RESIDUAL encoding: each row's codes quantize
     (vector − its cell centroid) against residual-trained
     ``codebooks`` (build them over ``residual_frame`` — mixing raw
     codebooks with residual encoding mis-decodes everything). Same
-    partitioned layout and append/search contracts as the raw index;
+    partitioned layout and append/search contracts as the raw index:
+    ``keep`` carries metadata columns for filtered search,
+    ``ivfpq_index_append_residual`` grows it O(batch), and
     ``ivfpq_search_residual`` is the matching read path."""
-    from .similarity import ivf_assign
-    assign = ivf_assign(vectors, centroids, id_col, vec_col, **assign_opts)
-    c = centroids.select(F.col("centroid_id"),
-                         as_double("embedding").alias("_ce"))
-    v = vectors.select(F.col(id_col), as_double(vec_col).alias("_v"))
-    res = (v.join(assign, id_col).join(c, "centroid_id")
-           .select(F.col(id_col), F.col("centroid_id"),
-                   F.zip_with("_v", "_ce", lambda x, y: x - y)
-                   .alias(vec_col)))
-    codes = pq_encode(res, codebooks, m, dim, id_col=id_col,
-                      vec_col=vec_col, keep=["centroid_id"])
+    codes = _residual_codes(vectors, centroids, codebooks, m, dim,
+                            id_col, vec_col, keep, assign_opts)
     codes.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+
+def ivfpq_index_append_residual(new_vectors: DataFrame,
+                                centroids: DataFrame,
+                                codebooks: DataFrame, path: str, m: int,
+                                dim: int, id_col: str = "vec_id",
+                                vec_col: str = "embedding",
+                                keep: list[str] | None = None,
+                                **assign_opts) -> None:
+    """Grow a RESIDUAL IVF-PQ index with a batch — the
+    ``ivfpq_index_append`` contract applied to residual encoding: the
+    batch alone is assigned, residual-subtracted, and encoded under the
+    index's FROZEN centroids and residual codebooks, then appended into
+    the existing ``centroid_id=`` partition directories (the stored
+    corpus is never re-read; retrain = rebuild)."""
+    codes = _residual_codes(new_vectors, centroids, codebooks, m, dim,
+                            id_col, vec_col, keep, assign_opts)
+    codes.write.mode("append").partitionBy("centroid_id").parquet(path)
 
 
 def ivfpq_search_residual(spark, path: str, codebooks: DataFrame,
@@ -388,7 +434,8 @@ def ivfpq_search_residual(spark, path: str, codebooks: DataFrame,
                           shortlist: int | None = None,
                           rerank_vectors: DataFrame | None = None,
                           id_col: str = "vec_id",
-                          vec_col: str = "embedding") -> DataFrame:
+                          vec_col: str = "embedding",
+                          exclude_query_id: bool = True) -> DataFrame:
     """Partition-pruned ADC over a RESIDUAL IVF-PQ index. Per probed
     cell the distance table is computed against the query's residual in
     THAT cell (q − cell centroid): ||x − q||² = ||x_res − (q − c)||²
@@ -397,7 +444,9 @@ def ivfpq_search_residual(spark, path: str, codebooks: DataFrame,
     (measured in BENCH_NOTES «r8: residual vs raw IVF-PQ»). The tables
     ride a (cell, subspace, code) frame of nprobe·m·ks rows that the
     probed partitions' exploded codes equi-join; sums use the
-    ordered-fold convention; shortlist/re-rank compose as in
+    ordered-fold convention; shortlist/re-rank and
+    ``exclude_query_id`` (self-match convention for in-corpus queries;
+    pass False for external query vectors) compose as in
     ``ivfpq_search``."""
     from ..session import stabilize
 
@@ -424,10 +473,10 @@ def ivfpq_search_residual(spark, path: str, codebooks: DataFrame,
                                          F.col("subspace").cast("int"), sub),
                                  F.col("_cw")), 9).alias("_d")))
     idx = spark.read.parquet(path)
-    pruned = idx.join(
-        F.broadcast(probes.select("_qid", "_qc")),
-        (idx["centroid_id"] == probes["_qc"]) &
-        (idx[id_col] != probes["_qid"]))
+    cond = idx["centroid_id"] == probes["_qc"]
+    if exclude_query_id:
+        cond = cond & (idx[id_col] != probes["_qid"])
+    pruned = idx.join(F.broadcast(probes.select("_qid", "_qc")), cond)
     ex = pruned.select(F.col(id_col), F.col("centroid_id"), "_qid",
                        F.posexplode("codes").alias("subspace", "code"))
     adc = (ex.join(F.broadcast(dtab),

@@ -93,7 +93,17 @@ def start_streaming_ann_index(
     ``ivf_search_index_inplan(spark, index_path, ...,
     load_centroids(spark, index_path))``. ``assign_opts`` forward to
     ``ivf_assign`` (two-level knobs) for BOTH bootstrap and appends —
-    the same-geometry rule that binds batch ``ivf_index_append``."""
+    the same-geometry rule that binds batch ``ivf_index_append``.
+
+    Delivery contract, precisely: SOURCE consumption is exactly-once
+    (the checkpoint's file offsets commit per epoch; a restart never
+    re-reads a committed batch), but the parquet-append SINK is
+    at-least-once — ``foreachBatch`` + ``mode("append")`` is not
+    idempotent, so a crash in the window after the append finishes but
+    before the epoch commits replays that batch's rows into the index
+    on restart. Clean stops/restarts (the driver-checked path) are
+    duplicate-free; an exactly-once sink would need an epoch-tagged
+    staging dir moved in atomically (or dedup-on-read by ``id_col``)."""
     from ..operators.similarity import ivf_build_index, ivf_index_append
 
     src = spark.readStream.schema(schema).json(input_dir)
@@ -165,7 +175,10 @@ def start_streaming_ivfpq_index(
     ``operators.pq.ivfpq_search(spark, index_path,
     load_codebooks(...), load_centroids(...), ...)``. At 100 TB the
     stream writes 32× fewer index bytes than the float index and the
-    stored corpus is never re-read."""
+    stored corpus is never re-read. Delivery contract: identical to
+    ``start_streaming_ann_index`` — exactly-once source consumption,
+    at-least-once parquet-append sink (a crash between a finished
+    append and its epoch commit replays that batch on restart)."""
     from ..operators.pq import (
         ivfpq_build_index, ivfpq_index_append, pq_codebooks,
     )

@@ -1375,3 +1375,203 @@ def test_substring_dup_spans_plan_is_linear(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "ShuffledHashJoin" in plan
+
+
+def test_bpe_merge_fold_greedy_nonoverlapping(spark):
+    """The merge-application fold is greedy left-to-right
+    NON-overlapping, including the a==b run cases: [a,a,a] -> [aa,a]
+    (never [a,aa]), [a,a,a,a] -> [aa,aa], and a merged token never
+    re-matches the left symbol."""
+    from slowly_changing_dimensions_data_engineering_spark.operators.text import (
+        _bpe_merge_fold,
+    )
+    rows = [(1, ["a", "a", "a"]), (2, ["a", "a", "a", "a"]),
+            (3, ["a", "b", "b"]), (4, ["x", "a", "b", "a", "b"]),
+            (5, ["b", "a"]), (6, ["a"])]
+    d = spark.createDataFrame(rows, ["i", "syms"])
+    got = {r["i"]: r["m"] for r in d.select(
+        "i", _bpe_merge_fold(F.col("syms"), "a", "b").alias("m")).collect()}
+    assert got[3] == ["ab", "b"]
+    assert got[4] == ["x", "ab", "ab"]
+    assert got[5] == ["b", "a"]
+    assert got[6] == ["a"]
+    got_aa = {r["i"]: r["m"] for r in d.select(
+        "i", _bpe_merge_fold(F.col("syms"), "a", "a").alias("m")).collect()}
+    assert got_aa[1] == ["aa", "a"]
+    assert got_aa[2] == ["aa", "aa"]
+
+
+def test_bpe_train_merges_and_segment_roundtrip(spark):
+    """Training on a tiny corpus picks the frequency-argmax pair each
+    round with the deterministic (freq DESC, left, right) tiebreak, and
+    bpe_segment applied to fresh words reproduces the trained vocab's
+    segmentation."""
+    from slowly_changing_dimensions_data_engineering_spark.operators.text import (
+        bpe_segment, bpe_train,
+    )
+    # 'abab' x3, 'abc' x2: round 1 pairs: (a,b)=8, (b,a)=3, (b,c)=2
+    d = spark.createDataFrame(
+        [(0, "abab abab abab abc abc")], ["doc_id", "text"])
+    merges, vocab = bpe_train(d, n_merges=2)
+    m = [(r["merge_rank"], r["left_sym"], r["right_sym"], r["pair_freq"])
+         for r in merges.orderBy("merge_rank").collect()]
+    assert m[0] == (1, "a", "b", 8)
+    # round 2 state: abab=[ab,ab] x3, abc=[ab,c] x2 -> (ab,ab)=3, (ab,c)=2
+    assert m[1] == (2, "ab", "ab", 3)
+    seg = {r["word"]: r["syms"] for r in vocab.collect()}
+    assert seg["abab"] == ["abab"]
+    assert seg["abc"] == ["ab", "c"]
+    # inference side: the same merge table applied to a fresh frame
+    fresh = spark.createDataFrame(
+        [("ababab", list("ababab"))], ["w", "syms"])
+    applied = bpe_segment(
+        fresh, "syms",
+        [(r["left_sym"], r["right_sym"])
+         for r in merges.orderBy("merge_rank").collect()])
+    assert applied.collect()[0]["syms"] == ["abab", "ab"]
+
+
+def test_bpe_train_corpus_scanned_once_vocab_iterated(spark):
+    """Scale shape: the per-round argmax plan aggregates over the
+    word-frequency vocab, not the corpus — its scan is the stabilized
+    vocab (no parquet/text re-scan), and training returns after
+    n_merges bounded 1-row collects."""
+    from slowly_changing_dimensions_data_engineering_spark.operators.text import (
+        bpe_train,
+    )
+    d = spark.createDataFrame(
+        [(i, "stream batch merge join scan") for i in range(20)],
+        ["doc_id", "text"])
+    merges, vocab = bpe_train(d, n_merges=3)
+    assert merges.count() == 3
+    # vocab stays distributed and carries exact corpus weights
+    assert {(r["word"], r["cnt"]) for r in vocab.collect()} == {
+        ("stream", 20), ("batch", 20), ("merge", 20),
+        ("join", 20), ("scan", 20)}
+
+
+def test_ivfpq_residual_append_and_keep_metadata(spark, tmp_path):
+    """The residual index honors the same grow/filter contracts as the
+    raw one: `keep` carries metadata columns into the partitioned
+    layout, and ivfpq_index_append_residual lands a batch in the right
+    partition under the FROZEN centroids + residual codebooks (history
+    files untouched), making it the top residual-search hit."""
+    import os
+
+    from slowly_changing_dimensions_data_engineering_spark.operators.pq import (
+        ivfpq_build_index_residual, ivfpq_index_append_residual,
+        ivfpq_search_residual, pq_codebooks, residual_frame,
+    )
+    base = spark.range(80).select(
+        F.col("id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(1), F.lit(8)),
+                    lambda d: ((F.col("id") * 347 + d * 109) % 541)
+                    .cast("double") / 270.0 - 1.0).alias("embedding"),
+        (F.col("id") % 3).cast("int").alias("label"))
+    cents = (base.filter(F.col("vec_id") < 4)
+             .select(F.col("vec_id").alias("centroid_id"), "embedding"))
+    rcb = pq_codebooks(residual_frame(base, cents, n_centroids=4),
+                       m=4, ks=8, dim=8)
+    path = str(tmp_path / "ivfpqr")
+    ivfpq_build_index_residual(base, cents, rcb, path, 4, 8,
+                               keep=["label"], n_centroids=4)
+    idx = spark.read.parquet(path)
+    assert "label" in idx.columns
+    assert idx.filter(F.col("label").isNull()).count() == 0
+
+    def files():
+        out = set()
+        for root, _d, fs in os.walk(path):
+            out.update(os.path.join(root, f) for f in fs
+                       if f.endswith(".parquet"))
+        return out
+
+    before = files()
+    batch = base.filter(F.col("vec_id") == 9).select(
+        F.lit(1000).alias("vec_id"), "embedding",
+        F.lit(7).cast("int").alias("label"))
+    ivfpq_index_append_residual(batch, cents, rcb, path, 4, 8,
+                                keep=["label"], n_centroids=4)
+    assert before <= files() and len(files()) > len(before)
+    assert spark.read.parquet(path).filter(
+        "vec_id = 1000 and label = 7").count() == 1
+
+    q = base.filter(F.col("vec_id") == 9).orderBy("vec_id").limit(1)
+    top = ivfpq_search_residual(
+        spark, path, rcb, cents, q, 4, 8, k=1, nprobe=1, shortlist=50,
+        rerank_vectors=base.drop("label").unionByName(
+            batch.drop("label")))
+    r = top.collect()[0]
+    assert r["vec_id"] == 1000 and r["exact_d"] == 0.0
+
+
+def test_ivfpq_search_exclude_query_id_flag(spark, tmp_path):
+    """exclude_query_id=True (default, in-corpus convention) drops the
+    query's own row; False keeps it as the exact-0 top hit — the
+    out-of-corpus-safe mode, on both the raw and residual paths."""
+    from slowly_changing_dimensions_data_engineering_spark.operators.pq import (
+        ivfpq_build_index, ivfpq_build_index_residual, ivfpq_search,
+        ivfpq_search_residual, pq_codebooks, residual_frame,
+    )
+    base = spark.range(60).select(
+        F.col("id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(1), F.lit(8)),
+                    lambda d: ((F.col("id") * 347 + d * 109) % 541)
+                    .cast("double") / 270.0 - 1.0).alias("embedding"))
+    cents = (base.filter(F.col("vec_id") < 4)
+             .select(F.col("vec_id").alias("centroid_id"), "embedding"))
+    cb = pq_codebooks(base, m=4, ks=8, dim=8)
+    rcb = pq_codebooks(residual_frame(base, cents, n_centroids=4),
+                       m=4, ks=8, dim=8)
+    praw = str(tmp_path / "raw")
+    pres = str(tmp_path / "res")
+    ivfpq_build_index(base, cents, cb, praw, 4, 8, n_centroids=4)
+    ivfpq_build_index_residual(base, cents, rcb, pres, 4, 8,
+                               n_centroids=4)
+    q = base.filter(F.col("vec_id") == 9).orderBy("vec_id").limit(1)
+    for fn, path, dcb in ((ivfpq_search, praw, cb),
+                          (ivfpq_search_residual, pres, rcb)):
+        excl = fn(spark, path, dcb, cents, q, 4, 8, k=3, nprobe=1,
+                  shortlist=50, rerank_vectors=base).collect()
+        assert all(r["vec_id"] != 9 for r in excl)
+        incl = fn(spark, path, dcb, cents, q, 4, 8, k=3, nprobe=1,
+                  shortlist=50, rerank_vectors=base,
+                  exclude_query_id=False).collect()
+        assert incl[0]["vec_id"] == 9 and incl[0]["exact_d"] == 0.0
+
+
+def test_kmeans_fit_above_4096_uses_stabilize_branch(spark):
+    """The k>4096 regime (similarity.py: stabilize() instead of the
+    k-row driver collect) — previously dead code under test: SSE stays
+    non-increasing across rounds, the returned frame is
+    checkpoint-backed (bounded plan, no per-round lineage chain), and
+    the centroid count survives the rounds."""
+    from slowly_changing_dimensions_data_engineering_spark.operators.similarity import (
+        ivf_assign, kmeans_fit, l2sq,
+    )
+    k = 4100
+    vecs = spark.range(2 * k).select(
+        F.col("id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(1), F.lit(4)),
+                    lambda d: ((F.col("id") * 389 + d * 53) % 701)
+                    .cast("double") / 350.0 - 1.0).alias("embedding"))
+
+    def fit(iters):
+        return kmeans_fit(vecs, k=k, iters=iters, mean_mode="fast")
+
+    def sse(cents):
+        a = ivf_assign(vecs, cents, n_centroids=k)
+        return (vecs.join(a, "vec_id")
+                .join(cents.withColumnRenamed("embedding", "ce"),
+                      "centroid_id")
+                .agg(F.sum(l2sq(F.col("embedding"), F.col("ce"))))
+                .head()[0])
+
+    c1, c2 = fit(1), fit(2)
+    assert c2.count() == k
+    # bounded plan: the returned frame is the stabilize() barrier's
+    # materialized RDD, not a 2-round assign/update lineage chain
+    plan = c2._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan and len(plan.splitlines()) < 10
+    s1, s2 = sse(c1), sse(c2)
+    assert s1 >= s2 - 1e-6
