@@ -534,3 +534,48 @@ def substring_dup_spans(docs: DataFrame, id_col: str = "doc_id",
         (F.col("_last_start") + (w - 1)).alias("span_end"),
         (F.col("_last_start") - F.col("span_start") + w)
         .alias("span_tokens"))
+
+
+def cut_dup_spans(docs: DataFrame, spans: DataFrame,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Turn :func:`substring_dup_spans` output into the dedup ACTION:
+    cut every duplicated span out of every document's token stream
+    (the Lee et al. policy — remove all copies; repeated boilerplate
+    carries no training signal from any occurrence) and return the
+    cleaned corpus.
+
+    Shape: the span frame collapses to one row per affected doc
+    (collect_list of (start, end) — spans per doc are few and disjoint
+    by construction), LEFT-joins the corpus on the id (one linear
+    shuffle; untouched docs pass through with text intact), and the
+    cut itself is a pure-codegen filter over the token array — keep
+    token position p iff no span covers it (``exists`` over the row's
+    own dictionary-sized span list; no explode, no second shuffle).
+
+    Returns the input columns plus ``<text_col>_clean``,
+    ``n_tokens_before``, ``n_tokens_after``."""
+    sp = (spans.groupBy(F.col(id_col))
+          .agg(F.collect_list(
+              F.struct("span_start", "span_end")).alias("_spans")))
+    # worst case (boilerplate-heavy corpus) the span frame has a row
+    # per document — corpus-scaled, so pin the join to a shuffle on the
+    # id instead of letting a small-sf size estimate broadcast it
+    j = docs.join(sp.hint("shuffle_hash"), id_col, "left")
+    toks = tokens(text_col)
+    indexed = F.transform(
+        toks, lambda x, i: F.struct(x.alias("t"), (i + 1).alias("p")))
+    kept = F.filter(
+        indexed,
+        lambda s: ~F.exists(
+            F.col("_spans"),
+            lambda b: (s["p"] >= b["span_start"])
+            & (s["p"] <= b["span_end"])))
+    cleaned = F.when(F.col("_spans").isNull(), F.trim(F.col(text_col))) \
+        .otherwise(F.concat_ws(" ", F.transform(kept, lambda s: s["t"])))
+    n_after = F.when(F.col("_spans").isNull(), F.size(toks)) \
+        .otherwise(F.size(kept))
+    return (j.withColumn(f"{text_col}_clean", cleaned)
+            .withColumn("n_tokens_before", F.size(toks).cast("long"))
+            .withColumn("n_tokens_after", n_after.cast("long"))
+            .drop("_spans"))

@@ -502,3 +502,74 @@ def ivfpq_search_residual(spark, path: str, codebooks: DataFrame,
                    F.round(l2sq(F.col("_rv"), F.col("_qv")), 9)
                    .alias("exact_d")))
     return rer.orderBy(F.asc("exact_d"), F.asc(id_col)).limit(k)
+
+
+def pq_balanced_permutation(vectors: DataFrame, m: int, dim: int,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding") -> list[int]:
+    """OPQ-lite dimension reordering: a permutation that BALANCES
+    per-dimension variance across the ``m`` subspaces — the structured
+    "eigenvalue allocation" baseline of OPQ (Ge et al., "Optimized
+    Product Quantization", CVPR 2013: allocate dimensions so every
+    subspace carries comparable energy, because PQ spends an equal
+    ``ks``-codeword budget per subspace regardless of how much variance
+    lives there).
+
+    Natural (contiguous) ordering on an anisotropic corpus — real
+    embedding spectra decay — concentrates the high-variance dims in
+    the first subspaces: their codebooks saturate while the tail
+    subspaces' budgets idle. The fix here is analysis-time linear and
+    tiny: one per-dimension ``var_pop`` aggregate over the corpus (one
+    shuffle keyed by the dim index — ``dim`` groups), a driver-side
+    greedy (highest-variance dim → currently-lightest subspace,
+    deterministic index tiebreak), and the result is a plain ``dim``-
+    length permutation: ``perm[out_pos] = src_dim`` (0-based), output
+    positions grouped contiguously by subspace so the standard
+    ``_subvec`` slicing applies unchanged.
+
+    Apply with :func:`apply_dim_permutation` to the corpus BEFORE
+    codebook training / encoding and to every query vector at search
+    time (same frozen-dictionary rule as centroids/codebooks: the
+    permutation is part of the index geometry). Measured trade:
+    BENCH_NOTES «r9: OPQ-lite balanced permutation».
+    """
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    v = vectors.select(as_double(vec_col).alias("_v"))
+    per_dim = (v.select(F.posexplode("_v").alias("_dim", "_x"))
+               .groupBy("_dim").agg(F.var_pop("_x").alias("_var"))
+               .collect())                      # dim rows — bounded
+    if len(per_dim) != dim:
+        raise ValueError(
+            f"corpus carries {len(per_dim)} dims, expected {dim}")
+    order = sorted(per_dim, key=lambda r: (-r["_var"], r["_dim"]))
+    loads = [0.0] * m
+    counts = [0] * m
+    groups: list[list[int]] = [[] for _ in range(m)]
+    for r in order:
+        # lightest non-full subspace; deterministic index tiebreak
+        j = min((j for j in range(m) if counts[j] < sub),
+                key=lambda j: (loads[j], j))
+        groups[j].append(r["_dim"])
+        loads[j] += r["_var"]
+        counts[j] += 1
+    return [d for g in groups for d in g]
+
+
+def apply_dim_permutation(df: DataFrame, perm: list[int],
+                          vec_col: str = "embedding") -> DataFrame:
+    """Reorder a vector column by a permutation (``out[i] =
+    vec[perm[i]]``, 0-based) — pure codegen element_at projection, no
+    shuffle; the inverse is ``apply_dim_permutation(df,
+    inverse_permutation(perm))``."""
+    c = F.col(vec_col)
+    return df.withColumn(
+        vec_col, F.array(*[F.element_at(c, p + 1) for p in perm]))
+
+
+def inverse_permutation(perm: list[int]) -> list[int]:
+    inv = [0] * len(perm)
+    for i, p in enumerate(perm):
+        inv[p] = i
+    return inv

@@ -4987,3 +4987,79 @@ def bpe_vocab_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "word", F.col("cnt").cast("long").alias("cnt"),
         F.size("syms").cast("long").alias("n_syms"),
         F.concat_ws(" ", "syms").alias("seg"))
+
+
+@register("substring_dedup_cut", """
+WITH toks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+),
+sh AS (
+  SELECT doc_id, len(t) AS n_tokens, i AS pos,
+         md5(array_to_string(t[i:i+7], ' ')) AS h
+  FROM toks, unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS u(i)
+),
+dup AS (SELECT h FROM sh GROUP BY h HAVING COUNT(*) >= 2),
+hits AS (SELECT sh.* FROM sh JOIN dup USING (h)),
+isl AS (
+  SELECT doc_id, n_tokens, pos,
+         SUM(CASE WHEN prev IS NULL OR pos - prev <= 8 THEN 0 ELSE 1 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+  FROM (SELECT hits.*,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM hits)
+),
+spans AS (
+  SELECT doc_id, n_tokens, span_id,
+         MIN(pos) AS sp, MAX(pos) AS lp
+  FROM isl GROUP BY doc_id, n_tokens, span_id
+),
+per_doc AS (
+  SELECT doc_id, ANY_VALUE(n_tokens) AS n_tokens,
+         SUM(lp - sp + 8) AS cut
+  FROM spans GROUP BY doc_id
+),
+corpus AS (
+  SELECT t.doc_id, len(t.t) AS n_tokens,
+         COALESCE(p.cut, 0) AS cut
+  FROM toks t LEFT JOIN per_doc p USING (doc_id)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN cut > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_cut,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_before,
+       CAST(SUM(cut) AS BIGINT) AS tokens_removed,
+       CAST(SUM(n_tokens - cut) AS BIGINT) AS tokens_after,
+       round(SUM(cut) / CAST(SUM(n_tokens) AS DOUBLE), 6) AS frac_removed
+FROM corpus
+""")
+def substring_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The substring-dedup ACTION end-to-end (operators/dedup.py:
+    cut_dup_spans): duplicated 8-token runs are cut out of every
+    document's token stream (all copies — the Lee et al. policy) and
+    the corpus token budget is re-counted FROM THE CLEANED TEXT — the
+    Spark side splits the actually-rewritten strings, so a cut that
+    dropped the wrong tokens would break the match against the
+    oracle's span-arithmetic restatement (n_tokens − covered). One
+    linear span derivation + one id-keyed left join + a codegen token
+    filter; the final 1-row corpus funnel aggregates survivor
+    counts."""
+    from .operators.dedup import cut_dup_spans, substring_dup_spans
+    d = _spread(spark, _t(spark, sf_dir, "documents")["documents"])
+    spans = substring_dup_spans(d, w=8, min_count=2)
+    cut = cut_dup_spans(d, spans)
+    recount = F.when(F.length(F.col("text_clean")) == 0, F.lit(0)) \
+        .otherwise(F.size(F.split(F.col("text_clean"), " ")))
+    return (cut.withColumn("_n_after_recount", recount.cast("long"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.when(F.col("n_tokens_after")
+                              < F.col("n_tokens_before"), 1)
+                       .otherwise(0)).cast("long").alias("n_docs_cut"),
+                 F.sum("n_tokens_before").alias("tokens_before"),
+                 F.sum(F.col("n_tokens_before")
+                       - F.col("_n_after_recount"))
+                 .alias("tokens_removed"),
+                 F.sum("_n_after_recount").alias("tokens_after"),
+                 F.round(F.sum(F.col("n_tokens_before")
+                               - F.col("_n_after_recount"))
+                         / F.sum("n_tokens_before").cast("double"), 6)
+                 .alias("frac_removed")))

@@ -1575,3 +1575,76 @@ def test_kmeans_fit_above_4096_uses_stabilize_branch(spark):
     assert "ExistingRDD" in plan and len(plan.splitlines()) < 10
     s1, s2 = sse(c1), sse(c2)
     assert s1 >= s2 - 1e-6
+
+
+def test_pq_balanced_permutation_balances_and_reduces_mse(spark):
+    """OPQ-lite: on an ANISOTROPIC corpus (decaying per-dim spread —
+    real embedding spectra), the variance-balanced permutation (a)
+    spreads the high-variance dims across subspaces instead of packing
+    them into the first ones, and (b) lowers total PQ quantization
+    error at the same m×ks budget. Round-trip via the inverse
+    permutation is the identity."""
+    from slowly_changing_dimensions_data_engineering_spark.operators.pq import (
+        apply_dim_permutation, inverse_permutation,
+        pq_balanced_permutation, pq_codebooks, pq_encode,
+    )
+    m, dim = 4, 8
+    # dim d spread decays 8,7,..,1 -> natural subspaces wildly unequal
+    vecs = spark.range(400).select(
+        F.col("id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(1), F.lit(dim)),
+                    lambda d: (((F.col("id") * 389 + d * 53) % 701)
+                               .cast("double") / 350.0 - 1.0)
+                    * (9 - d).cast("double")).alias("embedding"))
+    perm = pq_balanced_permutation(vecs, m, dim)
+    assert sorted(perm) == list(range(dim))
+    # each subspace holds one of the top-4 variance dims (0..3) and one
+    # of the bottom-4 (4..7): balanced, not contiguous
+    for j in range(m):
+        grp = perm[j * 2:(j + 1) * 2]
+        assert len([d for d in grp if d < 4]) == 1
+
+    inv = inverse_permutation(perm)
+    rt = apply_dim_permutation(
+        apply_dim_permutation(vecs, perm), inv, "embedding")
+    orig = {r["vec_id"]: r["embedding"] for r in vecs.collect()}
+    for r in rt.collect():
+        assert r["embedding"] == orig[r["vec_id"]]
+
+    def total_err(frame):
+        cb = pq_codebooks(frame, m=m, ks=8, dim=dim)
+        enc = pq_encode(frame, cb, m=m, dim=dim, with_dist=True)
+        return enc.agg(F.sum(F.aggregate(
+            "dists", F.lit(0.0), lambda a, x: a + x))).head()[0]
+
+    e_nat = total_err(vecs)
+    e_bal = total_err(apply_dim_permutation(vecs, perm))
+    assert e_bal < e_nat
+
+
+def test_cut_dup_spans_rewrites_only_covered_tokens(spark):
+    """cut_dup_spans removes exactly the span-covered tokens (all
+    copies — the remove-every-occurrence policy), leaves untouched docs
+    byte-identical, and handles a fully-covered doc (empty clean
+    text)."""
+    from slowly_changing_dimensions_data_engineering_spark.operators.dedup import (
+        cut_dup_spans, substring_dup_spans,
+    )
+    bp = "p1 p2 p3 p4"
+    rows = [
+        (0, f"a0 b0 {bp} c0 d0"),   # bp at pos 3..6
+        (1, f"{bp} x1 y1 z1 w1"),   # bp at pos 1..4
+        (2, "u1 u2 u3 u4 u5"),      # untouched
+        (3, bp),                    # fully covered
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = substring_dup_spans(d, w=4, min_count=2)
+    out = {r["doc_id"]: r for r in cut_dup_spans(d, spans).collect()}
+    assert out[0]["text_clean"] == "a0 b0 c0 d0"
+    assert out[1]["text_clean"] == "x1 y1 z1 w1"
+    assert out[2]["text_clean"] == "u1 u2 u3 u4 u5"
+    assert out[3]["text_clean"] == ""
+    assert (out[3]["n_tokens_before"], out[3]["n_tokens_after"]) == (4, 0)
+    assert all(r["n_tokens_after"]
+               == len([t for t in r["text_clean"].split() if t])
+               for r in out.values())

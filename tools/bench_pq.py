@@ -199,8 +199,103 @@ def residual_vs_raw() -> None:
         res.unpersist(); cents.unpersist(); vecs.unpersist()
 
 
+def perm_trade(n: int = 20_000) -> None:
+    """`--perm`: what does the OPQ-lite variance-balanced dimension
+    permutation (pq_balanced_permutation — the OPQ paper's structured
+    eigenvalue-allocation baseline) buy, at the same m×ks budget?
+    Corpora: `aniso` = the clustered mixture with an exponentially
+    decaying per-dim scale (0.93^d, ~100× energy range — the shape of
+    real embedding spectra, and the case PQ's equal-budget-per-subspace
+    assumption gets wrong under natural contiguous ordering); `clustered`
+    = the isotropic control, where per-dim variances are already equal
+    and the permutation should be ~a no-op. MSE over the corpus; rr100 =
+    recall@10 after exact re-rank of the ADC top-100 (permutation-
+    invariant truth: L2 is preserved under coordinate permutation).
+    Results committed in BENCH_NOTES «r9: OPQ-lite balanced
+    permutation»."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from slowly_changing_dimensions_data_engineering_spark.operators.pq import (
+        apply_dim_permutation, pq_adc_topk_batch, pq_balanced_permutation,
+        pq_codebooks, pq_encode, pq_reconstruct,
+    )
+    from slowly_changing_dimensions_data_engineering_spark.operators.similarity import l2sq
+    from slowly_changing_dimensions_data_engineering_spark.session import get_spark
+
+    m, ks, dim, n_queries = 8, 256, 64, 50
+    spark = get_spark("sds-pq-perm")
+    spark.sparkContext.setLogLevel("ERROR")
+    print(f"n={n} dim={dim} m={m} ks={ks}; recall@10 re-ranked from ADC "
+          f"top-100, {n_queries} queries")
+    print(f"{'corpus':10s} {'cbooks':8s} {'order':9s} {'mse':>9s} {'rr100':>6s}")
+    for kind in ("clustered", "aniso"):
+        base = _corpus(spark, "clustered", n, dim)
+        if kind == "aniso":
+            base = base.withColumn(
+                "embedding",
+                F.transform(F.col("embedding"),
+                            lambda x, i: x * F.pow(F.lit(0.93), i)))
+        vecs = base.cache(); vecs.count()
+        qids = [r["vec_id"] for r in
+                vecs.filter(F.col("vec_id") % 401 == 0)
+                    .limit(n_queries).collect()]
+        qdf = vecs.filter(F.col("vec_id").isin(qids)).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+        w = Window.partitionBy("qid").orderBy("d", "vec_id")
+        truth = (vecs.crossJoin(F.broadcast(qdf))
+                 .filter(F.col("vec_id") != F.col("qid"))
+                 .select("qid", "vec_id",
+                         F.round(l2sq(F.col("embedding"), F.col("qv")), 9)
+                         .alias("d"))
+                 .withColumn("rk", F.row_number().over(w)).filter("rk <= 10"))
+        truth_sets: dict[int, set] = {}
+        for r in truth.collect():
+            truth_sets.setdefault(r["qid"], set()).add(r["vec_id"])
+        perm = pq_balanced_permutation(vecs, m, dim)
+        for mode in ("lowid", "kmeans"):
+            for order, frame in (("natural", vecs),
+                                 ("balanced",
+                                  apply_dim_permutation(vecs, perm))):
+                cb = pq_codebooks(frame, m, ks, dim, mode=mode, iters=3)
+                if mode == "kmeans":
+                    cb = cb.cache(); cb.count()
+                codes = pq_encode(frame, cb, m, dim).cache()
+                mse = (pq_reconstruct(codes, cb)
+                       .withColumnRenamed("embedding", "rv")
+                       .join(frame.withColumnRenamed("embedding", "ov"),
+                             "vec_id")
+                       .agg(F.avg(l2sq(F.col("rv"), F.col("ov"))))
+                       .head()[0])
+                qp = (apply_dim_permutation(
+                          qdf.withColumnRenamed("qv", "embedding"), perm,
+                          "embedding")
+                      .withColumnRenamed("embedding", "qv")
+                      if order == "balanced" else qdf)
+                top = pq_adc_topk_batch(
+                    codes, cb, qp.withColumnRenamed("qid", "q_id"),
+                    m, dim, k=101, qid_col="q_id", qvec_col="qv").cache()
+                rr = (top.withColumnRenamed("q_id", "qid")
+                      .join(vecs, "vec_id").join(qdf, "qid")
+                      .filter(F.col("vec_id") != F.col("qid"))
+                      .select("qid", "vec_id",
+                              F.round(l2sq(F.col("embedding"),
+                                           F.col("qv")), 9).alias("d"))
+                      .withColumn("rk", F.row_number().over(w))
+                      .filter("rk <= 10"))
+                rr_hits = sum(
+                    1 for r in rr.collect()
+                    if r["vec_id"] in truth_sets.get(r["qid"], set()))
+                print(f"{kind:10s} {mode:8s} {order:9s} {mse:9.5f} "
+                      f"{rr_hits / (10 * len(qids)):6.3f}")
+                top.unpersist(); codes.unpersist()
+        vecs.unpersist()
+
+
 if __name__ == "__main__":
     if "--residual" in sys.argv:
         residual_vs_raw()
+    elif "--perm" in sys.argv:
+        perm_trade()
     else:
         main()
