@@ -5063,3 +5063,52 @@ def substring_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
                                - F.col("_n_after_recount"))
                          / F.sum("n_tokens_before").cast("double"), 6)
                  .alias("frac_removed")))
+
+
+@register("bpe_corpus_tokens", _BPE_ORACLE_CTE + """
+, seg AS (
+  SELECT word, len(syms) AS n_syms FROM bpe WHERE r = 12
+),
+words AS (
+  SELECT doc_id, w AS word
+  FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+        FROM documents)
+  WHERE w <> ''
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(n_syms) AS BIGINT) AS n_bpe_tokens,
+       round(SUM(n_syms) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS tokens_per_word
+FROM words JOIN seg USING (word)
+GROUP BY doc_id
+""")
+def bpe_corpus_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained tokenizer applied CORPUS-WIDE — the inference path a
+    100 TB pipeline actually runs: per-document token counts under the
+    12 trained merges. The corpus explodes to words once and equi-joins
+    the (word → subword count) segmentation table — Zipf keeps that
+    dictionary orders of magnitude smaller than the corpus, so at scale
+    this is a broadcast (or hash-on-word) join plus one doc-keyed
+    aggregate; no per-row Python anywhere. Token budget arithmetic
+    (n_words, n_bpe_tokens, tokens/word) is the number every training
+    run plans against. Oracle: the same recursive-CTE final state
+    joined to the exploded corpus."""
+    _, vocab = _bpe_trained(spark, sf_dir)
+    d = _spread(spark, _t(spark, sf_dir, "documents")["documents"])
+    words = (d.select("doc_id",
+                      F.explode(F.split(F.trim(F.col("text")), " "))
+                      .alias("word"))
+             .filter(F.col("word") != ""))
+    seg = vocab.select("word", F.size("syms").alias("_n_syms"))
+    return (words.join(seg, "word")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_words"),
+                 F.sum("_n_syms").alias("n_bpe_tokens"))
+            .select("doc_id",
+                    F.col("n_words").cast("long").alias("n_words"),
+                    F.col("n_bpe_tokens").cast("long")
+                    .alias("n_bpe_tokens"),
+                    F.round(F.col("n_bpe_tokens")
+                            / F.col("n_words").cast("double"), 6)
+                    .alias("tokens_per_word")))
