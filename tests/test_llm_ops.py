@@ -1648,3 +1648,42 @@ def test_cut_dup_spans_rewrites_only_covered_tokens(spark):
     assert all(r["n_tokens_after"]
                == len([t for t in r["text_clean"].split() if t])
                for r in out.values())
+
+
+def test_ivfpq_composes_with_balanced_permutation(spark, tmp_path):
+    """The OPQ-lite permutation composes with the IVF-PQ index through
+    the EXISTING API (no new parameters): build over the permuted
+    corpus, search with the permuted query — L2 distances are
+    permutation-invariant, so the exact-reranked top-k ids must equal
+    the unpermuted index's answer while the codes are trained in the
+    balanced space."""
+    from slowly_changing_dimensions_data_engineering_spark.operators.pq import (
+        apply_dim_permutation, ivfpq_build_index, ivfpq_search,
+        pq_balanced_permutation, pq_codebooks,
+    )
+    base = spark.range(120).select(
+        F.col("id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(1), F.lit(8)),
+                    lambda d: (((F.col("id") * 347 + d * 109) % 541)
+                               .cast("double") / 270.0 - 1.0)
+                    * F.pow(F.lit(0.7), d)).alias("embedding"))
+    perm = pq_balanced_permutation(base, m=4, dim=8)
+    q = base.filter(F.col("vec_id") == 9).orderBy("vec_id").limit(1)
+
+    results = {}
+    for tag, corpus, query in (
+            ("natural", base, q),
+            ("balanced", apply_dim_permutation(base, perm),
+             apply_dim_permutation(q, perm))):
+        cents = (corpus.filter(F.col("vec_id") < 4)
+                 .select(F.col("vec_id").alias("centroid_id"), "embedding"))
+        cb = pq_codebooks(corpus, m=4, ks=8, dim=8)
+        path = str(tmp_path / tag)
+        ivfpq_build_index(corpus, cents, cb, path, 4, 8, n_centroids=4)
+        top = ivfpq_search(spark, path, cb, cents, query, 4, 8, k=5,
+                           nprobe=4, shortlist=200,
+                           rerank_vectors=corpus)
+        results[tag] = [(r["vec_id"], r["exact_d"]) for r in top.collect()]
+    # probe-all + full shortlist: exact re-rank sees every row, and L2
+    # is permutation-invariant -> identical ids AND distances
+    assert results["natural"] == results["balanced"]
