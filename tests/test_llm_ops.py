@@ -1687,3 +1687,65 @@ def test_ivfpq_composes_with_balanced_permutation(spark, tmp_path):
     # probe-all + full shortlist: exact re-rank sees every row, and L2
     # is permutation-invariant -> identical ids AND distances
     assert results["natural"] == results["balanced"]
+
+
+def test_substring_dup_spans_property_random_corpora(spark):
+    """Property: for random small corpora, the span report satisfies
+    its algebra unconditionally — spans disjoint with >=1 uncovered
+    token between them, every span within doc bounds, coverage equals
+    a brute-force python reimplementation of duplicated-window
+    islands."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from slowly_changing_dimensions_data_engineering_spark.operators.dedup import (
+        substring_dup_spans,
+    )
+
+    W = 3
+    word = st.sampled_from(["a", "b", "c"])
+    doc = st.lists(word, min_size=0, max_size=12)
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(docs=st.lists(doc, min_size=1, max_size=4))
+    def run(docs):
+        rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+        d = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = substring_dup_spans(d, w=W, min_count=2).collect()
+
+        # brute force: global multiset of W-grams, duplicated window
+        # starts per doc, islands with gap <= W
+        from collections import Counter
+        toksets = [(" ".join(t)).split(" ") if t else [""] for t in
+                   [d2 for d2 in docs]]
+        toksets = [[w for w in ts if w != ""] for ts in toksets]
+        grams = Counter()
+        for ts in toksets:
+            for i in range(len(ts) - W + 1):
+                grams[tuple(ts[i:i + W])] += 1
+        expect = {}
+        for did, ts in enumerate(toksets):
+            dup_pos = [i + 1 for i in range(len(ts) - W + 1)
+                       if grams[tuple(ts[i:i + W])] >= 2]
+            spans = []
+            for p in dup_pos:
+                if spans and p - spans[-1][1] <= W:
+                    spans[-1] = (spans[-1][0], p)
+                else:
+                    spans.append((p, p))
+            if spans:
+                expect[did] = [(s, e + W - 1, e - s + W) for s, e in spans]
+        by_doc = {}
+        for r in got:
+            by_doc.setdefault(r["doc_id"], []).append(
+                (r["span_start"], r["span_end"], r["span_tokens"]))
+            assert 1 <= r["span_start"] <= r["span_end"] <= r["n_tokens"]
+        for did in by_doc:
+            by_doc[did].sort()
+            for (s1, e1, _), (s2, _, _) in zip(by_doc[did],
+                                               by_doc[did][1:]):
+                assert e1 < s2 - 1  # disjoint with an uncovered token
+        assert by_doc == expect
+
+    run()
