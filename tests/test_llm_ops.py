@@ -1749,3 +1749,67 @@ def test_substring_dup_spans_property_random_corpora(spark):
         assert by_doc == expect
 
     run()
+
+
+def test_bpe_train_property_matches_reference_implementation(spark):
+    """Property: the distributed trainer equals a from-scratch python
+    reference (positional pair counting weighted by word frequency,
+    (freq DESC, left, right) argmax, greedy left-to-right
+    non-overlapping merge application) — merges AND final
+    segmentations, over random corpora from a 2-letter alphabet (the
+    regime where a==b merges and overlap runs are common)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from slowly_changing_dimensions_data_engineering_spark.operators.text import (
+        bpe_train,
+    )
+
+    word = st.text(alphabet="ab", min_size=1, max_size=5)
+    corpus = st.lists(word, min_size=1, max_size=8)
+
+    def ref_bpe(words, n_merges):
+        from collections import Counter
+        vocab = Counter(words)
+        segs = {w: list(w) for w in vocab}
+        merges = []
+        for _ in range(n_merges):
+            pairs = Counter()
+            for w, cnt in vocab.items():
+                s = segs[w]
+                for i in range(len(s) - 1):
+                    pairs[(s[i], s[i + 1])] += cnt
+            if not pairs:
+                break
+            best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+            (a, b), pf = best
+            merges.append((a, b, pf))
+            for w in segs:
+                s, out, i = segs[w], [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                segs[w] = out
+        return merges, segs, vocab
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(words=corpus)
+    def run(words):
+        d = spark.createDataFrame(
+            [(0, " ".join(words))], ["doc_id", "text"])
+        merges_df, vocab_df = bpe_train(d, n_merges=3)
+        got_merges = [(r["left_sym"], r["right_sym"], r["pair_freq"])
+                      for r in merges_df.orderBy("merge_rank").collect()]
+        got_segs = {r["word"]: (r["cnt"], r["syms"])
+                    for r in vocab_df.collect()}
+        exp_merges, exp_segs, exp_vocab = ref_bpe(words, 3)
+        assert got_merges == exp_merges
+        assert got_segs == {w: (exp_vocab[w], exp_segs[w])
+                            for w in exp_vocab}
+
+    run()
