@@ -571,11 +571,16 @@ def cut_dup_spans(docs: DataFrame, spans: DataFrame,
             F.col("_spans"),
             lambda b: (s["p"] >= b["span_start"])
             & (s["p"] <= b["span_end"])))
+    # split("") yields [""] (size 1), so gate the counts on emptiness —
+    # an empty/whitespace-only doc carries 0 tokens, not 1 (found by
+    # the random-corpus property test)
+    n_before = F.when(F.length(F.trim(F.col(text_col))) == 0, F.lit(0)) \
+        .otherwise(F.size(toks))
     cleaned = F.when(F.col("_spans").isNull(), F.trim(F.col(text_col))) \
         .otherwise(F.concat_ws(" ", F.transform(kept, lambda s: s["t"])))
-    n_after = F.when(F.col("_spans").isNull(), F.size(toks)) \
+    n_after = F.when(F.col("_spans").isNull(), n_before) \
         .otherwise(F.size(kept))
     return (j.withColumn(f"{text_col}_clean", cleaned)
-            .withColumn("n_tokens_before", F.size(toks).cast("long"))
+            .withColumn("n_tokens_before", n_before.cast("long"))
             .withColumn("n_tokens_after", n_after.cast("long"))
             .drop("_spans"))

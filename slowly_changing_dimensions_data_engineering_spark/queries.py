@@ -5019,7 +5019,9 @@ per_doc AS (
   FROM spans GROUP BY doc_id
 ),
 corpus AS (
-  SELECT t.doc_id, len(t.t) AS n_tokens,
+  SELECT t.doc_id,
+         CASE WHEN len(t.t) = 1 AND t.t[1] = '' THEN 0
+              ELSE len(t.t) END AS n_tokens,
          COALESCE(p.cut, 0) AS cut
   FROM toks t LEFT JOIN per_doc p USING (doc_id)
 )

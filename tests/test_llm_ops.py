@@ -1813,3 +1813,42 @@ def test_bpe_train_property_matches_reference_implementation(spark):
                             for w in exp_vocab}
 
     run()
+
+
+def test_cut_dup_spans_property_random_corpora(spark):
+    """Property: for random corpora, the cleaned text is EXACTLY the
+    original token sequence minus the span-covered positions (order
+    preserved, nothing else touched), and the reported counts match
+    the string."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from slowly_changing_dimensions_data_engineering_spark.operators.dedup import (
+        cut_dup_spans, substring_dup_spans,
+    )
+
+    W = 3
+    doc = st.lists(st.sampled_from(["a", "b", "c"]),
+                   min_size=0, max_size=12)
+
+    @settings(max_examples=8, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(docs=st.lists(doc, min_size=1, max_size=4))
+    def run(docs):
+        rows = [(i, " ".join(t)) for i, t in enumerate(docs)]
+        d = spark.createDataFrame(rows, ["doc_id", "text"])
+        spans = substring_dup_spans(d, w=W, min_count=2)
+        covered = {}
+        for r in spans.collect():
+            covered.setdefault(r["doc_id"], set()).update(
+                range(r["span_start"], r["span_end"] + 1))
+        out = {r["doc_id"]: r for r in cut_dup_spans(d, spans).collect()}
+        for did, toks in enumerate(docs):
+            toks = [t for t in toks if t]
+            keep = [t for p, t in enumerate(toks, start=1)
+                    if p not in covered.get(did, set())]
+            r = out[did]
+            assert r["text_clean"] == " ".join(keep)
+            assert r["n_tokens_after"] == len(keep)
+
+    run()
