@@ -5114,3 +5114,71 @@ def bpe_corpus_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("n_bpe_tokens")
                             / F.col("n_words").cast("double"), 6)
                     .alias("tokens_per_word")))
+
+
+@register("lm_bigram_perplexity_docs", """
+WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+              FROM documents),
+bi AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+       FROM toks, unnest(range(1, len(w))) AS u(i)),
+bc AS (SELECT w1, w2, COUNT(*) AS nb FROM bi GROUP BY w1, w2),
+cc AS (SELECT w1, SUM(nb) AS nc FROM bc GROUP BY w1),
+vv AS (SELECT COUNT(DISTINCT t) AS v
+       FROM (SELECT unnest(w) AS t FROM toks)),
+lp AS (SELECT bc.w1, bc.w2,
+              round(ln((nb + 1) / CAST(nc + v AS DOUBLE)), 9) AS logp
+       FROM bc JOIN cc USING (w1), vv)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       round(CAST(SUM(CAST(logp AS DECIMAL(38,12))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_logprob,
+       round(exp(-(CAST(SUM(CAST(logp AS DECIMAL(38,12))) AS DOUBLE)
+                   / COUNT(*))), 6) AS perplexity,
+       CAST(SUM(CAST(logp AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)
+         >= -3.4 AS kept
+FROM bi JOIN lp USING (w1, w2)
+GROUP BY doc_id
+""")
+def lm_bigram_perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity filtering — the conditional-probability
+    step up from the unigram ``lm_quality_scores`` (CCNet ships a
+    5-gram KenLM; the ENGINE shape is identical at any order): train
+    add-1-smoothed P(w2|w1) = (C(w1,w2)+1)/(C(w1·)+V) on the corpus,
+    score every document by mean bigram log-probability and its
+    perplexity, gate at the corpus median. Spark shape: one bigram
+    explode feeds BOTH training (two Zipf-compact aggregates: observed
+    bigrams, contexts) and scoring (hash join back on (w1,w2) — a real
+    LM table is GBs, never broadcast by construction); V is one
+    token-distinct aggregate; one per-doc aggregation ends it.
+    Determinism: per-bigram logp rounded to 9 then decimal-exact mean
+    (the lm_quality_scores convention), perplexity rounded to 6 after
+    a deterministic double exp."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    toks = F.split(F.trim(F.col("text")), " ")
+    # sequence(1, n) DESCENDS for n < 1 — guard with an empty list for
+    # docs under two tokens (positional_shingles convention)
+    idx = F.when(F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)) \
+        .otherwise(F.array().cast("array<int>"))
+    pair = F.transform(
+        idx,
+        lambda i: F.struct(F.get(toks, i - 1).alias("w1"),
+                           F.get(toks, i).alias("w2")))
+    bi = (d.select("doc_id", F.explode(pair).alias("p"))
+          .select("doc_id", F.col("p.w1").alias("w1"),
+                  F.col("p.w2").alias("w2")))
+    bc = bi.groupBy("w1", "w2").agg(F.count("*").alias("nb"))
+    cc = bc.groupBy("w1").agg(F.sum("nb").alias("nc"))
+    vv = (d.select(F.explode(toks).alias("t"))
+          .agg(F.countDistinct("t").alias("v")))
+    lp = (bc.join(cc, "w1").crossJoin(F.broadcast(vv))
+          .select("w1", "w2",
+                  F.round(F.log((F.col("nb") + 1)
+                                / (F.col("nc") + F.col("v"))
+                                .cast("double")), 9).alias("logp")))
+    avg = (F.sum(F.col("logp").cast("decimal(38,12)")).cast("double")
+           / F.count("*"))
+    return (bi.join(lp, ["w1", "w2"])
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_bigrams"),
+                 F.round(avg, 6).alias("avg_logprob"),
+                 F.round(F.exp(-avg), 6).alias("perplexity"),
+                 (avg >= -3.4).alias("kept")))

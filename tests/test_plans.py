@@ -32,6 +32,9 @@ NESTED_LOOP_ALLOWED = {"embed_topk_cosine", "ann_filtered_topk",
                        # 1-row bounds / doc-count broadcasts
                        "histogram_prices", "tfidf_top_terms",
                        "lm_quality_scores",
+                       # 1-row vocabulary-size aggregate broadcast into
+                       # the smoothed-logprob projection
+                       "lm_bigram_perplexity_docs",
                        # 1-row seeds-array broadcast (two-level coarse
                        # ranking is a codegen expression over it)
                        "ivf_two_level_assign_state",
