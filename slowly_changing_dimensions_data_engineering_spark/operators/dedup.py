@@ -505,6 +505,13 @@ def substring_dup_spans(docs: DataFrame, id_col: str = "doc_id",
        a gap > w leaves at least one uncovered token between spans,
        so distinct islands are disjoint by construction.
 
+    Cost note: the positional-shingle frame is EVALUATED TWICE (the
+    duplicate-hash aggregate and the join probe side) — recomputing
+    the explode is the deliberate trade against materializing a
+    corpus×w row frame; ``stabilize()`` the
+    :func:`positional_shingles` output yourself if IO is cheaper than
+    CPU in your deployment.
+
     Returns one row per span: (id, n_tokens, span_start, span_end,
     span_tokens) where the span covers tokens ``span_start ..
     span_start + span_tokens - 1`` (1-based, ``span_tokens =
@@ -554,7 +561,12 @@ def cut_dup_spans(docs: DataFrame, spans: DataFrame,
     own dictionary-sized span list; no explode, no second shuffle).
 
     Returns the input columns plus ``<text_col>_clean``,
-    ``n_tokens_before``, ``n_tokens_after``."""
+    ``n_tokens_before``, ``n_tokens_after``. Contract: token streams
+    are single-space-delimited (the corpus convention everywhere in
+    this package); consecutive-space inputs produce empty-string
+    tokens that count per the whitespace convention, and on such
+    inputs the span-arithmetic restatement (n_tokens − covered) can
+    differ from the string recount by the surviving empty tokens."""
     sp = (spans.groupBy(F.col(id_col))
           .agg(F.collect_list(
               F.struct("span_start", "span_end")).alias("_spans")))
@@ -578,8 +590,13 @@ def cut_dup_spans(docs: DataFrame, spans: DataFrame,
         .otherwise(F.size(toks))
     cleaned = F.when(F.col("_spans").isNull(), F.trim(F.col(text_col))) \
         .otherwise(F.concat_ws(" ", F.transform(kept, lambda s: s["t"])))
+    # count from the STRING the caller gets (empty string = 0 tokens),
+    # so the report can never disagree with a recount of text_clean —
+    # relevant only for the pathological consecutive-space inputs where
+    # every surviving token is the empty string
     n_after = F.when(F.col("_spans").isNull(), n_before) \
-        .otherwise(F.size(kept))
+        .otherwise(F.when(F.length(cleaned) == 0, F.lit(0))
+                   .otherwise(F.size(kept)))
     return (j.withColumn(f"{text_col}_clean", cleaned)
             .withColumn("n_tokens_before", n_before.cast("long"))
             .withColumn("n_tokens_after", n_after.cast("long"))

@@ -275,7 +275,10 @@ def ivfpq_search(spark, path: str, codebooks: DataFrame,
     queries drawn FROM the corpus (``pq_adc_topk`` keeps self-matches;
     this flag makes the difference explicit instead of implicit). Pass
     False for out-of-corpus query vectors, where an id collision would
-    silently drop a legitimate neighbor."""
+    silently drop a legitimate neighbor. The query frame must still
+    carry an ``id_col`` column either way (it keys the per-query
+    distance-table join); synthesize any literal id for external
+    vectors — with False it never touches the result."""
     from ..session import stabilize
 
     q = stabilize(query_df.limit(1).select(

@@ -4871,7 +4871,7 @@ _BPE_N_MERGES = 12
 #: then rewrites each word via the windowed gaps-and-islands greedy
 #: (merge at even offsets inside runs of consecutive matching pairs,
 #: exactly the fold's left-to-right non-overlapping semantics).
-_BPE_ORACLE_CTE = """
+_BPE_ORACLE_CTE = f"""
 WITH RECURSIVE vocab AS (
   SELECT w AS word, COUNT(*) AS cnt
   FROM (SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents)
@@ -4919,7 +4919,7 @@ bpe AS (
                        CASE WHEN pos < len(syms)
                             THEN syms[pos] || chr(31) || syms[pos + 1] END AS pr
                 FROM bpe, unnest(range(1, len(syms) + 1)) AS u(pos)
-                WHERE r < 12
+                WHERE r < {_BPE_N_MERGES}
               )
             )
             WINDOW w_best AS (PARTITION BY r
@@ -4949,7 +4949,7 @@ def _bpe_trained(spark: SparkSession, sf_dir: str):
 SELECT DISTINCT CAST(r AS BIGINT) AS merge_rank, ml AS left_sym,
        mr AS right_sym, CAST(mf AS BIGINT) AS pair_freq,
        ml || mr AS new_token
-FROM bpe WHERE r >= 1
+FROM bpe WHERE r >= 1 AND ml IS NOT NULL
 """)
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE merge-loop training proper (operators/text.py:bpe_train —
@@ -4972,8 +4972,8 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT word, CAST(cnt AS BIGINT) AS cnt,
        CAST(len(syms) AS BIGINT) AS n_syms,
        array_to_string(syms, ' ') AS seg
-FROM bpe WHERE r = 12
-""")
+FROM bpe WHERE r = {_BPE_N_MERGES}
+""".format(_BPE_N_MERGES=_BPE_N_MERGES))
 def bpe_vocab_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The trained tokenizer APPLIED: every vocabulary word's final
     segmentation under the 12 trained merges (word, corpus frequency,
@@ -5069,7 +5069,7 @@ def substring_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("bpe_corpus_tokens", _BPE_ORACLE_CTE + """
 , seg AS (
-  SELECT word, len(syms) AS n_syms FROM bpe WHERE r = 12
+  SELECT word, len(syms) AS n_syms FROM bpe WHERE r = {_BPE_N_MERGES}
 ),
 words AS (
   SELECT doc_id, w AS word
@@ -5084,7 +5084,7 @@ SELECT doc_id,
          AS tokens_per_word
 FROM words JOIN seg USING (word)
 GROUP BY doc_id
-""")
+""".format(_BPE_N_MERGES=_BPE_N_MERGES))
 def bpe_corpus_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The trained tokenizer applied CORPUS-WIDE — the inference path a
     100 TB pipeline actually runs: per-document token counts under the
@@ -5144,11 +5144,14 @@ def lm_bigram_perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     5-gram KenLM; the ENGINE shape is identical at any order): train
     add-1-smoothed P(w2|w1) = (C(w1,w2)+1)/(C(w1·)+V) on the corpus,
     score every document by mean bigram log-probability and its
-    perplexity, gate at the corpus median. Spark shape: one bigram
-    explode feeds BOTH training (two Zipf-compact aggregates: observed
-    bigrams, contexts) and scoring (hash join back on (w1,w2) — a real
-    LM table is GBs, never broadcast by construction); V is one
-    token-distinct aggregate; one per-doc aggregation ends it.
+    perplexity, gate at a fixed threshold (−3.4 — the observed corpus
+    median at the driver scales; a production run would fit its own
+    cut). Spark shape: the bigram explode is expressed once and
+    evaluated twice (training aggregates + the (w1,w2) scoring join —
+    a real LM table is GBs, never broadcast by construction), plus a
+    token-distinct pass for V; recompute-over-materialize is the same
+    trade the substring-dedup operator documents, and a deployment
+    where IO wins can stabilize() the exploded frame.
     Determinism: per-bigram logp rounded to 9 then decimal-exact mean
     (the lm_quality_scores convention), perplexity rounded to 6 after
     a deterministic double exp."""
