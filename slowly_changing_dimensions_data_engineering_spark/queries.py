@@ -2164,7 +2164,10 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: through the symmetrized verified-pair graph. The pair set is the SAME
 #: minhash pipeline the Spark side runs (shingles → 16×4 LSH bands →
 #: exact Jaccard >= 0.5), so only the clustering step is under test.
-_CC_ORACLE = _SHINGLE_CTES.replace("WITH ", "WITH RECURSIVE ", 1) + _minhash_sql() + """
+#: Shared CTE block: verified pairs -> symmetrized edges -> recursive
+#: reachability -> min-label components (lab: node, comp). Reused by the
+#: cluster-identity query and the leakage-safe split query.
+_CC_CTES = """
 , pairs AS (
   SELECT d1, d2 FROM cands JOIN sh s1 ON d1 = s1.doc_id JOIN sh s2 ON d2 = s2.doc_id
   WHERE CAST(len(list_intersect(s1.shl, s2.shl)) AS DOUBLE)
@@ -2176,11 +2179,14 @@ reach AS (
   UNION
   SELECT e.u AS node, r.comp FROM edges e JOIN reach r ON e.v = r.node
 ),
-lab AS (SELECT node, MIN(comp) AS comp FROM reach GROUP BY node)
+lab AS (SELECT node, MIN(comp) AS comp FROM reach GROUP BY node)"""
+
+_CC_ORACLE = (_SHINGLE_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
+              + _minhash_sql() + _CC_CTES + """
 SELECT node AS doc_id, comp AS cluster_id,
        COUNT(*) OVER (PARTITION BY comp) AS cluster_size
 FROM lab
-"""
+""")
 
 
 @register("dedup_clusters_cc", _CC_ORACLE)
@@ -5185,3 +5191,110 @@ def lm_bigram_perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(avg, 6).alias("avg_logprob"),
                  F.round(F.exp(-avg), 6).alias("perplexity"),
                  (avg >= -3.4).alias("kept")))
+
+
+@register("leakage_safe_splits",
+          _SHINGLE_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
+          + _minhash_sql() + _CC_CTES + """
+, assign AS (
+  SELECT d.doc_id,
+         COALESCE(l.comp, d.doc_id) AS cluster_id,
+         CASE WHEN substr(md5(CAST(COALESCE(l.comp, d.doc_id) AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+              WHEN substr(md5(CAST(COALESCE(l.comp, d.doc_id) AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+              ELSE 'test' END AS split,
+         CASE WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+              WHEN substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+              ELSE 'test' END AS doc_split
+  FROM documents d LEFT JOIN lab l ON d.doc_id = l.node
+),
+pair_splits AS (
+  SELECT a1.split AS s1, a2.split AS s2,
+         a1.doc_split AS ds1, a2.doc_split AS ds2
+  FROM pairs p JOIN assign a1 ON p.d1 = a1.doc_id
+               JOIN assign a2 ON p.d2 = a2.doc_id
+),
+cluster_leaks AS (
+  SELECT s, COUNT(*) AS n FROM (
+    SELECT s1 AS s FROM pair_splits WHERE s1 <> s2
+    UNION ALL SELECT s2 AS s FROM pair_splits WHERE s1 <> s2) GROUP BY s
+),
+doc_leaks AS (
+  SELECT s, COUNT(*) AS n FROM (
+    SELECT ds1 AS s FROM pair_splits WHERE ds1 <> ds2
+    UNION ALL SELECT ds2 AS s FROM pair_splits WHERE ds1 <> ds2) GROUP BY s
+)
+SELECT a.split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT a.cluster_id) AS BIGINT) AS n_clusters,
+       CAST(COALESCE(ANY_VALUE(cl.n), 0) AS BIGINT) AS cluster_split_leaks,
+       CAST(COALESCE(ANY_VALUE(dl.n), 0) AS BIGINT) AS doc_split_leaks
+FROM assign a LEFT JOIN cluster_leaks cl ON a.split = cl.s
+              LEFT JOIN doc_leaks dl ON a.split = dl.s
+GROUP BY a.split
+""")
+def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test assignment — the split step every
+    pretraining/eval pipeline runs, with the guard that makes it sound:
+    documents are assigned BY NEAR-DUP CLUSTER (connected components
+    over verified MinHash pairs; singletons cluster as themselves), so
+    a document and its near-duplicates can never straddle splits and
+    leak eval content into training. The split function is a pure
+    cross-engine hash rule (first hex char of md5(cluster_id):
+    < 'c' → train 75%, < 'e' → val 12.5%, else test), reproducible with
+    no RNG state. The result CARRIES ITS OWN PROOF: per split,
+    ``cluster_split_leaks`` counts near-dup pairs straddling splits
+    under the cluster rule (0 by construction — computed, not assumed)
+    next to ``doc_split_leaks``, the SAME count under the naive
+    per-document hash split (nonzero — the leak this operator
+    prevents). Scale shape: the pair pipeline is the banded-LSH one
+    (O(candidates)); components come from operators/graph.py's batched
+    min-label propagation; assignment is one left join + pure hash
+    codegen; leak counting is two corpus-linear joins of the
+    (small) pair set against the assignment. Oracle: the recursive-CTE
+    component machinery shared with dedup_clusters_cc plus the same
+    split algebra."""
+    from .operators.dedup import minhash_near_dups
+    from .operators.graph import dedup_clusters
+    from .session import stabilize
+    d = _spread(spark, _t(spark, sf_dir, "documents")["documents"])
+    # the verified pair set is O(candidates)-small and consumed twice
+    # (component labeling AND leak counting) — materialize it once so
+    # the banded-LSH pipeline doesn't re-shingle the corpus per consumer
+    pairs = stabilize(minhash_near_dups(d, num_hashes=16, bands=4, n=5,
+                                        threshold=0.5))
+    clusters = dedup_clusters(pairs).select("doc_id", "cluster_id")
+
+    def split_of(col):
+        c = F.substring(F.md5(col.cast("string")), 1, 1)
+        return F.when(c < "c", "train").when(c < "e", "val") \
+                .otherwise("test")
+
+    assign = (d.select("doc_id").join(clusters, "doc_id", "left")
+              .select("doc_id",
+                      F.coalesce("cluster_id", "doc_id")
+                      .alias("cluster_id"))
+              .withColumn("split", split_of(F.col("cluster_id")))
+              .withColumn("doc_split", split_of(F.col("doc_id"))))
+    a1 = assign.select(F.col("doc_id").alias("d1"),
+                       F.col("split").alias("s1"),
+                       F.col("doc_split").alias("ds1"))
+    a2 = assign.select(F.col("doc_id").alias("d2"),
+                       F.col("split").alias("s2"),
+                       F.col("doc_split").alias("ds2"))
+    ps = pairs.join(a1, "d1").join(a2, "d2")
+    cluster_leaks = (ps.filter(F.col("s1") != F.col("s2"))
+                     .select(F.explode(F.array("s1", "s2")).alias("split"))
+                     .groupBy("split").agg(F.count("*").alias("_cl")))
+    doc_leaks = (ps.filter(F.col("ds1") != F.col("ds2"))
+                 .select(F.explode(F.array("ds1", "ds2")).alias("split"))
+                 .groupBy("split").agg(F.count("*").alias("_dl")))
+    return (assign.groupBy("split")
+            .agg(F.count("*").alias("n_docs"),
+                 F.countDistinct("cluster_id").alias("n_clusters"))
+            .join(cluster_leaks, "split", "left")
+            .join(doc_leaks, "split", "left")
+            .select("split", "n_docs", "n_clusters",
+                    F.coalesce("_cl", F.lit(0)).cast("long")
+                    .alias("cluster_split_leaks"),
+                    F.coalesce("_dl", F.lit(0)).cast("long")
+                    .alias("doc_split_leaks")))
