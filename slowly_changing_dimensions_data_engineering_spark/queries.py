@@ -4955,7 +4955,15 @@ def _bpe_trained(spark: SparkSession, sf_dir: str):
 SELECT DISTINCT CAST(r AS BIGINT) AS merge_rank, ml AS left_sym,
        mr AS right_sym, CAST(mf AS BIGINT) AS pair_freq,
        ml || mr AS new_token
-FROM bpe WHERE r >= 1 AND ml IS NOT NULL
+FROM bpe WHERE r >= 1 AND mr IS NOT NULL
+-- mr, not ml: when the vocabulary exhausts before the merge budget the
+-- recursive rounds keep running with no pair anywhere (every pf NULL),
+-- and the argmax windows still bind ml = FIRST_VALUE(sym) to a REAL
+-- symbol while mr = FIRST_VALUE(nxt) and mf are NULL — mr IS NOT NULL
+-- is exactly "a merge happened this round" (any live pair makes the
+-- pf-DESC-first row carry a non-null nxt). Spark's bpe_train breaks
+-- out of the loop at exhaustion, so the oracle must drop those
+-- padding rounds (r9 ADVICE repro: corpus 'ab ab ab', 3 merges).
 """)
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE merge-loop training proper (operators/text.py:bpe_train —
@@ -5057,9 +5065,13 @@ def substring_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     cut = cut_dup_spans(d, spans)
     recount = F.when(F.length(F.col("text_clean")) == 0, F.lit(0)) \
         .otherwise(F.size(F.split(F.col("text_clean"), " ")))
+    # every derived column (n_docs_cut, tokens_removed, tokens_after)
+    # shares the SAME recount base — mixing the span-arithmetic report
+    # column into n_docs_cut made a row internally inconsistent on the
+    # consecutive-space edge where the two bases diverge (r9 ADVICE)
     return (cut.withColumn("_n_after_recount", recount.cast("long"))
             .agg(F.count("*").alias("n_docs"),
-                 F.sum(F.when(F.col("n_tokens_after")
+                 F.sum(F.when(F.col("_n_after_recount")
                               < F.col("n_tokens_before"), 1)
                        .otherwise(0)).cast("long").alias("n_docs_cut"),
                  F.sum("n_tokens_before").alias("tokens_before"),

@@ -1431,6 +1431,36 @@ def test_bpe_train_merges_and_segment_roundtrip(spark):
     assert applied.collect()[0]["syms"] == ["abab", "ab"]
 
 
+def test_bpe_oracle_exhaustion_matches_spark(spark):
+    """r9 ADVICE repro, pinned: on a corpus whose vocabulary exhausts
+    before the merge budget ('ab ab ab' collapses to one symbol after a
+    single merge), the recursive-CTE oracle keeps recursing with no
+    live pair — its padding rounds carry ml = FIRST_VALUE(sym) (a real
+    symbol) but mr/mf NULL, so the round filter must key on mr, not ml.
+    Run the REGISTERED oracle SQL on DuckDB and bpe_train on Spark over
+    the same one-doc corpus and require identical merge tables."""
+    import duckdb
+
+    from slowly_changing_dimensions_data_engineering_spark import queries as q
+    from slowly_changing_dimensions_data_engineering_spark.operators.text import (
+        bpe_train,
+    )
+
+    con = duckdb.connect()
+    con.sql("CREATE TABLE documents AS "
+            "SELECT 0 AS doc_id, 'ab ab ab' AS text")
+    oracle_rows = set(map(tuple, con.sql(
+        q._REGISTRY["bpe_train_merges"][1]).fetchall()))
+
+    d = spark.createDataFrame([(0, "ab ab ab")], ["doc_id", "text"])
+    merges, _ = bpe_train(d, n_merges=q._BPE_N_MERGES)
+    spark_rows = {(r["merge_rank"], r["left_sym"], r["right_sym"],
+                   r["pair_freq"], r["new_token"])
+                  for r in merges.collect()}
+    assert spark_rows == {(1, "a", "b", 3, "ab")}
+    assert oracle_rows == spark_rows
+
+
 def test_bpe_train_corpus_scanned_once_vocab_iterated(spark):
     """Scale shape: the per-round argmax plan aggregates over the
     word-frequency vocab, not the corpus — its scan is the stabilized
