@@ -1,0 +1,179 @@
+"""Distributed quality-classifier TRAINING — batch-gradient logistic
+regression over an embedding column, the fitting loop behind
+``classifier_quality_scores``'s inference-only linear probe (the
+FineWeb-Edu pattern trains exactly this probe on teacher labels before
+scoring the corpus with it).
+
+No reference parity: the reference pipeline (SCD-Configuration
+Setup.sql / SCD-Automation.sql) has no model-fitting surface; this is
+engine capability its users gain for LLM-data curation.
+
+Algorithm (full-batch gradient descent on mean log-loss):
+
+    p_i   = sigmoid(w · x_i + b)          rounded to 9 decimals
+    g_d   = Σ_i (p_i − y_i) · x_{i,d}     ordered fold over rows
+    w_d  ← round(w_d − lr·g_d/n, 12)      (bias = an extra dimension)
+
+Spark shape per round — the ``kmeans_fit`` / ``bpe_train`` bounded
+iteration discipline:
+
+- ONE codegen scoring pass over the corpus (the dot product is a
+  ``zip_with``+``aggregate`` fold, the sigmoid plain arithmetic — no
+  Python anywhere), materialized once via ``stabilize`` because two
+  aggregates consume it;
+- ONE global aggregate for the round metrics (decimal-exact mean
+  log-loss, teacher-agreement count);
+- ONE ``posexplode`` + per-dimension aggregate for the gradient, the
+  updated weights computed IN the aggregate projection (so the
+  round-half-up semantics live engine-side), then a ``dim+1``-row
+  driver collect rebuilds the weight literal for the next round — the
+  exact bounded-collect convention of ``kmeans_fit`` (similarity.py)
+  and ``bpe_train`` (text.py); nothing corpus-sized ever reaches the
+  driver.
+
+At 100 TB the per-round cost is one corpus scan plus one shuffle of
+(n·dim) values in ``sum_mode="exact"`` — or only k·dim map-side
+partials in ``sum_mode="fast"`` — against a model of dim+1 floats; R
+bounded rounds total. The trained weights then score the corpus as
+pure whole-stage-codegen arithmetic (classifier_quality_scores).
+
+Cross-engine determinism (why an oracle can replay every round):
+
+- dot products and gradient sums are ORDERED sequential folds
+  (``F.aggregate`` over a sorted ``collect_list``), bit-identical to
+  DuckDB's ``list_reduce(list(v ORDER BY id), +)`` — the
+  ``kmeans_fit`` "exact" finding: decimal accumulators are NOT
+  cross-engine-stable on float32-derived doubles, ordered folds are;
+- the only libm calls (exp in the sigmoid, ln in the loss) are
+  immediately rounded to 9 decimals, the registry's lm_quality_scores
+  convention;
+- weight updates round to 12 decimals with both engines' HALF_UP, so
+  per-round state is exactly a 12-decimal double on both sides.
+
+``sum_mode="fast"`` swaps every ordered fold for a plain ``sum`` —
+map-side partial aggregation, the production path; low-order-bit drift
+per round is irrelevant when no oracle replays the arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import types as T
+
+from ..session import stabilize
+from .similarity import as_double
+
+#: Clamp for ln() in the log-loss: round-9 can land p exactly on 0/1.
+_EPS = 1e-9
+
+
+def _ordered_fold(id_col: str, val: Column) -> Column:
+    """Sequential left fold of ``val`` in ascending ``id_col`` order —
+    deterministic under any partitioning and bit-identical to DuckDB's
+    ``list_reduce(list(val ORDER BY id), (a,b) -> a+b)``."""
+    return F.aggregate(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col(id_col), val.alias("v")))),
+            lambda s: s["v"]),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def logreg_fit(vectors: DataFrame, label: Column, rounds: int = 5,
+               lr: float = 2.0, id_col: str = "vec_id",
+               vec_col: str = "embedding",
+               sum_mode: str = "exact") -> tuple[DataFrame, DataFrame]:
+    """Fit a logistic-regression probe on ``vectors`` (id, vec_col)
+    against the 0/1 ``label`` column expression.
+
+    Returns ``(weights, metrics)``:
+
+    - ``weights``: (round, dim, weight) for every round 1..R — the full
+      training trajectory, dim −1 being the bias (so an oracle checks
+      every update, not just the final state);
+    - ``metrics``: (round, log_loss, n_correct) for rounds 0..R, each
+      evaluated UNDER that round's weights — round 0 is the zero-weight
+      baseline (log_loss = ln 2), round R the trained probe; gradient
+      descent on the convex mean log-loss with lr below 2/L makes the
+      sequence non-increasing (property-tested).
+
+    Both are dictionary-sized frames built from bounded per-round
+    collects (≤ dim+1 rows per round), like ``kmeans_fit``'s centroid
+    frame."""
+    if sum_mode not in ("exact", "fast"):
+        raise ValueError(f"unknown sum_mode {sum_mode!r}")
+    spark = vectors.sparkSession
+
+    v = stabilize(vectors.select(
+        F.col(id_col).alias("_id"), as_double(vec_col).alias("_x"),
+        label.cast("double").alias("_y")))
+    first = v.select(F.size("_x").alias("d")).limit(1).collect()
+    if not first:
+        raise ValueError("logreg_fit: empty input")
+    dim = first[0]["d"]
+    n = v.count()  # bounded driver scalar (the corpus row count)
+
+    def fold(val: Column) -> Column:
+        return _ordered_fold("_id", val) if sum_mode == "exact" \
+            else F.sum(val)
+
+    w = [0.0] * dim
+    b = 0.0
+    weight_rows: list[tuple[int, int, float]] = []
+    metric_rows: list[tuple[int, float, int]] = []
+
+    for r in range(rounds + 1):
+        wlit = F.array(*[F.lit(x) for x in w])
+        z = F.aggregate(F.zip_with("_x", wlit, lambda a, c: a * c),
+                        F.lit(0.0), lambda acc, x: acc + x) + F.lit(b)
+        p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9)
+        scored = stabilize(v.select("_id", "_y", "_x", p.alias("_p")))
+
+        # round metrics under the CURRENT weights: decimal-exact mean
+        # of round-9 per-row log-loss terms + teacher-agreement count
+        pc = F.least(F.greatest(F.col("_p"), F.lit(_EPS)),
+                     F.lit(1.0 - _EPS))
+        term = F.round(-(F.col("_y") * F.log(pc)
+                         + (F.lit(1.0) - F.col("_y"))
+                         * F.log(F.lit(1.0) - pc)), 9)
+        agree = ((F.col("_p") >= 0.5) == (F.col("_y") == 1.0))
+        mrow = scored.agg(
+            F.round(F.sum(term.cast("decimal(38,12)")).cast("double")
+                    / F.lit(float(n)), 6).alias("log_loss"),
+            F.sum(agree.cast("long")).alias("n_correct")).collect()[0]
+        metric_rows.append((r, float(mrow["log_loss"]),
+                            int(mrow["n_correct"])))
+        if r == rounds:
+            break
+
+        # gradient + update, engine-side: per-dimension ordered folds of
+        # err·x (bias = the err fold), new weight = round(w − lr·g/n, 12)
+        # computed in the aggregate projection so HALF_UP stays in-engine
+        ed = scored.select(
+            "_id", (F.col("_p") - F.col("_y")).alias("_e"), "_x")
+        ex = ed.select("_id", "_e", F.posexplode("_x"))
+        lrn = F.lit(lr)
+        nn = F.lit(float(n))
+        grads = (ex.groupBy("pos")
+                 .agg((F.round(F.get(wlit, F.col("pos")) - lrn
+                               * fold(F.col("_e") * F.col("col")) / nn, 12))
+                      .alias("w"))
+                 .unionAll(ed.agg(
+                     F.lit(-1).alias("pos"),
+                     F.round(F.lit(b) - lrn * fold(F.col("_e")) / nn, 12)
+                     .alias("w")))
+                 .collect())  # bounded: dim+1 rows, the model itself
+        new = {int(row["pos"]): float(row["w"]) for row in grads}
+        b = new[-1]
+        w = [new[d] for d in range(dim)]
+        weight_rows.extend((r + 1, d, new[d]) for d in sorted(new))
+
+    wschema = T.StructType([
+        T.StructField("round", T.LongType()),
+        T.StructField("dim", T.LongType()),
+        T.StructField("weight", T.DoubleType())])
+    mschema = T.StructType([
+        T.StructField("round", T.LongType()),
+        T.StructField("log_loss", T.DoubleType()),
+        T.StructField("n_correct", T.LongType())])
+    return (spark.createDataFrame(weight_rows, wschema),
+            spark.createDataFrame(metric_rows, mschema))

@@ -189,7 +189,7 @@ _PIPELINE_CACHE_NAMES = (
     "_SCD2_STORE_CACHE", "_MINHASH_INDEX_CACHE", "_IVF_INDEX_CACHE",
     "_DELETE_STORE_CACHE", "_DIFF_STORE_CACHE", "_STREAM_MV_CACHE",
     "_STREAM_ANN_CACHE", "_ORDERS_SCD2_CACHE", "_IVFPQ_INDEX_CACHE",
-    "_BPE_CACHE",
+    "_BPE_CACHE", "_CLS_TRAIN_CACHE",
 )
 
 
@@ -5203,6 +5203,139 @@ def lm_bigram_perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(avg, 6).alias("avg_logprob"),
                  F.round(F.exp(-avg), 6).alias("perplexity"),
                  (avg >= -3.4).alias("kept")))
+
+
+#: Trained quality-probe state per sf_dir: (weights DF, metrics DF)
+#: from one logreg_fit run shared by both classifier_train_* queries.
+_CLS_TRAIN_CACHE: dict[str, tuple] = {}
+
+_CLS_TRAIN_ROUNDS = 6
+_CLS_TRAIN_LR = 6.0
+
+
+def _logreg_oracle_sql(rounds: int, lr: float, tail: str) -> str:
+    """Replay every round of ``logreg_fit`` as chained CTEs (the
+    kmeans_train_embeddings discipline — per-round CTEs rather than
+    recursion, so each round's argument order is explicit): p{r} scores
+    the corpus under w{r} with the SAME ordered dot-product fold and
+    round-9 sigmoid, g{r}/w{r+1} restate the gradient folds and the
+    round-12 HALF_UP update, m{r} the decimal-exact mean log-loss and
+    teacher-agreement count. ``tail`` selects which trajectory the
+    query returns."""
+    parts = [f"""
+WITH xv AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+xs AS MATERIALIZED (
+  SELECT vec_id, CAST(i - 1 AS BIGINT) AS dim, e[i] AS x
+  FROM xv, unnest(range(1, len(e) + 1)) AS u(i)
+),
+lbl AS MATERIALIZED (
+  SELECT vec_id,
+         CASE WHEN list_reduce(
+                list(x * ((((7 * dim + 3) % 11) - 5) / 10.0) ORDER BY dim),
+                (a, b) -> a + b) >= 0.2
+              THEN 1.0 ELSE 0.0 END AS y
+  FROM xs GROUP BY vec_id
+),
+cnt AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM xv),
+w0 AS MATERIALIZED (SELECT CAST(unnest(range(-1, 64)) AS BIGINT) AS dim, 0.0 AS w)"""]
+    for r in range(rounds + 1):
+        parts.append(f""",
+p{r} AS MATERIALIZED (
+  SELECT s.vec_id, ANY_VALUE(l.y) AS y,
+         round(1.0 / (1.0 + exp(-(
+           list_reduce(list(s.x * w.w ORDER BY s.dim), (a, b) -> a + b)
+           + (SELECT w FROM w{r} WHERE dim = -1)))), 9) AS p
+  FROM xs s JOIN w{r} w ON s.dim = w.dim
+            JOIN lbl l ON l.vec_id = s.vec_id
+  GROUP BY s.vec_id
+),
+m{r} AS (
+  SELECT CAST({r} AS BIGINT) AS round,
+         round(CAST(SUM(CAST(round(-(y * ln(pc) + (1.0 - y) * ln(1.0 - pc)),
+                                   9) AS DECIMAL(38,12))) AS DOUBLE)
+               / ANY_VALUE(n.n), 6) AS log_loss,
+         CAST(SUM(CASE WHEN (p >= 0.5) = (y = 1.0) THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_correct
+  FROM (SELECT *, least(greatest(p, 1e-09), 1.0 - 1e-09) AS pc
+        FROM p{r}), cnt n
+)""")
+        if r == rounds:
+            break
+        parts.append(f""",
+g{r} AS MATERIALIZED (
+  SELECT s.dim AS dim,
+         list_reduce(list((p.p - p.y) * s.x ORDER BY s.vec_id),
+                     (a, b) -> a + b) AS g
+  FROM xs s JOIN p{r} p ON p.vec_id = s.vec_id
+  GROUP BY s.dim
+  UNION ALL
+  SELECT CAST(-1 AS BIGINT) AS dim,
+         list_reduce(list(p - y ORDER BY vec_id), (a, b) -> a + b) AS g
+  FROM p{r}
+),
+w{r + 1} AS MATERIALIZED (
+  SELECT w.dim, round(w.w - {lr!r} * g.g / n.n, 12) AS w
+  FROM w{r} w JOIN g{r} g USING (dim), cnt n
+)""")
+    return "".join(parts) + tail
+
+
+@register("classifier_train_rounds", _logreg_oracle_sql(
+    _CLS_TRAIN_ROUNDS, _CLS_TRAIN_LR, "\n" + "\nUNION ALL\n".join(
+        f"SELECT * FROM m{r}" for r in range(_CLS_TRAIN_ROUNDS + 1))))
+def classifier_train_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed quality-classifier TRAINING, loss trajectory — the
+    fitting loop behind ``classifier_quality_scores``'s inference-only
+    probe (operators/classifier.py:logreg_fit): 6 rounds of full-batch
+    gradient descent on mean log-loss against teacher labels from the
+    fixed closed-form probe (y = [x·w* ≥ 0.2], the FineWeb-Edu
+    teacher-then-probe pattern with the teacher reproducible in SQL).
+    Returns (round, log_loss, n_correct) for rounds 0..6, each
+    evaluated under that round's weights: round 0 is the ln 2
+    zero-weight baseline and the sequence decreases monotonically
+    (lr = 6.0 sits under the 2/L descent bound for the unit-norm
+    embeddings; property-tested). n_correct starts at the minority
+    count and reaches the majority baseline while the margin is still
+    forming — the loss column, not accuracy, is the optimization
+    witness at these scales. Spark shape per round: one codegen scoring
+    pass (zip_with fold + sigmoid, no Python), one metrics aggregate,
+    one posexplode gradient aggregate with the round-12 update computed
+    engine-side, and a dim+1-row driver collect — the kmeans_fit /
+    bpe_train bounded-iteration discipline. Oracle: every round
+    replayed as chained CTEs with identical ordered folds."""
+    return _cls_trained(spark, sf_dir)[1]
+
+
+@register("classifier_train_weights", _logreg_oracle_sql(
+    _CLS_TRAIN_ROUNDS, _CLS_TRAIN_LR, "\n" + "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, dim, w AS weight FROM w{r}"
+        for r in range(1, _CLS_TRAIN_ROUNDS + 1))))
+def classifier_train_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full weight TRAJECTORY of the quality-probe training run —
+    (round, dim, weight) for all 6 rounds × 65 parameters (dim −1 =
+    bias): the oracle must reproduce every update bit-for-bit, not just
+    the final state, which pins the gradient folds' ordering, the
+    engine-side round-12 HALF_UP update, and the lr·g/n evaluation
+    order across engines. Shares the per-process training run with
+    ``classifier_train_rounds`` (the _BPE_CACHE convention)."""
+    return _cls_trained(spark, sf_dir)[0]
+
+
+def _cls_trained(spark: SparkSession, sf_dir: str):
+    if sf_dir not in _CLS_TRAIN_CACHE:
+        from .operators.classifier import logreg_fit
+        from .operators.similarity import as_double
+        e = _t(spark, sf_dir, "embeddings")["embeddings"]
+        wlit = F.array(*[F.lit(x) for x in _CLS_W])
+        teacher = (F.aggregate(
+            F.zip_with(as_double("embedding"), wlit, lambda a, b: a * b),
+            F.lit(0.0), lambda acc, x: acc + x) >= 0.2).cast("int")
+        _CLS_TRAIN_CACHE[sf_dir] = logreg_fit(
+            e, teacher, rounds=_CLS_TRAIN_ROUNDS, lr=_CLS_TRAIN_LR)
+    return _CLS_TRAIN_CACHE[sf_dir]
 
 
 @register("leakage_safe_splits",

@@ -1882,3 +1882,78 @@ def test_cut_dup_spans_property_random_corpora(spark):
             assert r["n_tokens_after"] == len(keep)
 
     run()
+
+
+def test_logreg_fit_loss_monotone_and_learns_blobs(spark):
+    """Property: full-batch gradient descent on the convex mean
+    log-loss with lr under the descent bound yields a NON-INCREASING
+    loss trajectory, and on a linearly separable two-blob problem the
+    trained probe beats the majority-class baseline."""
+    import numpy as np
+
+    from slowly_changing_dimensions_data_engineering_spark.operators.classifier import (
+        logreg_fit,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(7)
+    dim, n = 8, 120
+    xs = rng.normal(0, 0.4, size=(n, dim))
+    xs[: n // 2, 0] += 1.5   # class 1 blob shifted on dim 0
+    rows = [(i, [float(v) for v in xs[i]], 1 if i < n // 2 else 0)
+            for i in range(n)]
+    d = spark.createDataFrame(rows, ["vec_id", "embedding", "y"])
+    wdf, mdf = logreg_fit(d, F.col("y"), rounds=8, lr=1.0)
+    m = sorted(mdf.collect(), key=lambda r: r["round"])
+    losses = [r["log_loss"] for r in m]
+    assert losses == sorted(losses, reverse=True), losses
+    assert losses[0] == pytest.approx(0.693147, abs=1e-6)  # ln 2 at w=0
+    assert losses[-1] < 0.4
+    assert m[-1]["n_correct"] > n // 2 + 10  # beats majority baseline
+    # trajectory shape: 8 rounds x (dim+1) params, bias row present
+    assert wdf.count() == 8 * (dim + 1)
+    assert wdf.filter("dim = -1").count() == 8
+    # dim 0 carries the signal -> largest trained magnitude
+    final = {r["dim"]: r["weight"]
+             for r in wdf.filter("round = 8").collect()}
+    assert abs(final[0]) == max(abs(final[i]) for i in range(dim))
+
+
+def test_logreg_fit_fast_mode_close_and_exact_deterministic(spark):
+    """sum_mode="fast" (map-side partial sums, the 100 TB path) lands
+    within float noise of the "exact" ordered-fold trajectory, and two
+    "exact" runs over differently-partitioned input are bit-identical
+    (the cross-engine determinism claim, partition-shuffled)."""
+    import numpy as np
+
+    from slowly_changing_dimensions_data_engineering_spark.operators.classifier import (
+        logreg_fit,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(11)
+    rows = [(i, [float(v) for v in rng.normal(0, 1, 6)], int(i % 3 == 0))
+            for i in range(90)]
+    d = spark.createDataFrame(rows, ["vec_id", "embedding", "y"])
+    w1, m1 = logreg_fit(d, F.col("y"), rounds=3, lr=1.0)
+    w2, m2 = logreg_fit(d.repartition(13), F.col("y"), rounds=3, lr=1.0)
+    assert sorted(map(tuple, w1.collect())) == sorted(map(tuple, w2.collect()))
+    assert sorted(map(tuple, m1.collect())) == sorted(map(tuple, m2.collect()))
+    wf, mf = logreg_fit(d, F.col("y"), rounds=3, lr=1.0, sum_mode="fast")
+    exact = {(r["round"], r["dim"]): r["weight"] for r in w1.collect()}
+    fast = {(r["round"], r["dim"]): r["weight"] for r in wf.collect()}
+    assert set(exact) == set(fast)
+    assert all(abs(exact[k] - fast[k]) < 1e-6 for k in exact)
+
+
+def test_logreg_fit_rejects_bad_input(spark):
+    from slowly_changing_dimensions_data_engineering_spark.operators.classifier import (
+        logreg_fit,
+    )
+    from pyspark.sql import functions as F
+
+    d = spark.createDataFrame([(0, [1.0], 1)], ["vec_id", "embedding", "y"])
+    with pytest.raises(ValueError, match="sum_mode"):
+        logreg_fit(d, F.col("y"), sum_mode="typo")
+    with pytest.raises(ValueError, match="empty"):
+        logreg_fit(d.filter("vec_id < 0"), F.col("y"))
