@@ -189,7 +189,7 @@ _PIPELINE_CACHE_NAMES = (
     "_SCD2_STORE_CACHE", "_MINHASH_INDEX_CACHE", "_IVF_INDEX_CACHE",
     "_DELETE_STORE_CACHE", "_DIFF_STORE_CACHE", "_STREAM_MV_CACHE",
     "_STREAM_ANN_CACHE", "_ORDERS_SCD2_CACHE", "_IVFPQ_INDEX_CACHE",
-    "_BPE_CACHE", "_CLS_TRAIN_CACHE",
+    "_BPE_CACHE", "_CLS_TRAIN_CACHE", "_STREAM_JOIN_CACHE",
 )
 
 
@@ -5173,36 +5173,91 @@ def lm_bigram_perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Determinism: per-bigram logp rounded to 9 then decimal-exact mean
     (the lm_quality_scores convention), perplexity rounded to 6 after
     a deterministic double exp."""
+    return _lm_ngram_perplexity(spark, sf_dir, order=2,
+                                count_col="n_bigrams", threshold=-3.4)
+
+
+@register("lm_trigram_perplexity_docs", """
+WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS w
+              FROM documents),
+tri AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2, w[i+2] AS w3
+        FROM toks, unnest(range(1, len(w) - 1)) AS u(i)),
+bc AS (SELECT w1, w2, w3, COUNT(*) AS nb FROM tri GROUP BY w1, w2, w3),
+cc AS (SELECT w1, w2, SUM(nb) AS nc FROM bc GROUP BY w1, w2),
+vv AS (SELECT COUNT(DISTINCT t) AS v
+       FROM (SELECT unnest(w) AS t FROM toks)),
+lp AS (SELECT bc.w1, bc.w2, bc.w3,
+              round(ln((nb + 1) / CAST(nc + v AS DOUBLE)), 9) AS logp
+       FROM bc JOIN cc USING (w1, w2), vv)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_trigrams,
+       round(CAST(SUM(CAST(logp AS DECIMAL(38,12))) AS DOUBLE)
+             / COUNT(*), 6) AS avg_logprob,
+       round(exp(-(CAST(SUM(CAST(logp AS DECIMAL(38,12))) AS DOUBLE)
+                   / COUNT(*))), 6) AS perplexity,
+       CAST(SUM(CAST(logp AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*)
+         >= -3.1 AS kept
+FROM tri JOIN lp USING (w1, w2, w3)
+GROUP BY doc_id
+""")
+def lm_trigram_perplexity_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-3 instance of the n-gram LM gate (_lm_ngram_perplexity —
+    the r9 bigram gate parameterized to arbitrary order, closing the
+    CCNet gap one conditioning step further): add-1-smoothed
+    P(w3|w1,w2) trained corpus-wide, each document scored by mean
+    trigram log-probability and gated at -3.1 (the observed sf0.01
+    corpus median, the same stated-calibration convention as the
+    bigram's -3.4). Identical scale shape at any order: one explode
+    expressed once and consumed by both the training aggregates and
+    the (w1,w2,w3) hash-join scoring pass; only the key width grows
+    with order, never the number of corpus passes."""
+    return _lm_ngram_perplexity(spark, sf_dir, order=3,
+                                count_col="n_trigrams", threshold=-3.1)
+
+
+def _lm_ngram_perplexity(spark: SparkSession, sf_dir: str, order: int,
+                         count_col: str, threshold: float) -> DataFrame:
+    """Order-n generalization of the add-1-smoothed n-gram LM gate:
+    P(wₙ|w₁..wₙ₋₁) = (C(w₁..wₙ)+1)/(C(w₁..wₙ₋₁·)+V). Same shape at
+    every order — the n-gram explode is expressed once and evaluated
+    twice (training aggregates + the n-column hash-join scoring pass;
+    the LM table is never broadcast by construction), plus one
+    token-distinct pass for V. order=2 reproduces the registered
+    bigram plan exactly (ledger-pinned)."""
     d = _t(spark, sf_dir, "documents")["documents"]
     toks = F.split(F.trim(F.col("text")), " ")
     # sequence(1, n) DESCENDS for n < 1 — guard with an empty list for
-    # docs under two tokens (positional_shingles convention)
-    idx = F.when(F.size(toks) >= 2, F.sequence(F.lit(1), F.size(toks) - 1)) \
+    # docs under `order` tokens (positional_shingles convention)
+    idx = F.when(F.size(toks) >= order,
+                 F.sequence(F.lit(order - 1), F.size(toks) - 1)) \
         .otherwise(F.array().cast("array<int>"))
-    pair = F.transform(
-        idx,
-        lambda i: F.struct(F.get(toks, i - 1).alias("w1"),
-                           F.get(toks, i).alias("w2")))
-    bi = (d.select("doc_id", F.explode(pair).alias("p"))
-          .select("doc_id", F.col("p.w1").alias("w1"),
-                  F.col("p.w2").alias("w2")))
-    bc = bi.groupBy("w1", "w2").agg(F.count("*").alias("nb"))
-    cc = bc.groupBy("w1").agg(F.sum("nb").alias("nc"))
+    ws = [f"w{j + 1}" for j in range(order)]
+
+    def gram(i):
+        return F.struct(*[
+            (F.get(toks, i - (order - 1 - j)) if j < order - 1
+             else F.get(toks, i)).alias(ws[j])
+            for j in range(order)])
+
+    gr = (d.select("doc_id", F.explode(F.transform(idx, gram)).alias("p"))
+          .select("doc_id", *[F.col(f"p.{w}").alias(w) for w in ws]))
+    ctx = ws[:-1]
+    bc = gr.groupBy(*ws).agg(F.count("*").alias("nb"))
+    cc = bc.groupBy(*ctx).agg(F.sum("nb").alias("nc"))
     vv = (d.select(F.explode(toks).alias("t"))
           .agg(F.countDistinct("t").alias("v")))
-    lp = (bc.join(cc, "w1").crossJoin(F.broadcast(vv))
-          .select("w1", "w2",
+    lp = (bc.join(cc, ctx).crossJoin(F.broadcast(vv))
+          .select(*ws,
                   F.round(F.log((F.col("nb") + 1)
                                 / (F.col("nc") + F.col("v"))
                                 .cast("double")), 9).alias("logp")))
     avg = (F.sum(F.col("logp").cast("decimal(38,12)")).cast("double")
            / F.count("*"))
-    return (bi.join(lp, ["w1", "w2"])
+    return (gr.join(lp, ws)
             .groupBy("doc_id")
-            .agg(F.count("*").alias("n_bigrams"),
+            .agg(F.count("*").alias(count_col),
                  F.round(avg, 6).alias("avg_logprob"),
                  F.round(F.exp(-avg), 6).alias("perplexity"),
-                 (avg >= -3.4).alias("kept")))
+                 (avg >= threshold).alias("kept")))
 
 
 #: Trained quality-probe state per sf_dir: (weights DF, metrics DF)
@@ -5443,3 +5498,125 @@ def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("cluster_split_leaks"),
                     F.coalesce("_dl", F.lit(0)).cast("long")
                     .alias("doc_split_leaks")))
+
+
+#: sf_dir -> tmp root of a completed stream-stream attribution run.
+_STREAM_JOIN_CACHE: dict[str, str] = {}
+
+
+def _stream_join_out(spark: SparkSession, sf_dir: str) -> str:
+    """Drive streaming/join_stream.py end-to-end on the events table:
+
+    clicks and purchases land as JSON-lines files in two directories,
+    sliced by day-of-month ([1,8) [8,16) [16,24) staged up front, then
+    [24,32) staged AFTER a checkpointed RESTART — the mv/ann pipelines'
+    exactly-once-across-restarts drill applied to a two-source join).
+    ``maxFilesPerTrigger=1`` under availableNow makes each slice one
+    micro-batch; file mtimes are forced monotone so the file source's
+    modification-time ordering processes slices in event-time order,
+    which (with watermark_delay=2h ≫ batch-boundary disorder and
+    join_window=1h) guarantees no in-window match is ever dropped —
+    the condition under which the streaming join equals the static
+    inner join the oracle computes."""
+    import os
+    import time as _time
+
+    from .streaming.join_stream import start_click_attribution
+
+    root = _STREAM_JOIN_CACHE.get(sf_dir)
+    if root and os.path.exists(os.path.join(root, "out", "_spark_metadata")):
+        return os.path.join(root, "out")
+
+    root = _pipeline_tmpdir("sds_sjoin_")
+    c_dir = os.path.join(root, "clicks")
+    p_dir = os.path.join(root, "purchases")
+    out = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+    os.makedirs(c_dir)
+    os.makedirs(p_dir)
+
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    ev = (_t(spark, sf_dir, "events")["events"]
+          .select("event_id", "ts", "user_id", "event_type",
+                  F.col("value").cast("double").alias("value")))
+    day = F.dayofmonth("ts")
+    slices = [(1, 8), (8, 16), (16, 24), (24, 32)]
+
+    def stage(i: int) -> None:
+        lo, hi = slices[i]
+        sl = ev.filter((day >= lo) & (day < hi))
+        _stage_json(sl.filter(F.col("event_type") == "click")
+                    .drop("event_type"), root, c_dir, f"load{i}.json")
+        _stage_json(sl.filter(F.col("event_type") == "purchase")
+                    .drop("event_type"), root, p_dir, f"load{i}.json")
+        # monotone mtimes: the file source orders by modification time,
+        # and slice order IS event-time order here (watermark safety)
+        t = _time.time() + i
+        for d in (c_dir, p_dir):
+            os.utime(os.path.join(d, f"load{i}.json"), (t, t))
+
+    def run_stream() -> None:
+        q = start_click_attribution(
+            spark, c_dir, p_dir, out, ckpt, schema,
+            join_window="1 hour", watermark_delay="2 hours",
+            available_now=True, max_files_per_trigger=1)
+        q.awaitTermination()
+
+    for i in range(3):
+        stage(i)
+    run_stream()
+    stage(3)
+    run_stream()
+
+    _STREAM_JOIN_CACHE[sf_dir] = root
+    return out
+
+
+@register("streaming_click_attribution", """
+WITH c AS (
+  SELECT event_id AS click_id, user_id, ts AS cts
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS pts, value
+  FROM events WHERE event_type = 'purchase'
+),
+pairs AS (
+  SELECT c.user_id, c.click_id, p.purchase_id, p.value
+  FROM c JOIN p ON c.user_id = p.user_id
+              AND p.pts >= c.cts
+              AND p.pts <= c.cts + INTERVAL 1 HOUR
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(COUNT(DISTINCT purchase_id) AS BIGINT) AS n_purchases,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM pairs
+GROUP BY user_id
+""")
+def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked STREAM-STREAM join, driver-checked end-to-end
+    (streaming/join_stream.py): click and purchase event streams,
+    each watermarked 2h, inner-joined per user on the event-time
+    interval [click_ts, click_ts + 1h], parquet-sinked append-mode
+    across four day-sliced micro-batches and a checkpointed restart.
+    The final sink is aggregated per user and compared against the
+    static inner join of the same inputs — equality proves (a) the
+    interval join's pair semantics, (b) no in-window match was lost to
+    watermark eviction under event-time-ordered feeding, and (c) the
+    parquet sink's exactly-once file commit across the restart (a
+    replayed batch would double n_pairs). State story at scale: rows
+    retire from the join state once the other side's watermark passes
+    the interval, bounding state to ~(1h+2h) of per-key data."""
+    out = _stream_join_out(spark, sf_dir)
+    pairs = spark.read.parquet(out)
+    return (pairs.groupBy("user_id")
+            .agg(F.count("*").alias("n_pairs"),
+                 F.countDistinct("purchase_id").alias("n_purchases"),
+                 _dsum("purchase_value", 6).alias("sum_value")))

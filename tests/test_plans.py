@@ -35,6 +35,7 @@ NESTED_LOOP_ALLOWED = {"embed_topk_cosine", "ann_filtered_topk",
                        # 1-row vocabulary-size aggregate broadcast into
                        # the smoothed-logprob projection
                        "lm_bigram_perplexity_docs",
+                       "lm_trigram_perplexity_docs",
                        # 1-row seeds-array broadcast (two-level coarse
                        # ranking is a codegen expression over it)
                        "ivf_two_level_assign_state",

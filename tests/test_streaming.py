@@ -594,3 +594,114 @@ def test_streaming_ivfpq_freezes_both_dictionaries(spark, tmp_path):
                                         n_centroids=ncells).collect()}
     for i in range(100, 108):
         assert stored[i] == (expect_codes[i], expect_cells[i])
+
+
+# --------------------------------------------------------------------
+# click→purchase attribution pipeline (streaming/join_stream.py)
+# --------------------------------------------------------------------
+
+ATTR_SCHEMA = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("value", T.DoubleType()),
+])
+
+
+def _write_attr_file(path, rows, mtime):
+    with open(path, "w") as f:
+        for eid, ts, uid, val in rows:
+            f.write(json.dumps({"event_id": eid, "ts": ts,
+                                "user_id": uid, "value": val}) + "\n")
+    os.utime(path, (mtime, mtime))
+
+
+def test_click_attribution_restart_exactly_once_and_late_drop(spark, tmp_path):
+    """The attribution pipeline end-to-end on synthetic streams:
+
+    - run 1 (one file per side): the in-window pair emits to the
+      parquet sink; the batch also advances both watermarks to ~19:50;
+    - run 2 RESTARTS on the same checkpoint with a purchase at 10:30 —
+      statically it matches click 1, but it arrives behind the global
+      watermark and is DROPPED (the bounded-state price the module
+      docstring states), and the restart must not re-emit run-1 pairs
+      (parquet sink exactly-once via _spark_metadata)."""
+    from slowly_changing_dimensions_data_engineering_spark.streaming import (
+        start_click_attribution,
+    )
+
+    c_dir, p_dir = tmp_path / "clicks", tmp_path / "purch"
+    c_dir.mkdir()
+    p_dir.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    t0 = time.time()
+
+    _write_attr_file(c_dir / "c1.json", [
+        (1, "2024-01-01 10:00:00", 7, 0.0),
+        (2, "2024-01-01 20:00:00", 7, 0.0),   # advances clicks watermark
+    ], t0 - 100)
+    _write_attr_file(p_dir / "p1.json", [
+        (101, "2024-01-01 20:01:00", 7, 5.0),  # joins click 2 (+1m)
+    ], t0 - 100)
+
+    def run():
+        q = start_click_attribution(
+            spark, str(c_dir), str(p_dir), out, ckpt, ATTR_SCHEMA,
+            join_window="1 hour", watermark_delay="10 minutes",
+            available_now=True)
+        _drain(q)
+
+    run()
+    pairs = {(r["click_id"], r["purchase_id"])
+             for r in spark.read.parquet(out).collect()}
+    assert pairs == {(2, 101)}
+
+    # late beyond the global watermark (~19:51): statically matches
+    # click 1, but the join must drop it
+    _write_attr_file(p_dir / "p2.json", [
+        (102, "2024-01-01 10:30:00", 7, 9.0),
+    ], t0 - 50)
+    run()
+    rows = spark.read.parquet(out).collect()
+    assert {(r["click_id"], r["purchase_id"]) for r in rows} == {(2, 101)}
+    assert len(rows) == 1  # restart did not re-emit the run-1 pair
+
+
+def test_click_attribution_cross_batch_match_within_watermark(spark, tmp_path):
+    """The flip side of the eviction test: a purchase in a LATER
+    micro-batch still joins a click buffered in state when it arrives
+    within the watermark — cross-batch completeness under in-order
+    feeding (what the registry pipeline relies on)."""
+    from slowly_changing_dimensions_data_engineering_spark.streaming import (
+        start_click_attribution,
+    )
+
+    c_dir, p_dir = tmp_path / "clicks", tmp_path / "purch"
+    c_dir.mkdir()
+    p_dir.mkdir()
+    t0 = time.time()
+    _write_attr_file(c_dir / "c1.json", [
+        (1, "2024-01-01 10:00:00", 7, 0.0),
+    ], t0 - 100)
+    _write_attr_file(p_dir / "p1.json", [
+        (100, "2024-01-01 10:01:00", 7, 1.0),
+    ], t0 - 100)
+    # batch 2: purchase at 10:40 joins the batch-1 click (watermark
+    # after batch 1 is ~9:51 — the click is live, the row is on time);
+    # click 2 at 10:45 is AFTER purchase 101, so it matches nothing
+    _write_attr_file(c_dir / "c2.json", [
+        (2, "2024-01-01 10:45:00", 7, 0.0),
+    ], t0 - 50)
+    _write_attr_file(p_dir / "p2.json", [
+        (101, "2024-01-01 10:40:00", 7, 2.0),
+    ], t0 - 50)
+
+    q = start_click_attribution(
+        spark, str(c_dir), str(p_dir), str(tmp_path / "out"),
+        str(tmp_path / "ckpt"), ATTR_SCHEMA,
+        join_window="1 hour", watermark_delay="10 minutes",
+        available_now=True, max_files_per_trigger=1)
+    _drain(q)
+    pairs = {(r["click_id"], r["purchase_id"])
+             for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert pairs == {(1, 100), (1, 101)}

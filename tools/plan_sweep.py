@@ -64,7 +64,7 @@ PIPELINE_QUERIES = {
     "streaming_ann_index_state", "snapshot_diff_suppliers",
     "delete_dml_state_stats", "incremental_mv_state_stats",
     "minhash_incremental_dedup", "ivf_two_level_assign_state",
-    "streaming_ivfpq_index_state",
+    "streaming_ivfpq_index_state", "streaming_click_attribution",
 }
 
 
