@@ -122,6 +122,30 @@ def main():
     # earlier line; the compact machine-readable summary is the LAST line
     # so a tail capture of any reasonable size always parses it.
     print(json.dumps({"per_query_seconds": timings}))
+
+    # The driver's tail capture truncates the per-query line once the
+    # registry outgrows it (r9 finding: BENCH_r* keeps only the last
+    # ~59 queries), so bench.py persists the COMPLETE record itself:
+    # one JSON object per run appended to bench_history/bench_runs.jsonl
+    # (or $SPARK_GRAFT_BENCH_OUT). Cross-round regression diffs read
+    # this file, not the driver tail.
+    rec = {
+        "sf": sf, "sf_dir": sf_dir, "cpus": cpus, "calib_sec": calib,
+        "n_queries": len(timings),
+        "total_sec": round(sum(timings.values()), 3),
+        "per_query_seconds": timings,
+    }
+    out_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_OUT",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "bench_history", "bench_runs.jsonl"))
+    try:
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        with open(out_path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+    except OSError as ex:  # never fail the bench over bookkeeping
+        print(f"bench history write failed: {ex}", file=sys.stderr)
+
     print(summary_line(timings, sf, calib))
 
 

@@ -81,7 +81,9 @@ def _ordered_fold(id_col: str, val: Column) -> Column:
 def logreg_fit(vectors: DataFrame, label: Column, rounds: int = 5,
                lr: float = 2.0, id_col: str = "vec_id",
                vec_col: str = "embedding",
-               sum_mode: str = "exact") -> tuple[DataFrame, DataFrame]:
+               sum_mode: str = "exact",
+               sample_fraction: float | None = None,
+               seed: int = 41) -> tuple[DataFrame, DataFrame]:
     """Fit a logistic-regression probe on ``vectors`` (id, vec_col)
     against the 0/1 ``label`` column expression.
 
@@ -98,19 +100,45 @@ def logreg_fit(vectors: DataFrame, label: Column, rounds: int = 5,
 
     Both are dictionary-sized frames built from bounded per-round
     collects (≤ dim+1 rows per round), like ``kmeans_fit``'s centroid
-    frame."""
+    frame.
+
+    ``sample_fraction`` enables MINI-BATCH (sampled-gradient) rounds —
+    the production-scale variant: each round's gradient is computed on
+    an independent Bernoulli sample of the scored corpus
+    (``F.rand(seed + round) < fraction``) and normalized by the ACTUAL
+    sample size, so at 100 TB a round shuffles only fraction·n·dim
+    values instead of the full corpus. Metrics stay full-corpus (the
+    loss trajectory is still evaluated exactly). Sampled descent is
+    stochastic — per-round loss is only non-increasing in expectation
+    — and ``F.rand`` is not cross-engine-replayable, so this mode has
+    no SQL oracle; convergence is property-tested instead
+    (tests/test_llm_ops.py)."""
     if sum_mode not in ("exact", "fast"):
         raise ValueError(f"unknown sum_mode {sum_mode!r}")
+    if sample_fraction is not None and not (0.0 < sample_fraction <= 1.0):
+        raise ValueError(f"sample_fraction must be in (0, 1], "
+                         f"got {sample_fraction!r}")
     spark = vectors.sparkSession
 
     v = stabilize(vectors.select(
         F.col(id_col).alias("_id"), as_double(vec_col).alias("_x"),
         label.cast("double").alias("_y")))
-    first = v.select(F.size("_x").alias("d")).limit(1).collect()
-    if not first:
+    # One bounded-scalar aggregate: corpus row count + the vector-width
+    # envelope. Ragged widths would make the zip_with dot product
+    # null-pad and silently drop rows from the metrics/gradient
+    # aggregates — fail loudly instead (r10 ADVICE).
+    shape = v.agg(F.count("*").alias("n"),
+                  F.min(F.size("_x")).alias("dmin"),
+                  F.max(F.size("_x")).alias("dmax")).collect()[0]
+    n = int(shape["n"])  # bounded driver scalar (the corpus row count)
+    if n == 0:
         raise ValueError("logreg_fit: empty input")
-    dim = first[0]["d"]
-    n = v.count()  # bounded driver scalar (the corpus row count)
+    if shape["dmin"] != shape["dmax"]:
+        raise ValueError(
+            f"logreg_fit: ragged {vec_col!r} widths "
+            f"(min {shape['dmin']}, max {shape['dmax']}) — all vectors "
+            "must share one dimension")
+    dim = int(shape["dmax"])
 
     def fold(val: Column) -> Column:
         return _ordered_fold("_id", val) if sum_mode == "exact" \
@@ -145,26 +173,54 @@ def logreg_fit(vectors: DataFrame, label: Column, rounds: int = 5,
         if r == rounds:
             break
 
-        # gradient + update, engine-side: per-dimension ordered folds of
-        # err·x (bias = the err fold), new weight = round(w − lr·g/n, 12)
-        # computed in the aggregate projection so HALF_UP stays in-engine
-        ed = scored.select(
-            "_id", (F.col("_p") - F.col("_y")).alias("_e"), "_x")
-        ex = ed.select("_id", "_e", F.posexplode("_x"))
-        lrn = F.lit(lr)
-        nn = F.lit(float(n))
-        grads = (ex.groupBy("pos")
-                 .agg((F.round(F.get(wlit, F.col("pos")) - lrn
-                               * fold(F.col("_e") * F.col("col")) / nn, 12))
-                      .alias("w"))
-                 .unionAll(ed.agg(
-                     F.lit(-1).alias("pos"),
-                     F.round(F.lit(b) - lrn * fold(F.col("_e")) / nn, 12)
-                     .alias("w")))
-                 .collect())  # bounded: dim+1 rows, the model itself
-        new = {int(row["pos"]): float(row["w"]) for row in grads}
-        b = new[-1]
-        w = [new[d] for d in range(dim)]
+        if sample_fraction is not None:
+            # mini-batch round: gradient over an independent Bernoulli
+            # sample, normalized by the ACTUAL sample size (collected
+            # with the gradient — still dim+1 rows + one count); an
+            # empty sample leaves the weights unchanged this round
+            ed = (scored
+                  .filter(F.rand(seed + r) < F.lit(sample_fraction))
+                  .select("_id", (F.col("_p") - F.col("_y")).alias("_e"),
+                          "_x"))
+            ex = ed.select("_id", "_e", F.posexplode("_x"))
+            rows = (ex.groupBy("pos")
+                    .agg(fold(F.col("_e") * F.col("col")).alias("g"),
+                         F.count("*").alias("m"))
+                    .unionAll(ed.agg(F.lit(-1).alias("pos"),
+                                     fold(F.col("_e")).alias("g"),
+                                     F.count("*").alias("m")))
+                    .collect())  # bounded: dim+1 rows, the model itself
+            ns = next((int(row["m"]) for row in rows
+                       if int(row["pos"]) == -1), 0)
+            if ns > 0:
+                g = {int(row["pos"]): float(row["g"]) for row in rows}
+                b = round(b - lr * g[-1] / ns, 12)
+                w = [round(w[d] - lr * g.get(d, 0.0) / ns, 12)
+                     for d in range(dim)]
+            new = {-1: b, **{d: w[d] for d in range(dim)}}
+        else:
+            # gradient + update, engine-side: per-dimension ordered
+            # folds of err·x (bias = the err fold), new weight =
+            # round(w − lr·g/n, 12) computed in the aggregate
+            # projection so HALF_UP stays in-engine
+            ed = scored.select(
+                "_id", (F.col("_p") - F.col("_y")).alias("_e"), "_x")
+            ex = ed.select("_id", "_e", F.posexplode("_x"))
+            lrn = F.lit(lr)
+            nn = F.lit(float(n))
+            grads = (ex.groupBy("pos")
+                     .agg((F.round(F.get(wlit, F.col("pos")) - lrn
+                                   * fold(F.col("_e") * F.col("col")) / nn,
+                                   12))
+                          .alias("w"))
+                     .unionAll(ed.agg(
+                         F.lit(-1).alias("pos"),
+                         F.round(F.lit(b) - lrn * fold(F.col("_e")) / nn, 12)
+                         .alias("w")))
+                     .collect())  # bounded: dim+1 rows, the model itself
+            new = {int(row["pos"]): float(row["w"]) for row in grads}
+            b = new[-1]
+            w = [new[d] for d in range(dim)]
         weight_rows.extend((r + 1, d, new[d]) for d in sorted(new))
 
     wschema = T.StructType([

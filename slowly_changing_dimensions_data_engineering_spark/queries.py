@@ -51,6 +51,16 @@ def register(name: str, oracle: str | None):
 # consecutive prior rounds.  Rotate per round until every registered
 # query has at least one green driver row on record.
 #
+# r11 rotation: CORRECTNESS_r10 was 50/50 green; 110/114 queries now
+# have >=2 lifetime greens.  The four green-once queries are exactly
+# the r10-new family (classifier_train_rounds/weights,
+# lm_trigram_perplexity_docs, streaming_click_attribution) — they stay
+# OUT of the demote list so they lead the r11 board and bank their
+# second green, followed by the r11-new queries (zero greens,
+# auto-promoted by registration order).  The r9 family
+# (substring-dedup / BPE trio / bigram LM / leakage splits) banked its
+# second green in r10 and moves into the demote list below.
+#
 # r8 rotation: CORRECTNESS_r07 was 50/50 green; 95/96 queries now have
 # >=2 lifetime greens.  The board leads with the r8-NEW contract
 # queries (kmeans_train_embeddings and the pq_* family — zero lifetime
@@ -121,6 +131,14 @@ _BOARD_DEMOTE = [
     "token_freq_topk",
     "weighted_sample_docs",
     "window_rank_family_orders",
+    # -- demoted r11 (r9-new family; green r9 + r10; alphabetical) --
+    "bpe_corpus_tokens",
+    "bpe_train_merges",
+    "bpe_vocab_segmentation",
+    "leakage_safe_splits",
+    "lm_bigram_perplexity_docs",
+    "substring_dedup_cut",
+    "substring_dedup_spans",
     # -- demoted in earlier rounds (>=2 lifetime greens; alphabetical) --
     "agg_distinct_suppliers",
     "approx_distinct_nations",
@@ -190,6 +208,7 @@ _PIPELINE_CACHE_NAMES = (
     "_DELETE_STORE_CACHE", "_DIFF_STORE_CACHE", "_STREAM_MV_CACHE",
     "_STREAM_ANN_CACHE", "_ORDERS_SCD2_CACHE", "_IVFPQ_INDEX_CACHE",
     "_BPE_CACHE", "_CLS_TRAIN_CACHE", "_STREAM_JOIN_CACHE",
+    "_STREAM_JOIN_OUTER_CACHE",
 )
 
 
@@ -2665,7 +2684,8 @@ def sequence_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Deterministic 64-dim linear probe weights: w_i = ((7i+3) mod 11 - 5)/10
 #: — reproducible in both engines without shipping a literal array.
-_CLS_W = [((7 * i + 3) % 11 - 5) / 10.0 for i in range(64)]
+_CLS_DIM = 64
+_CLS_W = [((7 * i + 3) % 11 - 5) / 10.0 for i in range(_CLS_DIM)]
 
 
 @register("classifier_quality_scores", f"""
@@ -5295,7 +5315,8 @@ lbl AS MATERIALIZED (
   FROM xs GROUP BY vec_id
 ),
 cnt AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM xv),
-w0 AS MATERIALIZED (SELECT CAST(unnest(range(-1, 64)) AS BIGINT) AS dim, 0.0 AS w)"""]
+w0 AS MATERIALIZED (SELECT CAST(unnest(range(-1, {_CLS_DIM})) AS BIGINT) AS dim,
+                           0.0 AS w)"""]
     for r in range(rounds + 1):
         parts.append(f""",
 p{r} AS MATERIALIZED (
@@ -5384,6 +5405,16 @@ def _cls_trained(spark: SparkSession, sf_dir: str):
         from .operators.classifier import logreg_fit
         from .operators.similarity import as_double
         e = _t(spark, sf_dir, "embeddings")["embeddings"]
+        # The teacher weights AND the oracle's w0 range both derive from
+        # _CLS_DIM; a fixture with a different embedding width would
+        # silently zip_with-null the teacher — fail loudly instead
+        # (r10 ADVICE). One bounded 1-row collect per sf_dir.
+        width = e.select(F.size("embedding").alias("d")).limit(1) \
+                 .collect()[0]["d"]
+        if width != _CLS_DIM:
+            raise ValueError(
+                f"classifier training expects {_CLS_DIM}-dim embeddings "
+                f"(shared constant _CLS_DIM), fixture has {width}")
         wlit = F.array(*[F.lit(x) for x in _CLS_W])
         teacher = (F.aggregate(
             F.zip_with(as_double("embedding"), wlit, lambda a, b: a * b),
@@ -5391,6 +5422,78 @@ def _cls_trained(spark: SparkSession, sf_dir: str):
         _CLS_TRAIN_CACHE[sf_dir] = logreg_fit(
             e, teacher, rounds=_CLS_TRAIN_ROUNDS, lr=_CLS_TRAIN_LR)
     return _CLS_TRAIN_CACHE[sf_dir]
+
+
+@register("classifier_train_minibatch", None)
+def classifier_train_minibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mini-batch (sampled-gradient) quality-classifier training — the
+    production-scale counterpart of ``classifier_train_rounds``: same
+    teacher labels and bounded-round discipline, but each round's
+    gradient is computed on an independent Bernoulli HALF-SAMPLE of
+    the scored corpus in ``sum_mode="fast"`` (map-side partial sums),
+    so a round shuffles fraction·n·dim values instead of the full
+    corpus — at 100 TB that halves (or with smaller fractions,
+    decimates) per-round shuffle volume while metrics stay full-corpus
+    exact. Returns the (round, log_loss, n_correct) trajectory.
+    ``F.rand`` sampling is not cross-engine-replayable, so this entry
+    has NO SQL oracle (the driver records a rows-only check);
+    convergence and bookkeeping are property-tested in
+    tests/test_llm_ops.py, and the exact full-batch twin
+    (classifier_train_rounds) is hash-checked against the chained-CTE
+    replay."""
+    from .operators.classifier import logreg_fit
+    from .operators.similarity import as_double
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    wlit = F.array(*[F.lit(x) for x in _CLS_W])
+    teacher = (F.aggregate(
+        F.zip_with(as_double("embedding"), wlit, lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x) >= 0.2).cast("int")
+    _, metrics = logreg_fit(e, teacher, rounds=_CLS_TRAIN_ROUNDS,
+                            lr=_CLS_TRAIN_LR, sum_mode="fast",
+                            sample_fraction=0.5, seed=17)
+    return metrics
+
+
+@register("classifier_trained_scores", _logreg_oracle_sql(
+    _CLS_TRAIN_ROUNDS, _CLS_TRAIN_LR, f"""
+SELECT vec_id, p AS score, p >= 0.5 AS kept, CAST(y AS BIGINT) AS teacher
+FROM p{_CLS_TRAIN_ROUNDS}
+"""))
+def classifier_trained_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Close the classifier TRAIN→SCORE loop (the bpe_corpus_tokens
+    pattern): score the corpus with the weights ``logreg_fit`` actually
+    TRAINED — not the fixed synthetic probe of
+    ``classifier_quality_scores`` — making the family end-to-end:
+    teacher labels → 6 rounds of distributed gradient descent →
+    trained-probe corpus scoring feeding the curation gate. Shares the
+    per-process training run with ``classifier_train_*``
+    (_CLS_TRAIN_CACHE); the final round's dim+1 weights are a bounded
+    driver collect (the model itself), rebuilt as a codegen literal, so
+    the scoring pass is pure whole-stage-codegen arithmetic over the
+    embedding column — one corpus map, no shuffle, no Python — the
+    exact 100 TB shape of the fixed-probe scorer. ``teacher`` rides
+    along so the output exposes agreement for funnel auditing. Oracle:
+    the chained-CTE replay's final scoring CTE p{R} (identical ordered
+    dot-product fold + round-9 sigmoid)."""
+    from .operators.similarity import as_double
+    wdf, _ = _cls_trained(spark, sf_dir)
+    final = {int(r["dim"]): float(r["weight"])
+             for r in wdf.filter(F.col("round") == _CLS_TRAIN_ROUNDS)
+             .collect()}  # bounded: dim+1 rows, the trained model
+    bias = final[-1]
+    wlit = F.array(*[F.lit(final[d]) for d in range(_CLS_DIM)])
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    x = as_double("embedding")
+    z = F.aggregate(F.zip_with(x, wlit, lambda a, c: a * c),
+                    F.lit(0.0), lambda acc, v: acc + v) + F.lit(bias)
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9)
+    tw = F.array(*[F.lit(v) for v in _CLS_W])
+    teacher = (F.aggregate(F.zip_with(x, tw, lambda a, c: a * c),
+                           F.lit(0.0), lambda acc, v: acc + v)
+               >= 0.2).cast("long")
+    return e.select("vec_id", p.alias("score"),
+                    (p >= F.lit(0.5)).alias("kept"),
+                    teacher.alias("teacher"))
 
 
 @register("leakage_safe_splits",
@@ -5503,14 +5606,49 @@ def leakage_safe_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: sf_dir -> tmp root of a completed stream-stream attribution run.
 _STREAM_JOIN_CACHE: dict[str, str] = {}
 
+#: sf_dir -> tmp root of a completed LEFT-OUTER attribution run.
+_STREAM_JOIN_OUTER_CACHE: dict[str, str] = {}
+
+
+def _attr_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (_t(spark, sf_dir, "events")["events"]
+            .select("event_id", "ts", "user_id", "event_type",
+                    F.col("value").cast("double").alias("value")))
+
+
+def _attr_day_slices(ev: DataFrame, k: int = 4) -> list:
+    """Chunk the fixture's distinct CALENDAR DAYS into ``k`` contiguous
+    (first_day, last_day) ranges — slice order is event-time order for
+    any date span, not just single-month fixtures (r10 ADVICE). The
+    collect is bounded: one row per calendar day."""
+    days = [r["d"] for r in ev.select(F.to_date("ts").alias("d"))
+            .distinct().orderBy("d").collect()]
+    q, rem = divmod(len(days), k)
+    sizes = [q + (1 if i < rem else 0) for i in range(k)]
+    slices, pos = [], 0
+    for s in sizes:
+        chunk = days[pos:pos + s]
+        pos += s
+        slices.append((chunk[0], chunk[-1]) if chunk else None)
+    return slices
+
+
+def _attr_slice_df(ev: DataFrame, sl) -> DataFrame:
+    if sl is None:
+        return ev.filter(F.lit(False))
+    return ev.filter(F.to_date("ts").between(F.lit(sl[0]), F.lit(sl[1])))
+
 
 def _stream_join_out(spark: SparkSession, sf_dir: str) -> str:
     """Drive streaming/join_stream.py end-to-end on the events table:
 
     clicks and purchases land as JSON-lines files in two directories,
-    sliced by day-of-month ([1,8) [8,16) [16,24) staged up front, then
-    [24,32) staged AFTER a checkpointed RESTART — the mv/ann pipelines'
-    exactly-once-across-restarts drill applied to a two-source join).
+    sliced into four contiguous CALENDAR-DAY ranges (quartiles of the
+    fixture's distinct days, so slice order is event-time order for
+    any date span, not just single-month fixtures) — three staged up
+    front, the fourth staged AFTER a checkpointed RESTART (the mv/ann
+    pipelines' exactly-once-across-restarts drill applied to a
+    two-source join).
     ``maxFilesPerTrigger=1`` under availableNow makes each slice one
     micro-batch; file mtimes are forced monotone so the file source's
     modification-time ordering processes slices in event-time order,
@@ -5542,15 +5680,11 @@ def _stream_join_out(spark: SparkSession, sf_dir: str) -> str:
         T.StructField("user_id", T.LongType()),
         T.StructField("value", T.DoubleType()),
     ])
-    ev = (_t(spark, sf_dir, "events")["events"]
-          .select("event_id", "ts", "user_id", "event_type",
-                  F.col("value").cast("double").alias("value")))
-    day = F.dayofmonth("ts")
-    slices = [(1, 8), (8, 16), (16, 24), (24, 32)]
+    ev = _attr_events(spark, sf_dir)
+    slices = _attr_day_slices(ev)
 
     def stage(i: int) -> None:
-        lo, hi = slices[i]
-        sl = ev.filter((day >= lo) & (day < hi))
+        sl = _attr_slice_df(ev, slices[i])
         _stage_json(sl.filter(F.col("event_type") == "click")
                     .drop("event_type"), root, c_dir, f"load{i}.json")
         _stage_json(sl.filter(F.col("event_type") == "purchase")
@@ -5619,4 +5753,141 @@ def streaming_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (pairs.groupBy("user_id")
             .agg(F.count("*").alias("n_pairs"),
                  F.countDistinct("purchase_id").alias("n_purchases"),
+                 _dsum("purchase_value", 6).alias("sum_value")))
+
+
+def _stream_join_outer_out(spark: SparkSession, sf_dir: str) -> str:
+    """Drive the LEFT-OUTER attribution join end-to-end — the
+    conversion-rate topology: every click emits, converters with their
+    purchase row(s), non-converters null-padded. Same four
+    calendar-day slices + checkpointed restart as the inner pipeline,
+    plus ONE extra staging step the outer semantics require: an
+    unmatched click's null row is emitted only when the GLOBAL
+    watermark (the MIN across both sources — multipleWatermarkPolicy
+    default) passes the end of its join interval, so after the last
+    data slice a SENTINEL event lands on EACH side, two days past the
+    fixture's max event time and mutually non-matching (the sentinel
+    purchase precedes the sentinel click). The sentinel batch advances
+    both source watermarks beyond every real click's interval, and the
+    trailing no-data micro-batch evicts + emits every remaining
+    non-converter — leaving the sink exactly the static LEFT JOIN of
+    the real events, which is what the oracle computes. Sentinel rows
+    (user_id = -1) are excluded by the query's aggregation; the
+    sentinel click itself stays in state (nothing ever passes ITS
+    interval) and is never emitted."""
+    import os
+    import time as _time
+
+    from .streaming.join_stream import start_click_attribution
+
+    root = _STREAM_JOIN_OUTER_CACHE.get(sf_dir)
+    if root and os.path.exists(os.path.join(root, "out", "_spark_metadata")):
+        return os.path.join(root, "out")
+
+    root = _pipeline_tmpdir("sds_sjoino_")
+    c_dir = os.path.join(root, "clicks")
+    p_dir = os.path.join(root, "purchases")
+    out = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+    os.makedirs(c_dir)
+    os.makedirs(p_dir)
+
+    from pyspark.sql import types as T
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    ev = _attr_events(spark, sf_dir)
+    slices = _attr_day_slices(ev)
+
+    def stage(i: int, sl: DataFrame) -> None:
+        _stage_json(sl.filter(F.col("event_type") == "click")
+                    .drop("event_type"), root, c_dir, f"load{i}.json")
+        _stage_json(sl.filter(F.col("event_type") == "purchase")
+                    .drop("event_type"), root, p_dir, f"load{i}.json")
+        t = _time.time() + i
+        for d in (c_dir, p_dir):
+            os.utime(os.path.join(d, f"load{i}.json"), (t, t))
+
+    # the watermark-flush sentinel: one click and one NON-matching
+    # purchase (2h earlier, outside the 1h window) on user -1, two days
+    # past the fixture's max event time
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    sent_click = max_ts + dt.timedelta(days=2)
+    sent = spark.createDataFrame(
+        [(-1, sent_click, -1, "click", 0.0),
+         (-2, sent_click - dt.timedelta(hours=2), -1, "purchase", 0.0)],
+        schema="event_id long, ts timestamp, user_id long, "
+               "event_type string, value double")
+
+    def run_stream() -> None:
+        q = start_click_attribution(
+            spark, c_dir, p_dir, out, ckpt, schema,
+            join_window="1 hour", watermark_delay="2 hours",
+            available_now=True, max_files_per_trigger=1,
+            how="left_outer")
+        q.awaitTermination()
+
+    for i in range(3):
+        stage(i, _attr_slice_df(ev, slices[i]))
+    run_stream()
+    stage(3, _attr_slice_df(ev, slices[3]))
+    stage(4, sent)
+    run_stream()
+
+    _STREAM_JOIN_OUTER_CACHE[sf_dir] = root
+    return out
+
+
+@register("streaming_click_attribution_outer", """
+WITH c AS (
+  SELECT event_id AS click_id, user_id, ts AS cts
+  FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT event_id AS purchase_id, user_id, ts AS pts, value
+  FROM events WHERE event_type = 'purchase'
+),
+pairs AS (
+  SELECT c.user_id, c.click_id, p.purchase_id, p.value
+  FROM c LEFT JOIN p ON c.user_id = p.user_id
+                    AND p.pts >= c.cts
+                    AND p.pts <= c.cts + INTERVAL 1 HOUR
+)
+SELECT user_id,
+       CAST(COUNT(DISTINCT click_id) AS BIGINT) AS n_clicks,
+       CAST(COUNT(DISTINCT CASE WHEN purchase_id IS NOT NULL
+                                THEN click_id END) AS BIGINT)
+         AS n_converted_clicks,
+       CAST(COUNT(purchase_id) AS BIGINT) AS n_pairs,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM pairs
+GROUP BY user_id
+""")
+def streaming_click_attribution_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER watermarked stream-stream join, driver-checked
+    end-to-end — the conversion-rate topology (every click emits;
+    non-converters as null-padded rows on watermark expiry;
+    streaming/join_stream.py how="left_outer"). Micro-batch plumbing =
+    the inner pipeline's four calendar-day slices + checkpointed
+    restart, plus the both-sides watermark sentinel that flushes the
+    tail non-converters (see _stream_join_outer_out). The sink is
+    aggregated per user into click/conversion counts and compared
+    against the static LEFT JOIN of the same inputs — equality proves
+    the null rows are emitted exactly once per unmatched click (no
+    loss to eviction, no duplicate emission across the restart) on top
+    of the inner join's pair semantics. State story at scale is the
+    inner join's PLUS bounded null-row state: an unmatched click
+    leaves state (emitting its null row) as soon as the global
+    watermark passes click_ts + join_window."""
+    out = _stream_join_outer_out(spark, sf_dir)
+    rows = spark.read.parquet(out).filter(F.col("user_id") >= 0)
+    return (rows.groupBy("user_id")
+            .agg(F.countDistinct("click_id").alias("n_clicks"),
+                 F.countDistinct(F.when(F.col("purchase_id").isNotNull(),
+                                        F.col("click_id")))
+                 .alias("n_converted_clicks"),
+                 F.count("purchase_id").alias("n_pairs"),
                  _dsum("purchase_value", 6).alias("sum_value")))

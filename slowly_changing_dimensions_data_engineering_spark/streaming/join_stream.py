@@ -34,6 +34,23 @@ attribution topology:
   restart, uncommitted files are re-listed, committed ones are not
   re-emitted), in contrast to the documented at-least-once window of
   the foreachBatch index sinks (ann_stream.py).
+
+``how="left_outer"`` is the conversion-rate topology — every click
+emits, converters with their purchase, non-converters with nulls. The
+semantics that differ from inner are WHEN the null row appears: an
+unmatched click is held in state until the watermark passes the END of
+its join interval (``click_ts + join_window``) — only then can Spark
+prove no matching purchase can still arrive, and it emits the
+null-padded row as it evicts the state (asserted in
+tests/test_streaming.py). A click near the head of the stream
+therefore never emits its null row until later data advances the
+watermark past its interval — batch pipelines that want ALL
+non-converters flushed must feed a past-the-end sentinel to BOTH
+sides within ONE run (per-source max-event-time trackers reset on
+restart, and the global watermark is the MIN across sources — a
+one-side advance, or a two-side advance split across restarts, flushes
+nothing; pinned in tests/test_streaming.py). See
+queries._stream_join_outer_out.
 """
 
 from __future__ import annotations
@@ -54,6 +71,7 @@ def start_click_attribution(
     watermark_delay: str = "2 hours",
     available_now: bool = True,
     max_files_per_trigger: int | None = None,
+    how: str = "inner",
 ) -> StreamingQuery:
     """Start the attribution join over JSON-lines event files landing in
     ``clicks_dir`` / ``purchases_dir`` (both with ``schema``; must carry
@@ -61,7 +79,14 @@ def start_click_attribution(
     (click, purchase) pair with the purchase inside
     ``[click.ts, click.ts + join_window]`` for the same user, appended
     to ``out_dir`` as parquet. Restart with the same ``checkpoint`` to
-    resume exactly-once."""
+    resume exactly-once.
+
+    ``how="left_outer"`` additionally emits every unmatched click with
+    null purchase columns — but only once the watermark passes
+    ``click_ts + join_window`` (watermark-driven null emission; see
+    module docstring)."""
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"unsupported join type {how!r}")
 
     def src(d: str):
         r = spark.readStream.schema(schema)
@@ -83,7 +108,7 @@ def start_click_attribution(
         & (F.col("purchase_ts") >= F.col("click_ts"))
         & (F.col("purchase_ts")
            <= F.col("click_ts") + F.expr(f"INTERVAL {join_window}")),
-        "inner")
+        how)
         .select("user_id", "click_id", "purchase_id",
                 "click_ts", "purchase_ts", "purchase_value"))
 

@@ -1946,6 +1946,42 @@ def test_logreg_fit_fast_mode_close_and_exact_deterministic(spark):
     assert all(abs(exact[k] - fast[k]) < 1e-6 for k in exact)
 
 
+def test_logreg_fit_minibatch_converges(spark):
+    """The sampled-gradient (mini-batch) variant — the 100 TB
+    production path: each round's gradient over an independent
+    Bernoulli half-sample, metrics still full-corpus. Stochastic
+    descent is not per-round monotone, so the property is convergence:
+    on the separable two-blob problem the final full-corpus loss beats
+    the ln 2 baseline decisively and the probe beats the
+    majority-class baseline."""
+    import numpy as np
+
+    from slowly_changing_dimensions_data_engineering_spark.operators.classifier import (
+        logreg_fit,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(7)
+    dim, n = 8, 120
+    xs = rng.normal(0, 0.4, size=(n, dim))
+    xs[: n // 2, 0] += 1.5
+    rows = [(i, [float(v) for v in xs[i]], 1 if i < n // 2 else 0)
+            for i in range(n)]
+    d = spark.createDataFrame(rows, ["vec_id", "embedding", "y"])
+    wdf, mdf = logreg_fit(d, F.col("y"), rounds=8, lr=1.0,
+                          sum_mode="fast", sample_fraction=0.5, seed=3)
+    m = sorted(mdf.collect(), key=lambda r: r["round"])
+    assert m[0]["log_loss"] == pytest.approx(0.693147, abs=1e-6)
+    assert m[-1]["log_loss"] < 0.45
+    assert m[-1]["n_correct"] > n // 2 + 10
+    # trajectory bookkeeping identical to full-batch mode
+    assert wdf.count() == 8 * (dim + 1)
+    # dim 0 carries the signal -> largest trained magnitude
+    final = {r["dim"]: r["weight"]
+             for r in wdf.filter("round = 8").collect()}
+    assert abs(final[0]) == max(abs(final[i]) for i in range(dim))
+
+
 def test_logreg_fit_rejects_bad_input(spark):
     from slowly_changing_dimensions_data_engineering_spark.operators.classifier import (
         logreg_fit,
@@ -1957,3 +1993,11 @@ def test_logreg_fit_rejects_bad_input(spark):
         logreg_fit(d, F.col("y"), sum_mode="typo")
     with pytest.raises(ValueError, match="empty"):
         logreg_fit(d.filter("vec_id < 0"), F.col("y"))
+    # ragged vector widths must raise, not silently null-pad via
+    # zip_with and skip rows from the gradients (r10 ADVICE)
+    ragged = spark.createDataFrame(
+        [(0, [1.0, 2.0], 1), (1, [1.0], 0)], ["vec_id", "embedding", "y"])
+    with pytest.raises(ValueError, match="ragged"):
+        logreg_fit(ragged, F.col("y"))
+    with pytest.raises(ValueError, match="sample_fraction"):
+        logreg_fit(d, F.col("y"), sample_fraction=1.5)

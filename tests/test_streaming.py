@@ -705,3 +705,91 @@ def test_click_attribution_cross_batch_match_within_watermark(spark, tmp_path):
     pairs = {(r["click_id"], r["purchase_id"])
              for r in spark.read.parquet(str(tmp_path / "out")).collect()}
     assert pairs == {(1, 100), (1, 101)}
+
+
+def test_click_attribution_left_outer_null_after_watermark(spark, tmp_path):
+    """The left-outer semantics that differ from inner: an unmatched
+    click's NULL row is emitted only when the GLOBAL watermark — the
+    MIN across both sources — passes the end of its join interval.
+    Three phases pin exactly that:
+
+    1. matched click emits its pair immediately; the unmatched click
+       emits NOTHING (watermark hasn't passed click_ts + window);
+    2. a far-future event on the CLICKS side only still emits nothing
+       (the purchases watermark lags, and global = min of the two —
+       note the per-source max-event-time trackers reset across
+       restarts, so a later purchases-only run can NOT combine with
+       this run's clicks advance; the flush sentinel must land on both
+       sides within ONE run, which is what phase 3 does and what the
+       registry pipeline's sentinel staging relies on);
+    3. far-future events on BOTH sides in one run flush the null row —
+       exactly once, and a further restart re-emits nothing."""
+    from slowly_changing_dimensions_data_engineering_spark.streaming import (
+        start_click_attribution,
+    )
+
+    c_dir, p_dir = tmp_path / "clicks", tmp_path / "purch"
+    c_dir.mkdir()
+    p_dir.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    t0 = time.time()
+
+    def run():
+        q = start_click_attribution(
+            spark, str(c_dir), str(p_dir), out, ckpt, ATTR_SCHEMA,
+            join_window="1 hour", watermark_delay="10 minutes",
+            available_now=True, max_files_per_trigger=1,
+            how="left_outer")
+        _drain(q)
+
+    def sink():
+        return sorted((r["click_id"], r["purchase_id"])
+                      for r in spark.read.parquet(out).collect())
+
+    # phase 1: click 1 converts (pair emits on arrival — the inner
+    # path), click 2 on user 8 never will; its interval ends 11:00 but
+    # the watermark is only ~10:20 — no null row yet
+    _write_attr_file(c_dir / "c1.json", [
+        (1, "2024-01-01 10:00:00", 7, 0.0),
+        (2, "2024-01-01 10:00:00", 8, 0.0),
+    ], t0 - 100)
+    _write_attr_file(p_dir / "p1.json", [
+        (101, "2024-01-01 10:30:00", 7, 5.0),
+    ], t0 - 100)
+    run()
+    assert sink() == [(1, 101)]
+
+    # phase 2: advance only the clicks-side watermark far past 11:00 —
+    # global watermark = min(sides) still ~10:20, null row still held
+    _write_attr_file(c_dir / "c2.json", [
+        (-1, "2024-01-02 10:00:00", -1, 0.0),
+    ], t0 - 50)
+    run()
+    assert sink() == [(1, 101)]
+
+    # phase 3: advance BOTH sides within one run — the global watermark
+    # passes 11:00 and the no-data batch evicts click 2, emitting its
+    # null-padded row exactly once (the sentinel events don't match:
+    # the sentinel purchase precedes both sentinel clicks by 2h+)
+    _write_attr_file(c_dir / "c3.json", [
+        (-3, "2024-01-02 10:10:00", -1, 0.0),
+    ], t0 - 40)
+    _write_attr_file(p_dir / "p2.json", [
+        (-2, "2024-01-02 08:00:00", -1, 0.0),
+    ], t0 - 40)
+    run()
+    assert sink() == [(1, 101), (2, None)]
+    # and the restart re-emits nothing
+    run()
+    assert sink() == [(1, 101), (2, None)]
+
+
+def test_click_attribution_rejects_bad_join_type(spark, tmp_path):
+    from slowly_changing_dimensions_data_engineering_spark.streaming import (
+        start_click_attribution,
+    )
+
+    with pytest.raises(ValueError, match="join type"):
+        start_click_attribution(
+            spark, str(tmp_path), str(tmp_path), str(tmp_path / "o"),
+            str(tmp_path / "k"), ATTR_SCHEMA, how="full_outer")

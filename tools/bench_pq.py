@@ -292,9 +292,118 @@ def perm_trade(n: int = 20_000) -> None:
         vecs.unpersist()
 
 
+def perm_residual(n: int = 20_000) -> None:
+    """`--perm-residual`: does the OPQ-lite balanced permutation still
+    pay once the index is RESIDUAL? (r8 finding: residual encoding wins
+    when the cells are kmeans-trained on clustered data; r9 finding:
+    the permutation wins when the spectrum is anisotropic.) The
+    composition is not obvious: residualization subtracts a
+    same-spectrum centroid, so per-dimension variance KEEPS the
+    anisotropic decay and the permutation's equal-energy subspace
+    allocation should survive — but the residual spread is smaller, so
+    the relative win may shrink. This measures the full 2×2
+    (raw/residual × natural/balanced) on the aniso clustered mixture
+    (0.93^d decay) with kmeans_fit(k=64) cells, trained in the
+    permuted space for the balanced rows (L2 is permutation-invariant,
+    so cell quality and the ground-truth top-10 are identical across
+    orders; only the subspace split changes). Results committed in
+    BENCH_NOTES «r11: OPQ-lite × residual IVF-PQ composition»."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from slowly_changing_dimensions_data_engineering_spark.operators.pq import (
+        apply_dim_permutation, ivfpq_build_index,
+        ivfpq_build_index_residual, ivfpq_search, ivfpq_search_residual,
+        pq_balanced_permutation, pq_codebooks, pq_encode, pq_reconstruct,
+        residual_frame,
+    )
+    from slowly_changing_dimensions_data_engineering_spark.operators.similarity import (
+        kmeans_fit, l2sq,
+    )
+    from slowly_changing_dimensions_data_engineering_spark.session import get_spark
+
+    kcells, m, ks, dim, n_queries, nprobe = 64, 8, 256, 64, 20, 4
+    spark = get_spark("sds-pq-permres")
+    spark.sparkContext.setLogLevel("ERROR")
+    print(f"n={n} cells={kcells} m={m} ks={ks} nprobe={nprobe}; aniso "
+          f"corpus (0.93^d); rr100 = recall@10 after exact re-rank of "
+          f"the ADC top-100, {n_queries} queries")
+    print(f"{'order':9s} {'scheme':9s} {'mse':>9s} {'rr100':>6s}")
+
+    base = (_corpus(spark, "clustered", n, dim)
+            .withColumn("embedding",
+                        F.transform(F.col("embedding"),
+                                    lambda x, i: x * F.pow(F.lit(0.93), i)))
+            .cache())
+    base.count()
+    qids = [r["vec_id"] for r in
+            base.filter(F.col("vec_id") % 997 == 3)
+                .limit(n_queries).collect()]
+    # ground truth in the original order — L2 is permutation-invariant,
+    # so the same truth serves both orders
+    qdf0 = base.filter(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    w = Window.partitionBy("qid").orderBy("d", "vec_id")
+    truth_sets: dict[int, set] = {}
+    for r in (base.crossJoin(F.broadcast(qdf0))
+              .filter(F.col("vec_id") != F.col("qid"))
+              .select("qid", "vec_id",
+                      F.round(l2sq(F.col("embedding"), F.col("qv")), 9)
+                      .alias("d"))
+              .withColumn("rk", F.row_number().over(w))
+              .filter("rk <= 10").collect()):
+        truth_sets.setdefault(r["qid"], set()).add(r["vec_id"])
+
+    perm = pq_balanced_permutation(base, m, dim)
+    for order in ("natural", "balanced"):
+        vecs = (base if order == "natural"
+                else apply_dim_permutation(base, perm).cache())
+        vecs.count()
+        cents = kmeans_fit(vecs, k=kcells, iters=5,
+                           mean_mode="fast").cache()
+        cents.count()
+        res = residual_frame(vecs, cents, n_centroids=kcells).cache()
+        for scheme in ("raw", "residual"):
+            src = vecs if scheme == "raw" else res
+            cb = pq_codebooks(src, m, ks, dim)
+            mse = (pq_reconstruct(pq_encode(src, cb, m, dim), cb)
+                   .withColumnRenamed("embedding", "rv")
+                   .join(src.select(
+                       "vec_id",
+                       F.transform("embedding",
+                                   lambda x: x.cast("double")).alias("ve")),
+                       "vec_id")
+                   .agg(F.avg(l2sq(F.col("rv"), F.col("ve")))).head()[0])
+            path = tempfile.mkdtemp(prefix="sds_pqpr_") + "/idx"
+            build = (ivfpq_build_index if scheme == "raw"
+                     else ivfpq_build_index_residual)
+            build(vecs, cents, cb, path, m, dim, n_centroids=kcells)
+            fn = ivfpq_search if scheme == "raw" else ivfpq_search_residual
+            hits = 0
+            for qid in qids:
+                q = (vecs.filter(F.col("vec_id") == qid)
+                     .orderBy("vec_id").limit(1))
+                top = fn(spark, path, cb, cents, q, m, dim, k=10,
+                         nprobe=nprobe, shortlist=100,
+                         rerank_vectors=vecs)
+                got = {r["vec_id"] for r in top.collect()}
+                hits += len(got & truth_sets.get(qid, set()))
+            print(f"{order:9s} {scheme:9s} {mse:9.5f} "
+                  f"{hits / (10 * n_queries):6.3f}")
+        res.unpersist()
+        cents.unpersist()
+        if vecs is not base:
+            vecs.unpersist()
+    base.unpersist()
+
+
 if __name__ == "__main__":
     if "--residual" in sys.argv:
         residual_vs_raw()
+    elif "--perm-residual" in sys.argv:
+        perm_residual()
     elif "--perm" in sys.argv:
         perm_trade()
     else:

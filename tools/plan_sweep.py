@@ -65,6 +65,7 @@ PIPELINE_QUERIES = {
     "delete_dml_state_stats", "incremental_mv_state_stats",
     "minhash_incremental_dedup", "ivf_two_level_assign_state",
     "streaming_ivfpq_index_state", "streaming_click_attribution",
+    "streaming_click_attribution_outer",
 }
 
 
