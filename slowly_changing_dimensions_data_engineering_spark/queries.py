@@ -5696,11 +5696,24 @@ def _stream_join_out(spark: SparkSession, sf_dir: str) -> str:
             os.utime(os.path.join(d, f"load{i}.json"), (t, t))
 
     def run_stream() -> None:
-        q = start_click_attribution(
-            spark, c_dir, p_dir, out, ckpt, schema,
-            join_window="1 hour", watermark_delay="2 hours",
-            available_now=True, max_files_per_trigger=1)
-        q.awaitTermination()
+        # The stream-stream join keeps FOUR state stores (two per side)
+        # and every micro-batch commits a delta file per store per
+        # shuffle partition — at the drill's ~14 micro-batches, the
+        # session's 32 partitions are pure state-store file churn
+        # (measured 31s -> the bounded setting below at sf0.1). Pin the
+        # state partition count at checkpoint creation (restarts reuse
+        # the checkpointed value); a cluster deployment sizes this to
+        # its key cardinality, not to the analytics shuffle width.
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = start_click_attribution(
+                spark, c_dir, p_dir, out, ckpt, schema,
+                join_window="1 hour", watermark_delay="2 hours",
+                available_now=True, max_files_per_trigger=1)
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
 
     for i in range(3):
         stage(i)
@@ -5823,12 +5836,18 @@ def _stream_join_outer_out(spark: SparkSession, sf_dir: str) -> str:
                "event_type string, value double")
 
     def run_stream() -> None:
-        q = start_click_attribution(
-            spark, c_dir, p_dir, out, ckpt, schema,
-            join_window="1 hour", watermark_delay="2 hours",
-            available_now=True, max_files_per_trigger=1,
-            how="left_outer")
-        q.awaitTermination()
+        # see _stream_join_out: bound the state-store partition count
+        old = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = start_click_attribution(
+                spark, c_dir, p_dir, out, ckpt, schema,
+                join_window="1 hour", watermark_delay="2 hours",
+                available_now=True, max_files_per_trigger=1,
+                how="left_outer")
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old)
 
     for i in range(3):
         stage(i, _attr_slice_df(ev, slices[i]))
