@@ -2910,6 +2910,36 @@ def funnel_conversion_users(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("n_converted"))
 
 
+def _quality_gate(spark: SparkSession, sf_dir: str,
+                  probe: str = "fixed") -> DataFrame:
+    """Per-document quality flag (doc_id, q_ok) for the pretraining
+    funnel. ``probe="fixed"`` scores with the closed-form synthetic
+    weights (_CLS_W, threshold 0.2 — what the registered funnel's
+    oracle restates); ``"trained"`` scores with the logreg_fit-trained
+    round-6 weights shared with classifier_trained_scores
+    (p >= 0.5 after the trained sigmoid — the train→score loop feeding
+    curation). Both are one codegen map over the embeddings scan."""
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    x = F.col("embedding").cast("array<double>")
+    if probe == "trained":
+        wdf, _ = _cls_trained(spark, sf_dir)
+        final = {int(r["dim"]): float(r["weight"])
+                 for r in wdf.filter(F.col("round") == _CLS_TRAIN_ROUNDS)
+                 .collect()}  # bounded: dim+1 rows
+        wv = F.array(*[F.lit(final[i]) for i in range(_CLS_DIM)])
+        bias = F.lit(final[-1])
+    elif probe == "fixed":
+        wv = F.array(*[F.lit(w) for w in _CLS_W])
+        bias = F.lit(-0.2)
+    else:
+        raise ValueError(f"unknown quality probe {probe!r}")
+    dot = F.aggregate(F.zip_with(x, wv, lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, v: acc + v)
+    return e.select(F.col("vec_id").alias("doc_id"),
+                    ((1 / (1 + F.exp(-(dot + bias)))) >= 0.5)
+                    .alias("q_ok"))
+
+
 @register("pretraining_pipeline_summary", """
 WITH w AS (
   SELECT list_transform(range(0, 64),
@@ -2959,7 +2989,8 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
                                 THEN fp END) AS BIGINT) AS n_unique
 FROM flags
 """)
-def pretraining_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pretraining_pipeline_summary(spark: SparkSession, sf_dir: str,
+                                 quality_probe: str = "fixed") -> DataFrame:
     """The WHOLE pretraining-corpus pipeline as ONE declarative plan:
     model-scored quality gate (linear probe over embeddings) →
     repetition gate (top-2-gram share) → benchmark decontamination
@@ -2973,21 +3004,20 @@ def pretraining_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     decontamination_overlap, dedup_prefix_fingerprint semantics).
     Corpus = documents WITH an embedding (inner join to the probe's
     input, identical in the oracle): the model gate needs a vector, so
-    un-embedded docs are out of scope for this funnel by definition."""
+    un-embedded docs are out of scope for this funnel by definition.
+
+    ``quality_probe="trained"`` swaps the fixed synthetic weights for
+    the ``logreg_fit``-TRAINED round-6 probe (the
+    classifier_trained_scores weights), making the funnel's quality
+    stage the end of the train→score loop; the registered query keeps
+    the fixed probe (its oracle restates those weights in closed
+    form), and the trained path is pinned against
+    classifier_trained_scores by test."""
     from .operators.dedup import shingles
     from .operators.text import bigram_repetition
 
     d = _spread(spark, _t(spark, sf_dir, "documents")["documents"])
-    e = _t(spark, sf_dir, "embeddings")["embeddings"]
-
-    wv = F.array(*[F.lit(w) for w in _CLS_W])
-    dot = F.aggregate(
-        F.zip_with(F.col("embedding").cast("array<double>"), wv,
-                   lambda a, b: a * b),
-        F.lit(0.0), lambda acc, x: acc + x)
-    quality = e.select(F.col("vec_id").alias("doc_id"),
-                       ((1 / (1 + F.exp(-(dot - F.lit(0.2))))) >= 0.5)
-                       .alias("q_ok"))
+    quality = _quality_gate(spark, sf_dir, probe=quality_probe)
     rep = bigram_repetition(d).select(
         "doc_id", (F.col("top_bigram_frac") <= 0.05).alias("rep_ok"))
     sh = d.select("doc_id", shingles("text").alias("shl"))

@@ -1982,6 +1982,31 @@ def test_logreg_fit_minibatch_converges(spark):
     assert abs(final[0]) == max(abs(final[i]) for i in range(dim))
 
 
+def test_pretraining_funnel_trained_probe_matches_trained_scores(spark):
+    """The funnel's quality stage with quality_probe="trained" must
+    gate with EXACTLY the classifier_trained_scores decisions (the
+    train→score loop feeding curation): its n_quality equals the
+    trained scorer's kept-count joined to the funnel corpus, and the
+    bad-probe spelling raises."""
+    import pytest as _pytest
+
+    from slowly_changing_dimensions_data_engineering_spark import queries as q
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    funnel = q.pretraining_pipeline_summary(spark, sf,
+                                            quality_probe="trained")
+    n_quality = funnel.collect()[0]["n_quality"]
+    kept = (q._REGISTRY["classifier_trained_scores"][0](spark, sf)
+            .filter("kept"))
+    docs = q._t(spark, sf, "documents")["documents"].select("doc_id")
+    expected = (kept.join(docs,
+                          kept["vec_id"] == docs["doc_id"]).count())
+    assert n_quality == expected
+    with _pytest.raises(ValueError, match="probe"):
+        q._quality_gate(spark, sf, probe="typo")
+
+
 def test_logreg_fit_rejects_bad_input(spark):
     from slowly_changing_dimensions_data_engineering_spark.operators.classifier import (
         logreg_fit,
