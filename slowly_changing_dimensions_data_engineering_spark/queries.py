@@ -5940,3 +5940,301 @@ def streaming_click_attribution_outer(spark: SparkSession, sf_dir: str) -> DataF
                  .alias("n_converted_clicks"),
                  F.count("purchase_id").alias("n_pairs"),
                  _dsum("purchase_value", 6).alias("sum_value")))
+
+
+_RRF_K = 100   #: per-signal candidate-list depth
+_RRF_C = 60    #: the RRF smoothing constant (Cormack et al. default)
+
+
+@register("domain_mix_temperature", """
+WITH dt AS (
+  SELECT source,
+         CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+s AS (
+  SELECT round(SUM(sqrt(n_tokens)), 6) AS sw,
+         CAST(floor(SUM(n_tokens) * 0.5) AS BIGINT) AS budget
+  FROM dt
+),
+e AS (
+  SELECT source, n_tokens, budget,
+         round(sqrt(n_tokens) / sw, 6) AS weight,
+         round(CAST(budget AS DOUBLE) * round(sqrt(n_tokens) / sw, 6), 6)
+           AS alloc_f
+  FROM dt, s
+),
+b AS (
+  SELECT source, n_tokens, budget, weight,
+         CAST(floor(alloc_f) AS BIGINT) AS base,
+         alloc_f - floor(alloc_f) AS frac
+  FROM e
+),
+r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (ORDER BY frac DESC, source) AS rk,
+         budget - SUM(base) OVER () AS rem
+  FROM b
+)
+SELECT source, n_tokens, weight,
+       CAST(base + CASE WHEN rk <= rem THEN 1 ELSE 0 END AS BIGINT) AS alloc,
+       round(CAST(base + CASE WHEN rk <= rem THEN 1 ELSE 0 END AS DOUBLE)
+             / n_tokens, 6) AS epochs
+FROM r
+""")
+def domain_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixing — the sampling-WEIGHT
+    counterpart of ``domain_mix_quotas``'s fixed-target quotas (the
+    UniMax / multilingual-T5 recipe): each source domain's sampling
+    weight is proportional to n_tokens^alpha with alpha = 0.5, so
+    low-resource domains are upsampled relative to their share without
+    letting any head domain dominate; a token budget of half the
+    corpus is then apportioned to integer per-domain token allocations
+    by the largest-remainder (Hamilton) method, and ``epochs`` =
+    alloc/n_tokens is the resulting per-domain pass rate (> the flat
+    0.5 for small domains, < for large — the temperature flattening
+    made visible). Spark shape: ONE corpus scan aggregating per-domain
+    token counts, then all mix math on the bounded domain frame (one
+    row per source — the dim-table-bounded window pattern, same as
+    domain_mix_quotas' quota side); at 100 TB the scan is the only
+    distributed stage. Cross-engine determinism: sqrt and division on
+    doubles are IEEE-identical, every intermediate that feeds a
+    floor/comparison is pre-rounded to 6 dp on BOTH engines (sw,
+    weight, alloc_f), and largest-remainder ties break on source."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    ntok = F.size(F.split(F.trim(F.col("text")), " "))
+    per = d.groupBy("source").agg(F.sum(ntok).cast("long").alias("n_tokens"))
+    # corpus totals as un-partitioned windows over the BOUNDED per-domain
+    # frame (one row per source) — keeps the plan at ONE corpus scan
+    # instead of re-aggregating documents for a totals branch
+    wall = W.partitionBy()
+    tot = per.select(
+        "source", "n_tokens",
+        F.round(F.sum(F.sqrt("n_tokens")).over(wall), 6).alias("sw"),
+        F.floor(F.sum("n_tokens").over(wall) * F.lit(0.5)).cast("long")
+        .alias("budget"))
+    weight = F.round(F.sqrt("n_tokens") / F.col("sw"), 6)
+    e = tot.select("source", "n_tokens", "budget", weight.alias("weight"),
+                   F.round(F.col("budget").cast("double") * weight, 6)
+                   .alias("alloc_f"))
+    b = e.select("source", "n_tokens", "budget", "weight",
+                 F.floor("alloc_f").cast("long").alias("base"),
+                 (F.col("alloc_f") - F.floor("alloc_f")).alias("frac"))
+    # bounded frame: one row per domain, so the un-partitioned windows
+    # are dim-table-sized by construction
+    r = (b.withColumn("rk", F.row_number().over(
+            W.orderBy(F.desc("frac"), F.asc("source"))))
+         .withColumn("rem", F.col("budget")
+                     - F.sum("base").over(W.partitionBy())))
+    alloc = F.col("base") + F.when(F.col("rk") <= F.col("rem"), 1).otherwise(0)
+    return r.select("source", "n_tokens", "weight",
+                    alloc.cast("long").alias("alloc"),
+                    F.round(alloc.cast("double") / F.col("n_tokens"), 6)
+                    .alias("epochs"))
+
+
+@register("quality_rank_fusion", _logreg_oracle_sql(
+    _CLS_TRAIN_ROUNDS, _CLS_TRAIN_LR, f""",
+clsr AS (
+  SELECT vec_id AS doc_id,
+         ROW_NUMBER() OVER (ORDER BY p DESC, vec_id) AS r
+  FROM p{_CLS_TRAIN_ROUNDS} QUALIFY r <= {_RRF_K}
+),
+toks2 AS (SELECT doc_id, string_split(trim(text), ' ') AS w FROM documents),
+bi2 AS (SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+        FROM toks2, unnest(range(1, len(w))) AS u(i)),
+bc2 AS (SELECT w1, w2, COUNT(*) AS nb FROM bi2 GROUP BY w1, w2),
+cc2 AS (SELECT w1, SUM(nb) AS nc FROM bc2 GROUP BY w1),
+vv2 AS (SELECT COUNT(DISTINCT t) AS v
+        FROM (SELECT unnest(w) AS t FROM toks2)),
+lp2 AS (SELECT bc2.w1, bc2.w2,
+               round(ln((nb + 1) / CAST(nc + v AS DOUBLE)), 9) AS logp
+        FROM bc2 JOIN cc2 USING (w1), vv2),
+lmdoc AS (
+  SELECT doc_id,
+         round(CAST(SUM(CAST(logp AS DECIMAL(38,12))) AS DOUBLE)
+               / COUNT(*), 6) AS a
+  FROM bi2 JOIN lp2 USING (w1, w2) GROUP BY doc_id
+),
+lmr AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY a DESC, doc_id) AS r
+  FROM lmdoc QUALIFY r <= {_RRF_K}
+),
+lend AS (SELECT doc_id, len(string_split(trim(text), ' ')) AS n
+         FROM documents),
+lenr AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY n DESC, doc_id) AS r
+  FROM lend QUALIFY r <= {_RRF_K}
+)
+SELECT COALESCE(clsr.doc_id, lmr.doc_id, lenr.doc_id) AS doc_id,
+       clsr.r AS r_cls, lmr.r AS r_lm, lenr.r AS r_len,
+       round(COALESCE(CAST(1.0 AS DOUBLE) / ({_RRF_C} + clsr.r), 0)
+             + COALESCE(CAST(1.0 AS DOUBLE) / ({_RRF_C} + lmr.r), 0)
+             + COALESCE(CAST(1.0 AS DOUBLE) / ({_RRF_C} + lenr.r), 0), 9)
+         AS rrf_score
+FROM clsr
+FULL JOIN lmr ON clsr.doc_id = lmr.doc_id
+FULL JOIN lenr ON COALESCE(clsr.doc_id, lmr.doc_id) = lenr.doc_id
+"""))
+def quality_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank-fusion quality ensemble — blend three
+    INDEPENDENT curation signals without score calibration (the
+    Cormack/Clarke/Buettcher RRF recipe, the standard when signal
+    scales don't commensurate): the TRAINED classifier probability
+    (classifier_trained_scores — the train→score loop's output), the
+    bigram-LM mean log-probability (lm_bigram_perplexity_docs'
+    model), and a whitespace-token length heuristic. Each signal
+    contributes its top-100 (_RRF_K) candidate list; a doc's fused score is
+    sum(1 / (60 (_RRF_C) + rank)) over the lists it appears in (absent →
+    0 — list-membership RRF, not corpus-wide ranks, which is BOTH the
+    published semantics and the 100 TB shape: each list is a
+    distributed TakeOrdered(K), never a global row_number over the
+    corpus, and ranking/fusion then run on K-bounded frames — the
+    dim-table-bounded window pattern). Ties inside a list break on
+    doc_id; the three reciprocal terms are added in a fixed order on
+    both engines so the doubles match bit-for-bit. Oracle: the full
+    logreg chained-CTE replay's final scoring CTE feeds the classifier
+    list, the bigram-LM CTEs are restated verbatim, and the fusion is
+    two FULL JOINs over the bounded lists."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+
+    def topk_rank(df, sig: str, key: str, out: str) -> DataFrame:
+        # TakeOrdered(K) keeps exactly the K globally-best rows, so a
+        # row_number over the K-bounded result equals its global rank
+        lim = df.orderBy(F.desc(sig), F.asc(key)).limit(_RRF_K)
+        return lim.select(
+            F.col(key).alias("doc_id"),
+            F.row_number().over(W.orderBy(F.desc(sig), F.asc(key)))
+            .cast("long").alias(out))
+
+    cls = topk_rank(classifier_trained_scores(spark, sf_dir)
+                    .select("vec_id", "score"), "score", "vec_id", "r_cls")
+    lm = topk_rank(_lm_ngram_perplexity(spark, sf_dir, order=2,
+                                        count_col="n_bigrams",
+                                        threshold=-3.4)
+                   .select("doc_id", "avg_logprob"),
+                   "avg_logprob", "doc_id", "r_lm")
+    ln_ = topk_rank(d.select("doc_id",
+                             F.size(F.split(F.trim(F.col("text")), " "))
+                             .alias("n")), "n", "doc_id", "r_len")
+
+    def term(col: str):
+        return F.coalesce(F.lit(1.0) / (F.lit(_RRF_C) + F.col(col)),
+                          F.lit(0.0))
+
+    fused = cls.join(lm, "doc_id", "full").join(ln_, "doc_id", "full")
+    return fused.select(
+        "doc_id", "r_cls", "r_lm", "r_len",
+        F.round(term("r_cls") + term("r_lm") + term("r_len"), 9)
+        .alias("rrf_score"))
+
+
+_DSIR_B = 256       #: hashed n-gram feature buckets (10k+ at corpus scale)
+_DSIR_K = 200       #: selection budget (docs kept)
+_DSIR_TARGET = "src0"   #: in-corpus proxy for the target distribution
+
+
+@register("dsir_importance_topk", f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split(trim(text), ' ') AS w FROM documents
+),
+grams AS (
+  SELECT doc_id, source, unnest(w) AS g FROM toks
+  UNION ALL
+  SELECT doc_id, source, w[i] || ' ' || w[i + 1] AS g
+  FROM toks, unnest(range(1, len(w))) AS u(i)
+),
+gb AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(g), 1, 4))::BIGINT % {_DSIR_B} AS b
+  FROM grams
+),
+bkt AS (
+  SELECT b, COUNT(*) AS nq,
+         COUNT(CASE WHEN source = '{_DSIR_TARGET}' THEN 1 END) AS nt
+  FROM gb GROUP BY b
+),
+lam AS (
+  SELECT b,
+         round(ln((nt + 1) / (SUM(nt) OVER () + {_DSIR_B}.0))
+               - ln((nq + 1) / (SUM(nq) OVER () + {_DSIR_B}.0)), 9) AS lam
+  FROM bkt
+),
+wd AS (
+  SELECT doc_id, COUNT(*) AS n_grams,
+         round(CAST(SUM(CAST(lam AS DECIMAL(38,12))) AS DOUBLE), 6)
+           AS log_ir
+  FROM gb JOIN lam USING (b) GROUP BY doc_id
+)
+SELECT doc_id, n_grams, log_ir,
+       ROW_NUMBER() OVER (ORDER BY log_ir DESC, doc_id) AS rk
+FROM wd QUALIFY rk <= {_DSIR_K}
+""")
+def dsir_importance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every raw-corpus
+    document by its log importance ratio under hashed-n-gram
+    bag-of-words models of a target vs the source distribution, and
+    keep the top-_DSIR_K. Features are unigrams + bigrams hashed into
+    _DSIR_B buckets (md5-prefix bucketing — the repo's cross-engine
+    hash rule); the target distribution is fit on the in-corpus proxy
+    subset ``source = _DSIR_TARGET`` (DSIR's target corpus, which here
+    is itself part of the raw pool — standard when bootstrapping a
+    quality domain from a mixed crawl), the source distribution on the
+    whole corpus. Per-bucket add-1-smoothed log-ratios lambda_b =
+    ln p_t(b) - ln p_s(b) are computed once on the _DSIR_B-bounded
+    bucket frame (corpus totals as un-partitioned windows over it —
+    the domain_mix_temperature pattern), then each document's
+    log_ir = sum over its gram OCCURRENCES of lambda_b — the
+    multinomial likelihood-ratio, length bias inherent and published.
+    Spark shape: corpus-explode class (one explode per distribution
+    pass, like the LM gates); the lambda table joins back via a PINNED
+    _DSIR_B-row broadcast (aggregate-reduced, the allowed class); the
+    selection is a distributed TakeOrdered(_DSIR_K) + row_number on
+    the K-bounded frame (the quality_rank_fusion pattern) — no global
+    window over the corpus. Determinism: lambda pre-rounded to 9 dp
+    (IEEE-identical ln/divide on both engines), per-doc sums as
+    decimal(38,12) of the pre-rounded doubles (the LM-gate
+    convention), ties broken on doc_id. At 100 TB: two corpus explode
+    passes (fit + score), one (grams x 1)-to-(B)-broadcast join, one
+    doc-keyed aggregate — nothing pairwise, nothing driver-side."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    toks = F.split(F.trim(F.col("text")), " ")
+    base = d.select("doc_id", "source", toks.alias("w"))
+    uni = base.select("doc_id", "source", F.explode("w").alias("g"))
+    # bigram index guard: sequence(1, 0) would DESCEND in Spark, so gate
+    # on size>1 (explode drops the NULL branch), mirroring range(1,1)=[]
+    bi = base.select(
+        "doc_id", "source",
+        F.explode(F.when(F.size("w") > 1,
+                         F.sequence(F.lit(1), F.size("w") - 1))).alias("i"),
+        "w").select(
+        "doc_id", "source",
+        F.concat(F.element_at("w", F.col("i")), F.lit(" "),
+                 F.element_at("w", F.col("i") + 1)).alias("g"))
+    grams = uni.unionByName(bi)
+    gb = grams.select(
+        "doc_id", "source",
+        (F.conv(F.substring(F.md5("g"), 1, 4), 16, 10).cast("long")
+         % _DSIR_B).alias("b"))
+    bkt = gb.groupBy("b").agg(
+        F.count("*").alias("nq"),
+        F.count(F.when(F.col("source") == _DSIR_TARGET, 1)).alias("nt"))
+    wall = W.partitionBy()
+    lam = bkt.select(
+        "b",
+        F.round(F.log((F.col("nt") + 1)
+                      / (F.sum("nt").over(wall) + F.lit(float(_DSIR_B))))
+                - F.log((F.col("nq") + 1)
+                        / (F.sum("nq").over(wall) + F.lit(float(_DSIR_B)))),
+                9).alias("lam"))
+    wd = (gb.join(F.broadcast(lam), "b")
+          .groupBy("doc_id")
+          .agg(F.count("*").alias("n_grams"),
+               F.round(F.sum(F.col("lam").cast("decimal(38,12)"))
+                       .cast("double"), 6).alias("log_ir")))
+    lim = wd.orderBy(F.desc("log_ir"), F.asc("doc_id")).limit(_DSIR_K)
+    return lim.select(
+        "doc_id", "n_grams", "log_ir",
+        F.row_number().over(W.orderBy(F.desc("log_ir"), F.asc("doc_id")))
+        .cast("long").alias("rk"))

@@ -56,7 +56,10 @@ NESTED_LOOP_ALLOWED = {"embed_topk_cosine", "ann_filtered_topk",
                        # against the 8-row cell frame + the 1-row
                        # dtab/codebook broadcasts (IVF-PQ search)
                        "ivfpq_search_embeddings",
-                       "ivfpq_residual_search_embeddings"}
+                       "ivfpq_residual_search_embeddings",
+                       # composes the bigram-LM signal, inheriting its
+                       # 1-row vocabulary-size aggregate broadcast
+                       "quality_rank_fusion"}
 
 
 def _plan(spark, name: str) -> str:

@@ -30,6 +30,16 @@ NEW_R10_R11 = [
 ]
 
 
+def _tail_queries(path: str) -> dict:
+    """Parse the driver's BENCH_r*.json: the per-query dict is a
+    TRUNCATED tail fragment under "tail" (the front of the JSON line is
+    cut off), so recover the complete trailing "name": sec pairs."""
+    import re
+    tail = json.load(open(path)).get("tail", "")
+    return {m.group(1): float(m.group(2)) for m in re.finditer(
+        r'"([a-z0-9_]+)": ([0-9.]+)', tail)}
+
+
 def main() -> None:
     with open(os.path.join(HIST, "bench_runs.jsonl")) as f:
         runs = [json.loads(line) for line in f if line.strip()]
@@ -62,8 +72,7 @@ def main() -> None:
          json.load(open(os.path.join(HIST, "r9_local.json")))
          ["r9_run1"]["per_query_seconds"]),
         ("BENCH_r10.json tail",
-         json.load(open(os.path.join(ROOT, "BENCH_r10.json")))
-         .get("queries", {})),
+         _tail_queries(os.path.join(ROOT, "BENCH_r10.json"))),
     ):
         common = sorted(set(cur) & set(ref))
         if not common:
