@@ -453,6 +453,52 @@ def benchmark_overlap(docs: DataFrame, bench: DataFrame,
                       (frac >= threshold).alias("contaminated"))
 
 
+def fuzzy_decontaminate(docs: DataFrame, bench: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        num_hashes: int = 16, bands: int = 4, n: int = 5,
+                        threshold: float = 0.5) -> DataFrame:
+    """FUZZY benchmark decontamination: flag corpus documents that are
+    MinHash-LSH near-duplicates of any benchmark/eval document — the
+    paraphrase-level leakage check that :func:`benchmark_overlap`'s
+    exact shingle-fraction test misses (a lightly reworded eval item
+    shares few exact 5-grams but keeps a high Jaccard signature).
+
+    Scale shape: the benchmark side is eval-set-sized (MBs against a
+    100 TB corpus), so its band frame — signatures included —
+    BROADCASTS; the corpus is shingled/signed exactly ONCE
+    (minhash_band_frame carries ``mh`` through the band explode), the
+    candidate join is map-side on (band, bsig), and the only shuffles
+    are the two bounded per-(doc,eval) / per-doc aggregations. The
+    signature-component match fraction (the incremental-dedup
+    estimator) stands in for exact Jaccard so no shingle set is ever
+    re-materialized for verification. Output: one row per corpus doc
+    sharing >= 1 LSH band bucket with the eval set —
+    (id, n_eval_cands, max_jaccard_est, contaminated >= threshold)."""
+    cb = minhash_band_frame(docs, id_col, text_col, num_hashes, bands, n)
+    bb = minhash_band_frame(bench, id_col, text_col, num_hashes, bands, n)
+    est = (F.aggregate(
+        F.zip_with(F.col("x.mh"), F.col("y.mh"),
+                   lambda a, b: (a == b).cast("int")),
+        F.lit(0), lambda acc, v: acc + v) / F.lit(float(num_hashes)))
+    pairs = (cb.alias("x")
+             .join(F.broadcast(bb.alias("y")),
+                   (F.col("x.band") == F.col("y.band")) &
+                   (F.col("x.bsig") == F.col("y.bsig")))
+             .select(F.col(f"x.{id_col}").alias("did"),
+                     F.col(f"y.{id_col}").alias("bid"),
+                     F.round(est, 6).alias("est"))
+             # a pair can collide in several bands; the estimate is a
+             # pure function of the two signatures, so max() dedupes
+             .groupBy("did", "bid").agg(F.max("est").alias("est")))
+    return (pairs.groupBy("did")
+            .agg(F.count("*").alias("n_eval_cands"),
+                 F.max("est").alias("max_jaccard_est"))
+            .select(F.col("did").alias(id_col), "n_eval_cands",
+                    "max_jaccard_est",
+                    (F.col("max_jaccard_est") >= threshold)
+                    .alias("contaminated")))
+
+
 def positional_shingles(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", w: int = 8) -> DataFrame:
     """POSITION-INDEXED w-token shingles: one row per (doc, start

@@ -6238,3 +6238,147 @@ def dsir_importance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_grams", "log_ir",
         F.row_number().over(W.orderBy(F.desc("log_ir"), F.asc("doc_id")))
         .cast("long").alias("rk"))
+
+
+_FDC_EVAL_MOD = 10    #: eval split: doc_id % mod = 0 plays the benchmark
+_FDC_THRESHOLD = 0.5  #: signature-estimate contamination cut
+
+
+def _minhash_decon_sql(num_hashes: int = 16, bands: int = 4,
+                       eval_mod: int = _FDC_EVAL_MOD,
+                       threshold: float = _FDC_THRESHOLD) -> str:
+    """DuckDB mirror of dedup.fuzzy_decontaminate: the _minhash_sql
+    hash family (h_j(s) = md5('j|' ‖ s), band sig = md5 of the band's
+    minhashes joined by '|') with the candidate join restricted to
+    corpus×eval band collisions and the incremental-dedup
+    component-match estimator in place of exact Jaccard."""
+    rows = num_hashes // bands
+    mh = ",\n         ".join(
+        f"list_min(list_transform(shl, s -> md5('{j}|' || s))) AS mh{j}"
+        for j in range(num_hashes))
+    pipe = " || '|' || "
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band, "
+        f"md5({pipe.join(f'mh{i * rows + r}' for r in range(rows))}) AS bsig FROM mh"
+        for i in range(bands))
+    est = "(" + " + ".join(
+        f"CASE WHEN m1.mh{j} = m2.mh{j} THEN 1 ELSE 0 END"
+        for j in range(num_hashes)) + f") / {num_hashes}.0"
+    return f""",
+mh AS (
+  SELECT doc_id, {mh}
+  FROM sh
+),
+bands AS (
+  {band_selects}
+),
+cand AS (
+  SELECT DISTINCT x.doc_id AS did, y.doc_id AS bid
+  FROM bands x JOIN bands y ON x.band = y.band AND x.bsig = y.bsig
+  WHERE x.doc_id % {eval_mod} <> 0 AND y.doc_id % {eval_mod} = 0
+),
+est AS (
+  SELECT did, bid, round({est}, 6) AS est
+  FROM cand JOIN mh m1 ON did = m1.doc_id JOIN mh m2 ON bid = m2.doc_id
+)
+SELECT did AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_eval_cands,
+       MAX(est) AS max_jaccard_est,
+       MAX(est) >= {threshold} AS contaminated
+FROM est GROUP BY did
+"""
+
+
+@register("decontamination_fuzzy", _SHINGLE_CTES + _minhash_decon_sql())
+def decontamination_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY benchmark decontamination
+    (operators/dedup.py:fuzzy_decontaminate): every 10th document plays
+    the held-out eval set and each remaining document is flagged if it
+    is a MinHash-LSH near-duplicate of ANY eval document — the
+    paraphrase-level leakage check that ``decontamination_overlap``'s
+    exact 5-gram fraction misses (a reworded eval item keeps a high
+    signature Jaccard while sharing few exact shingles). The eval split
+    is mod-10 rather than overlap's mod-97 so the LSH collision
+    structure is exercised at driver scale (mod-97 leaves zero
+    cross-split band collisions at sf0.01); production eval sets are
+    MBs against a 100 TB corpus, which is exactly the broadcast design:
+    the eval band frame — signatures included — broadcasts, the corpus
+    is shingled/signed ONCE, candidates come from a map-side (band,
+    bsig) join, and the verdict is the component-match signature
+    estimate (the incremental-dedup estimator), so no shingle set is
+    re-materialized for verification and nothing pairwise touches the
+    corpus. Oracle: same hash family and estimator as the
+    minhash_incremental_dedup mirror, restricted to corpus×eval
+    collisions."""
+    from .operators.dedup import fuzzy_decontaminate
+    d = _spread(spark, _t(spark, sf_dir, "documents")["documents"])
+    return fuzzy_decontaminate(
+        d.filter(F.col("doc_id") % _FDC_EVAL_MOD != 0),
+        d.filter(F.col("doc_id") % _FDC_EVAL_MOD == 0),
+        num_hashes=16, bands=4, n=5, threshold=_FDC_THRESHOLD)
+
+
+_CURR_HI = 0.32     #: trained-score cut for phase 0 (highest quality)
+_CURR_LO = 0.27     #: trained-score cut for phase 1; below -> phase 2
+_CURR_SHARDS = 8    #: within-phase hash shards
+
+
+@register("curriculum_quality_shards", _logreg_oracle_sql(
+    _CLS_TRAIN_ROUNDS, _CLS_TRAIN_LR, f"""
+SELECT phase, shard,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+       round(CAST(SUM(CAST(p AS DECIMAL(38,12))) AS DOUBLE) / COUNT(*), 6)
+         AS avg_score
+FROM (
+  SELECT d.doc_id,
+         len(string_split(trim(d.text), ' ')) AS n_tokens, s.p,
+         CASE WHEN s.p >= {_CURR_HI} THEN 0
+              WHEN s.p >= {_CURR_LO} THEN 1 ELSE 2 END AS phase,
+         ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4))::BIGINT
+           % {_CURR_SHARDS} AS shard
+  FROM p{_CLS_TRAIN_ROUNDS} s JOIN documents d ON d.doc_id = s.vec_id
+)
+GROUP BY phase, shard
+"""))
+def curriculum_quality_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-CURRICULUM sharding — the data-ordering stage between
+    scoring and training (curriculum learning, Bengio et al. 2009;
+    quality-bucketed phase schedules are the FineWeb-Edu-score-band
+    recipe): every document is assigned a curriculum PHASE by its
+    logreg_fit-TRAINED probe score (phase 0 = highest quality, trained
+    first; cuts _CURR_HI/_CURR_LO sit inside the fixture's score range
+    so all three phases populate at driver scale) and a within-phase
+    SHARD by md5 hash bucket (the epoch_shuffle_shards convention —
+    deterministic, uniformly spread, engine-reproducible). Output is
+    the phase × shard manifest: doc/token counts, id_sum (pins the
+    exact membership, not just sizes), and the decimal-exact mean
+    trained score per cell. Spark shape: the trained weights are a
+    dim+1 literal (bounded collect of the model itself), so scoring is
+    pure whole-stage codegen; the embeddings↔documents equi-join on the
+    id is the only corpus shuffle (co-partitioned at 100 TB when both
+    tables bucket on the id) and the manifest aggregate is
+    3×_CURR_SHARDS rows. Closes the train→score→ORDER loop on top of
+    classifier_trained_scores' train→score. Oracle: the chained-CTE
+    replay's final scoring CTE joined to documents with identical
+    binning."""
+    scores = (classifier_trained_scores(spark, sf_dir)
+              .select(F.col("vec_id").alias("doc_id"), "score"))
+    d = _t(spark, sf_dir, "documents")["documents"]
+    docs = d.select("doc_id",
+                    F.size(F.split(F.trim(F.col("text")), " "))
+                    .alias("n_tokens"))
+    j = docs.join(scores, "doc_id")
+    phase = (F.when(F.col("score") >= _CURR_HI, 0)
+             .when(F.col("score") >= _CURR_LO, 1).otherwise(2))
+    shard = (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4),
+                    16, 10).cast("long") % _CURR_SHARDS)
+    return (j.select(phase.alias("phase"), shard.alias("shard"),
+                     "n_tokens", "doc_id", "score")
+            .groupBy("phase", "shard")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tokens").alias("sum_tokens"),
+                 F.sum("doc_id").alias("id_sum"),
+                 F.round(F.sum(F.col("score").cast("decimal(38,12)"))
+                         .cast("double") / F.count("*"), 6)
+                 .alias("avg_score")))

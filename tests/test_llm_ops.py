@@ -2026,3 +2026,51 @@ def test_logreg_fit_rejects_bad_input(spark):
         logreg_fit(ragged, F.col("y"))
     with pytest.raises(ValueError, match="sample_fraction"):
         logreg_fit(d, F.col("y"), sample_fraction=1.5)
+
+
+def test_fuzzy_decontaminate_flags_dups_and_skips_disjoint(spark):
+    """fuzzy_decontaminate flags an exact copy of an eval doc with
+    signature estimate 1.0, emits NO row for a corpus doc sharing no
+    LSH band with the eval set, and a paraphrase sharing most of its
+    shingles is caught (its minhash minima can all land in the shared
+    shingle mass, so the estimate may legitimately saturate at 1.0 —
+    exactly why the fuzzy check catches rewordings the exact
+    overlap-fraction test would score below threshold)."""
+    from slowly_changing_dimensions_data_engineering_spark.operators.dedup import (
+        fuzzy_decontaminate,
+    )
+    base = " ".join(f"tok{i}" for i in range(40))
+    para = " ".join(f"tok{i}" for i in range(38)) + " novel1 novel2"
+    other = " ".join(f"zz{i}" for i in range(40))
+    bench = spark.createDataFrame([(100, base)], ["doc_id", "text"])
+    docs = spark.createDataFrame(
+        [(1, base), (2, para), (3, other)], ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in fuzzy_decontaminate(
+        docs, bench, num_hashes=16, bands=4, n=5, threshold=0.5).collect()}
+    assert out[1]["max_jaccard_est"] == 1.0 and out[1]["contaminated"]
+    assert 3 not in out                      # no shared band bucket
+    assert out[2]["contaminated"]            # the paraphrase is caught
+    assert out[1]["n_eval_cands"] == 1
+
+
+def test_curriculum_quality_shards_partitions_corpus(spark):
+    """curriculum_quality_shards is a PARTITION of the corpus: cell
+    doc counts sum to the corpus size, ids are disjoint (id_sum total
+    equals the corpus id sum), every cell's mean trained score
+    respects its phase's cut bounds, and shards stay in range."""
+    from slowly_changing_dimensions_data_engineering_spark import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    rows = q.curriculum_quality_shards(spark, sf).collect()
+    docs = q._t(spark, sf, "documents")["documents"]
+    n, id_sum = docs.selectExpr("count(*)", "sum(doc_id)").first()
+    assert sum(r["n_docs"] for r in rows) == n
+    assert sum(r["id_sum"] for r in rows) == id_sum
+    for r in rows:
+        assert 0 <= r["shard"] < q._CURR_SHARDS
+        if r["phase"] == 0:
+            assert r["avg_score"] >= q._CURR_HI
+        elif r["phase"] == 2:
+            assert r["avg_score"] < q._CURR_LO
+        else:
+            assert q._CURR_LO <= r["avg_score"] < q._CURR_HI
