@@ -6198,6 +6198,19 @@ def dsir_importance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     convention), ties broken on doc_id. At 100 TB: two corpus explode
     passes (fit + score), one (grams x 1)-to-(B)-broadcast join, one
     doc-keyed aggregate — nothing pairwise, nothing driver-side."""
+    wd = _dsir_log_ir(spark, sf_dir)
+    lim = wd.orderBy(F.desc("log_ir"), F.asc("doc_id")).limit(_DSIR_K)
+    return lim.select(
+        "doc_id", "n_grams", "log_ir",
+        F.row_number().over(W.orderBy(F.desc("log_ir"), F.asc("doc_id")))
+        .cast("long").alias("rk"))
+
+
+def _dsir_log_ir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_grams, log_ir): every document's DSIR log importance
+    ratio — the scoring core shared by ``dsir_importance_topk`` (top-K
+    selection) and ``pretraining_funnel_v2`` (target-likeness gate).
+    See dsir_importance_topk's docstring for the full design."""
     d = _t(spark, sf_dir, "documents")["documents"]
     toks = F.split(F.trim(F.col("text")), " ")
     base = d.select("doc_id", "source", toks.alias("w"))
@@ -6228,16 +6241,11 @@ def dsir_importance_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - F.log((F.col("nq") + 1)
                         / (F.sum("nq").over(wall) + F.lit(float(_DSIR_B)))),
                 9).alias("lam"))
-    wd = (gb.join(F.broadcast(lam), "b")
-          .groupBy("doc_id")
-          .agg(F.count("*").alias("n_grams"),
-               F.round(F.sum(F.col("lam").cast("decimal(38,12)"))
-                       .cast("double"), 6).alias("log_ir")))
-    lim = wd.orderBy(F.desc("log_ir"), F.asc("doc_id")).limit(_DSIR_K)
-    return lim.select(
-        "doc_id", "n_grams", "log_ir",
-        F.row_number().over(W.orderBy(F.desc("log_ir"), F.asc("doc_id")))
-        .cast("long").alias("rk"))
+    return (gb.join(F.broadcast(lam), "b")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_grams"),
+                 F.round(F.sum(F.col("lam").cast("decimal(38,12)"))
+                         .cast("double"), 6).alias("log_ir")))
 
 
 _FDC_EVAL_MOD = 10    #: eval split: doc_id % mod = 0 plays the benchmark
@@ -6382,3 +6390,154 @@ def curriculum_quality_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum(F.col("score").cast("decimal(38,12)"))
                          .cast("double") / F.count("*"), 6)
                  .alias("avg_score")))
+
+
+def _funnel_v2_tail() -> str:
+    """Oracle tail for pretraining_funnel_v2, appended to the logreg
+    replay chain (_logreg_oracle_sql ends on the m{R} CTE, so this
+    CONTINUES the WITH list): the fuzzy-decontamination minhash CTEs
+    (the _minhash_decon_sql hash family), the DSIR scoring CTEs (the
+    dsir_importance_topk mirror), and the one-row funnel aggregate."""
+    num_hashes, bands = 16, 4
+    rows = num_hashes // bands
+    mh = ",\n         ".join(
+        f"list_min(list_transform(shl, s -> md5('{j}|' || s))) AS mh{j}"
+        for j in range(num_hashes))
+    pipe = " || '|' || "
+    band_selects = "\n  UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band, "
+        f"md5({pipe.join(f'mh{i * rows + r}' for r in range(rows))}) AS bsig FROM mh2"
+        for i in range(bands))
+    est = "(" + " + ".join(
+        f"CASE WHEN m1.mh{j} = m2.mh{j} THEN 1 ELSE 0 END"
+        for j in range(num_hashes)) + f") / {num_hashes}.0"
+    return f""",
+toks2 AS (
+  SELECT doc_id, source, string_split(trim(text), ' ') AS t FROM documents
+),
+sh2 AS (
+  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(t)-4,1)+1),
+                 i -> md5(array_to_string(t[i:i+4], ' ')))) AS shl
+  FROM toks2
+),
+mh2 AS (
+  SELECT doc_id, {mh}
+  FROM sh2
+),
+bands2 AS (
+  {band_selects}
+),
+cont AS (
+  SELECT DISTINCT x.doc_id
+  FROM bands2 x JOIN bands2 y ON x.band = y.band AND x.bsig = y.bsig
+       JOIN mh2 m1 ON x.doc_id = m1.doc_id
+       JOIN mh2 m2 ON y.doc_id = m2.doc_id
+  WHERE x.doc_id % {_FDC_EVAL_MOD} <> 0 AND y.doc_id % {_FDC_EVAL_MOD} = 0
+    AND {est} >= {_FDC_THRESHOLD}
+),
+grams2 AS (
+  SELECT doc_id, source, unnest(t) AS g FROM toks2
+  UNION ALL
+  SELECT doc_id, source, t[i] || ' ' || t[i + 1] AS g
+  FROM toks2, unnest(range(1, len(t))) AS u(i)
+),
+gb2 AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(g), 1, 4))::BIGINT % {_DSIR_B} AS b
+  FROM grams2
+),
+bkt2 AS (
+  SELECT b, COUNT(*) AS nq,
+         COUNT(CASE WHEN source = '{_DSIR_TARGET}' THEN 1 END) AS nt
+  FROM gb2 GROUP BY b
+),
+lam2 AS (
+  SELECT b,
+         round(ln((nt + 1) / (SUM(nt) OVER () + {_DSIR_B}.0))
+               - ln((nq + 1) / (SUM(nq) OVER () + {_DSIR_B}.0)), 9) AS lam
+  FROM bkt2
+),
+wd2 AS (
+  SELECT doc_id,
+         round(CAST(SUM(CAST(lam AS DECIMAL(38,12))) AS DOUBLE), 6)
+           AS log_ir
+  FROM gb2 JOIN lam2 USING (b) GROUP BY doc_id
+),
+flags2 AS (
+  SELECT d.doc_id, len(t.t) AS n_tokens,
+         s.p >= {_CURR_HI} AS q_ok,
+         (d.doc_id % {_FDC_EVAL_MOD} <> 0 AND c.doc_id IS NULL) AS clean_ok,
+         w.log_ir > 0 AS target_ok
+  FROM documents d
+  JOIN p{_CLS_TRAIN_ROUNDS} s ON s.vec_id = d.doc_id
+  JOIN toks2 t USING (doc_id)
+  JOIN wd2 w USING (doc_id)
+  LEFT JOIN cont c USING (doc_id)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(CASE WHEN q_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       CAST(SUM(CASE WHEN q_ok AND clean_ok THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clean,
+       CAST(SUM(CASE WHEN q_ok AND clean_ok AND target_ok THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_target,
+       CAST(COALESCE(SUM(CASE WHEN q_ok AND clean_ok AND target_ok
+                               THEN n_tokens END), 0) AS BIGINT)
+         AS survivor_tokens
+FROM flags2
+"""
+
+
+@register("pretraining_funnel_v2",
+          _logreg_oracle_sql(_CLS_TRAIN_ROUNDS, _CLS_TRAIN_LR,
+                             _funnel_v2_tail()))
+def pretraining_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MODERN curation funnel as ONE declarative plan — the v2 of
+    ``pretraining_pipeline_summary`` with every gate upgraded to its
+    trained/fuzzy/importance-weighted successor: (1) quality = the
+    logreg_fit-TRAINED probe score at the curriculum top-tier cut
+    (_CURR_HI), i.e. the end of the train→score loop rather than a
+    fixed synthetic probe; (2) decontamination = FUZZY MinHash-LSH
+    against the held-out eval split (paraphrase-level, not exact
+    overlap), eval docs themselves excluded; (3) target-likeness =
+    DSIR log importance ratio > 0 (more target-like than the source
+    average). Output: one row of stage-by-stage survivor counts plus
+    the surviving token budget — the number a data team actually
+    plans a training run against. Composition shape: every gate is a
+    per-doc flag frame joined once to the corpus and the funnel is a
+    single conditional aggregation — no per-stage actions, no driver
+    loop beyond the bounded dim+1 trained-weights collect; at 100 TB
+    the plan is the union of its parts' audited shapes (codegen probe
+    map, broadcast eval band frame, B-row broadcast lambda join).
+    Oracle: the full logreg replay chain CONTINUED with the
+    fuzzy-decon and DSIR CTE mirrors — three families re-verified in
+    composition, not just in isolation."""
+    d = _t(spark, sf_dir, "documents")["documents"]
+    scores = (classifier_trained_scores(spark, sf_dir)
+              .select(F.col("vec_id").alias("doc_id"),
+                      (F.col("score") >= _CURR_HI).alias("q_ok")))
+    from .operators.dedup import fuzzy_decontaminate
+    cont = (fuzzy_decontaminate(
+        d.filter(F.col("doc_id") % _FDC_EVAL_MOD != 0),
+        d.filter(F.col("doc_id") % _FDC_EVAL_MOD == 0),
+        num_hashes=16, bands=4, n=5, threshold=_FDC_THRESHOLD)
+        .filter("contaminated").select("doc_id")
+        .withColumn("_cont", F.lit(1)))
+    dsir = _dsir_log_ir(spark, sf_dir).select(
+        "doc_id", (F.col("log_ir") > 0).alias("target_ok"))
+    base = d.select("doc_id",
+                    F.size(F.split(F.trim(F.col("text")), " "))
+                    .alias("n_tokens"))
+    flags = (base.join(scores, "doc_id").join(dsir, "doc_id")
+             .join(cont, "doc_id", "left")
+             .select("doc_id", "n_tokens", "q_ok", "target_ok",
+                     ((F.col("doc_id") % _FDC_EVAL_MOD != 0) &
+                      F.col("_cont").isNull()).alias("clean_ok")))
+    surv = F.col("q_ok") & F.col("clean_ok") & F.col("target_ok")
+    return flags.agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.col("q_ok").cast("long")).alias("n_quality"),
+        F.sum((F.col("q_ok") & F.col("clean_ok")).cast("long"))
+         .alias("n_clean"),
+        F.sum(surv.cast("long")).alias("n_target"),
+        F.coalesce(F.sum(F.when(surv, F.col("n_tokens"))), F.lit(0))
+         .cast("long").alias("survivor_tokens"))

@@ -2074,3 +2074,33 @@ def test_curriculum_quality_shards_partitions_corpus(spark):
             assert r["avg_score"] < q._CURR_LO
         else:
             assert q._CURR_LO <= r["avg_score"] < q._CURR_HI
+
+
+def test_pretraining_funnel_v2_matches_components(spark):
+    """The v2 funnel's one-aggregate counts equal a driver-side
+    recomputation from its three component families (trained scores,
+    fuzzy decontamination, DSIR log-ratios) — composition adds no
+    drift."""
+    from slowly_changing_dimensions_data_engineering_spark import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    row = q.pretraining_funnel_v2(spark, sf).first()
+    scores = {r["vec_id"]: r["score"]
+              for r in q.classifier_trained_scores(spark, sf).collect()}
+    cont = {r["doc_id"] for r in q.decontamination_fuzzy(spark, sf)
+            .filter("contaminated").collect()}
+    lir = {r["doc_id"]: r["log_ir"]
+           for r in q._dsir_log_ir(spark, sf).collect()}
+    docs = {r["doc_id"]: len(r["text"].strip().split(" "))
+            for r in q._t(spark, sf, "documents")["documents"].collect()}
+
+    q_ok = {d for d in docs if scores[d] >= q._CURR_HI}
+    clean = {d for d in docs
+             if d % q._FDC_EVAL_MOD != 0 and d not in cont}
+    target = {d for d in docs if lir[d] > 0}
+    surv = q_ok & clean & target
+    assert row["n_total"] == len(docs)
+    assert row["n_quality"] == len(q_ok)
+    assert row["n_clean"] == len(q_ok & clean)
+    assert row["n_target"] == len(surv)
+    assert row["survivor_tokens"] == sum(docs[d] for d in surv)

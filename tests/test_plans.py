@@ -106,6 +106,10 @@ EXPLICIT_FACT_BCAST_ALLOWED = {
     # filter only because the fixture carves the eval split out of
     # documents.parquet by doc_id % 10
     "decontamination_fuzzy",
+    # composes decontamination_fuzzy, inheriting exactly that bounded
+    # eval-set band-frame broadcast (its DSIR lambda broadcast is
+    # aggregate-reduced and exempt on its own)
+    "pretraining_funnel_v2",
 }
 
 
