@@ -6541,3 +6541,57 @@ def pretraining_funnel_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(surv.cast("long")).alias("n_target"),
         F.coalesce(F.sum(F.when(surv, F.col("n_tokens"))), F.lit(0))
          .cast("long").alias("survivor_tokens"))
+
+
+@register("bpe_fertility_by_source", _BPE_ORACLE_CTE + """
+, seg AS (
+  SELECT word, len(syms) AS n_syms FROM bpe WHERE r = {_BPE_N_MERGES}
+),
+words AS (
+  SELECT doc_id, source, w AS word
+  FROM (SELECT doc_id, source, unnest(string_split(trim(text), ' ')) AS w
+        FROM documents)
+  WHERE w <> ''
+)
+SELECT source,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(n_syms) AS BIGINT) AS n_bpe_tokens,
+       round(SUM(n_syms) / CAST(COUNT(*) AS DOUBLE), 6) AS fertility
+FROM words JOIN seg USING (word)
+GROUP BY source
+""".format(_BPE_N_MERGES=_BPE_N_MERGES))
+def bpe_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY per domain — BPE subword tokens per word for
+    each source, the diagnostic teams track when one tokenizer serves a
+    mixed corpus (a domain whose fertility is far above the corpus
+    mean is under-served by the learned merges and pays more sequence
+    length per word; the multilingual-tokenizer-fairness metric applied
+    to domains). Same trained merges and inference join as
+    ``bpe_corpus_tokens`` (shared _BPE_CACHE — the corpus explodes to
+    words once and equi-joins the Zipf-bounded word→subword-count
+    dictionary, broadcast-or-hash-on-word at 100 TB), aggregated to the
+    bounded per-source frame instead of per-doc; n_docs rides along via
+    a distinct count so a domain's fertility can be read against its
+    volume. Oracle: the recursive-CTE BPE final state joined to the
+    exploded corpus, grouped by source."""
+    _, vocab = _bpe_trained(spark, sf_dir)
+    d = _spread(spark, _t(spark, sf_dir, "documents")["documents"])
+    words = (d.select("doc_id", "source",
+                      F.explode(F.split(F.trim(F.col("text")), " "))
+                      .alias("word"))
+             .filter(F.col("word") != ""))
+    seg = vocab.select("word", F.size("syms").alias("_n_syms"))
+    return (words.join(seg, "word")
+            .groupBy("source")
+            .agg(F.countDistinct("doc_id").alias("n_docs"),
+                 F.count("*").alias("n_words"),
+                 F.sum("_n_syms").alias("n_bpe_tokens"))
+            .select("source",
+                    F.col("n_docs").cast("long").alias("n_docs"),
+                    F.col("n_words").cast("long").alias("n_words"),
+                    F.col("n_bpe_tokens").cast("long")
+                    .alias("n_bpe_tokens"),
+                    F.round(F.col("n_bpe_tokens")
+                            / F.col("n_words").cast("double"), 6)
+                    .alias("fertility")))
