@@ -208,7 +208,7 @@ _PIPELINE_CACHE_NAMES = (
     "_DELETE_STORE_CACHE", "_DIFF_STORE_CACHE", "_STREAM_MV_CACHE",
     "_STREAM_ANN_CACHE", "_ORDERS_SCD2_CACHE", "_IVFPQ_INDEX_CACHE",
     "_BPE_CACHE", "_CLS_TRAIN_CACHE", "_STREAM_JOIN_CACHE",
-    "_STREAM_JOIN_OUTER_CACHE",
+    "_STREAM_JOIN_OUTER_CACHE", "_STREAM_SCORE_CACHE",
 )
 
 
@@ -6595,3 +6595,94 @@ def bpe_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("n_bpe_tokens")
                             / F.col("n_words").cast("double"), 6)
                     .alias("fertility")))
+
+
+_STREAM_SCORE_CACHE: dict[str, str] = {}
+
+
+def _stream_score_out(spark: SparkSession, sf_dir: str) -> str:
+    """Drive streaming/score_stream.py end-to-end on the embeddings
+    table: the corpus lands as JSON-lines files in three vec_id % 3
+    slices — two staged up front and consumed one-per-micro-batch, the
+    third staged AFTER a checkpointed RESTART (the pipeline family's
+    exactly-once-across-restarts drill applied to the stateless
+    inference topology). The trained weights come from the SAME
+    per-process training run as classifier_train_* (_CLS_TRAIN_CACHE),
+    collected once (dim+1 rows) before the stream starts. Embeddings
+    are cast float→double BEFORE staging; Spark's JSON writer
+    round-trips doubles losslessly (verified at build time), so the
+    streamed scores hash-match the replay chain computed from the
+    parquet floats."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from .streaming.score_stream import start_trained_scoring
+
+    root = _STREAM_SCORE_CACHE.get(sf_dir)
+    if root and os.path.exists(os.path.join(root, "out", "_spark_metadata")):
+        return os.path.join(root, "out")
+
+    root = _pipeline_tmpdir("sds_score_")
+    in_dir = os.path.join(root, "in")
+    out = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+    os.makedirs(in_dir)
+
+    wdf, _ = _cls_trained(spark, sf_dir)
+    final = {int(r["dim"]): float(r["weight"])
+             for r in wdf.filter(F.col("round") == _CLS_TRAIN_ROUNDS)
+             .collect()}  # bounded: dim+1 rows, the trained model
+    weights = [final[i] for i in range(_CLS_DIM)]
+
+    e = (_t(spark, sf_dir, "embeddings")["embeddings"]
+         .select("vec_id",
+                 F.col("embedding").cast("array<double>").alias("embedding")))
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ])
+
+    def run_stream() -> None:
+        q = start_trained_scoring(
+            spark, in_dir, out, ckpt, schema, weights, final[-1],
+            available_now=True, max_files_per_trigger=1)
+        q.awaitTermination()
+
+    _stage_json(e.filter(F.col("vec_id") % 3 == 0), root, in_dir,
+                "slice0.json")
+    _stage_json(e.filter(F.col("vec_id") % 3 == 1), root, in_dir,
+                "slice1.json")
+    run_stream()
+    # checkpointed RESTART: the committed slices must not re-emit
+    _stage_json(e.filter(F.col("vec_id") % 3 == 2), root, in_dir,
+                "slice2.json")
+    run_stream()
+
+    _STREAM_SCORE_CACHE[sf_dir] = root
+    return out
+
+
+@register("streaming_trained_scores", _logreg_oracle_sql(
+    _CLS_TRAIN_ROUNDS, _CLS_TRAIN_LR, f"""
+SELECT vec_id, p AS score, p >= 0.5 AS kept
+FROM p{_CLS_TRAIN_ROUNDS}
+"""))
+def streaming_trained_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming model INFERENCE, driver-checked end-to-end
+    (streaming/score_stream.py): the corpus arrives as three
+    micro-batched JSON slices with a checkpointed restart before the
+    third, each batch scored by a whole-stage-codegen sigmoid(w·x + b)
+    with the logreg_fit-TRAINED weights baked in as literals, appended
+    exactly-once to a parquet sink via the ``_spark_metadata`` commit
+    log. The STATELESS map topology completes the streaming family's
+    set (every prior pipeline is stateful): zero shuffles, zero state
+    store, per-batch cost linear in arriving rows. The final sink must
+    hash-match the chained-CTE replay's final scoring CTE over the
+    whole corpus — proving exactly-once consumption across the restart
+    (a re-emitted or dropped slice changes row counts) AND bit-exact
+    inference through the JSON staging boundary. Deployment half of
+    the train→score loop: classifier_trained_scores is the batch
+    scorer, this is the serving path."""
+    return spark.read.parquet(_stream_score_out(spark, sf_dir)) \
+        .select("vec_id", "score", "kept")

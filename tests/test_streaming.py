@@ -793,3 +793,54 @@ def test_click_attribution_rejects_bad_join_type(spark, tmp_path):
         start_click_attribution(
             spark, str(tmp_path), str(tmp_path), str(tmp_path / "o"),
             str(tmp_path / "k"), ATTR_SCHEMA, how="full_outer")
+
+
+def test_trained_scoring_stream_exactly_once_and_exact(spark, tmp_path):
+    """The stateless inference stream: scores equal the batch sigmoid
+    bit-for-bit, an idle restart re-emits nothing, and a new slice
+    after the restart appends exactly its rows (file-source tracking +
+    parquet-sink commit log — the only exactly-once machinery this
+    topology has)."""
+    import json as _json
+    import math
+
+    from pyspark.sql import types as T
+    from slowly_changing_dimensions_data_engineering_spark.streaming.score_stream import (
+        start_trained_scoring,
+    )
+
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ])
+    w, b = [0.5, -1.0, 2.0], 0.25
+
+    def write_slice(name, rows):
+        with open(in_dir / name, "w") as f:
+            for vid, emb in rows:
+                f.write(_json.dumps({"vec_id": vid, "embedding": emb}) + "\n")
+
+    def run():
+        q = start_trained_scoring(spark, str(in_dir), out, ckpt, schema,
+                                  w, b, available_now=True)
+        _drain(q)
+
+    s1 = [(1, [1.0, 0.0, 0.0]), (2, [0.0, 1.0, 1.0])]
+    write_slice("s1.json", s1)
+    run()
+    got = {r["vec_id"]: r for r in spark.read.parquet(out).collect()}
+    for vid, emb in s1:
+        z = sum(a * c for a, c in zip(emb, w)) + b
+        assert got[vid]["score"] == round(1.0 / (1.0 + math.exp(-z)), 9)
+        assert got[vid]["kept"] == (got[vid]["score"] >= 0.5)
+
+    run()  # idle restart: nothing new, nothing re-emitted
+    assert spark.read.parquet(out).count() == 2
+
+    write_slice("s2.json", [(3, [1.0, 1.0, 1.0])])
+    run()  # post-restart slice appends exactly once
+    rows = spark.read.parquet(out).collect()
+    assert sorted(r["vec_id"] for r in rows) == [1, 2, 3]

@@ -66,6 +66,7 @@ PIPELINE_QUERIES = {
     "minhash_incremental_dedup", "ivf_two_level_assign_state",
     "streaming_ivfpq_index_state", "streaming_click_attribution",
     "streaming_click_attribution_outer",
+    "streaming_trained_scores",
 }
 
 
