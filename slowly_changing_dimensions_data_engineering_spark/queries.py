@@ -6211,7 +6211,14 @@ def _dsir_log_ir(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio — the scoring core shared by ``dsir_importance_topk`` (top-K
     selection) and ``pretraining_funnel_v2`` (target-likeness gate).
     See dsir_importance_topk's docstring for the full design."""
-    d = _t(spark, sf_dir, "documents")["documents"]
+    return _dsir_log_ir_df(_t(spark, sf_dir, "documents")["documents"])
+
+
+def _dsir_log_ir_df(d: DataFrame, n_buckets: int = _DSIR_B,
+                    target: str = _DSIR_TARGET) -> DataFrame:
+    """DSIR scoring over an arbitrary (doc_id, source, text) frame —
+    the DataFrame-level core, parameterized so the property test can
+    exercise small bucket spaces (tests/test_llm_ops.py)."""
     toks = F.split(F.trim(F.col("text")), " ")
     base = d.select("doc_id", "source", toks.alias("w"))
     uni = base.select("doc_id", "source", F.explode("w").alias("g"))
@@ -6229,17 +6236,17 @@ def _dsir_log_ir(spark: SparkSession, sf_dir: str) -> DataFrame:
     gb = grams.select(
         "doc_id", "source",
         (F.conv(F.substring(F.md5("g"), 1, 4), 16, 10).cast("long")
-         % _DSIR_B).alias("b"))
+         % n_buckets).alias("b"))
     bkt = gb.groupBy("b").agg(
         F.count("*").alias("nq"),
-        F.count(F.when(F.col("source") == _DSIR_TARGET, 1)).alias("nt"))
+        F.count(F.when(F.col("source") == target, 1)).alias("nt"))
     wall = W.partitionBy()
     lam = bkt.select(
         "b",
         F.round(F.log((F.col("nt") + 1)
-                      / (F.sum("nt").over(wall) + F.lit(float(_DSIR_B))))
+                      / (F.sum("nt").over(wall) + F.lit(float(n_buckets))))
                 - F.log((F.col("nq") + 1)
-                        / (F.sum("nq").over(wall) + F.lit(float(_DSIR_B)))),
+                        / (F.sum("nq").over(wall) + F.lit(float(n_buckets)))),
                 9).alias("lam"))
     return (gb.join(F.broadcast(lam), "b")
             .groupBy("doc_id")

@@ -2104,3 +2104,65 @@ def test_pretraining_funnel_v2_matches_components(spark):
     assert row["n_clean"] == len(q_ok & clean)
     assert row["n_target"] == len(surv)
     assert row["survivor_tokens"] == sum(docs[d] for d in surv)
+
+
+def test_dsir_log_ir_property_matches_reference(spark):
+    """Property: the distributed DSIR scorer equals a from-scratch
+    python reference (md5-prefix bucket hashing of unigrams+bigrams,
+    add-1 smoothed per-bucket target-vs-source log-ratios, per-doc
+    occurrence sums under the decimal(38,12) convention) over random
+    small corpora and a small bucket space."""
+    import hashlib
+    import math
+    from decimal import Decimal
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from slowly_changing_dimensions_data_engineering_spark.queries import (
+        _dsir_log_ir_df,
+    )
+
+    B, TARGET = 8, "t"
+    word = st.sampled_from(["a", "b", "c", "d"])
+    doc = st.lists(word, min_size=1, max_size=6)
+
+    def bucket(g: str) -> int:
+        return int(hashlib.md5(g.encode()).hexdigest()[:4], 16) % B
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    @given(data=st.data())
+    def run(data):
+        docs = data.draw(st.lists(doc, min_size=1, max_size=5))
+        srcs = data.draw(st.lists(st.sampled_from([TARGET, "s"]),
+                                  min_size=len(docs), max_size=len(docs)))
+        rows = [(i, srcs[i], " ".join(t)) for i, t in enumerate(docs)]
+        d = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+        got = {r["doc_id"]: r
+               for r in _dsir_log_ir_df(d, n_buckets=B,
+                                        target=TARGET).collect()}
+
+        grams = []
+        for i, t in enumerate(docs):
+            gs = list(t) + [f"{t[j]} {t[j+1]}" for j in range(len(t) - 1)]
+            grams.extend((i, srcs[i], g) for g in gs)
+        nq, nt = [0] * B, [0] * B
+        for _, s_, g in grams:
+            b = bucket(g)
+            nq[b] += 1
+            nt[b] += s_ == TARGET
+        NQ, NT = sum(nq), sum(nt)
+        lam = [round(math.log((nt[b] + 1) / (NT + float(B)))
+                     - math.log((nq[b] + 1) / (NQ + float(B))), 9)
+               for b in range(B)]
+        exp = {}
+        for i, _, g in grams:
+            n, s_ = exp.get(i, (0, Decimal(0)))
+            exp[i] = (n + 1, s_ + Decimal(f"{lam[bucket(g)]:.12f}"))
+        assert set(got) == set(exp)
+        for i, (n, s_) in exp.items():
+            assert got[i]["n_grams"] == n
+            assert got[i]["log_ir"] == round(float(s_), 6)
+
+    run()
