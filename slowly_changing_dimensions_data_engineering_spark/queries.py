@@ -6693,3 +6693,78 @@ def streaming_trained_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     scorer, this is the serving path."""
     return spark.read.parquet(_stream_score_out(spark, sf_dir)) \
         .select("vec_id", "score", "kept")
+
+
+@register("dedup_audit_by_source", _SHINGLE_CTES + _minhash_sql() + """,
+dups AS (
+  SELECT d1, d2
+  FROM cands JOIN sh s1 ON d1 = s1.doc_id JOIN sh s2 ON d2 = s2.doc_id
+  WHERE CAST(len(list_intersect(s1.shl, s2.shl)) AS DOUBLE)
+        / (len(s1.shl) + len(s2.shl) - len(list_intersect(s1.shl, s2.shl)))
+        >= 0.5
+),
+sides AS (
+  SELECT d1 AS doc_id, d2 AS partner FROM dups
+  UNION ALL
+  SELECT d2 AS doc_id, d1 AS partner FROM dups
+),
+flagged AS (
+  SELECT s.doc_id,
+         COUNT(*) AS n_partners,
+         SUM(CASE WHEN pd.source <> dd.source THEN 1 ELSE 0 END)
+           AS n_cross
+  FROM sides s
+  JOIN documents dd ON dd.doc_id = s.doc_id
+  JOIN documents pd ON pd.doc_id = s.partner
+  GROUP BY s.doc_id
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(f.doc_id) AS BIGINT) AS n_dup_docs,
+       round(COUNT(f.doc_id) / CAST(COUNT(*) AS DOUBLE), 6) AS dup_frac,
+       CAST(COALESCE(SUM(f.n_cross), 0) AS BIGINT) AS n_cross_pairs
+FROM documents d LEFT JOIN flagged f USING (doc_id)
+GROUP BY d.source
+""")
+def dedup_audit_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DOMAIN duplication audit — the rollup a mix designer reads
+    before setting domain weights (a domain whose content is largely
+    near-duplicated inside the corpus, or syndicated FROM other
+    domains, earns a lower sampling weight than its raw token share
+    suggests; cross-source duplication is the syndication signal).
+    Every document in a >= 0.5-Jaccard near-dup pair (the
+    minhash_near_dups pipeline verbatim: LSH candidates, exact Jaccard
+    on candidates only) is flagged with its partner count and how many
+    partners live in a DIFFERENT source; the output is the bounded
+    per-source manifest: corpus size, flagged-doc count and rate, and
+    the cross-source pair count. Spark shape: the near-dup stage is the
+    audited bucket-blocked self-join (nothing new enters the plan
+    class); the source attribution is two id-keyed joins of the
+    pair-bounded frame back to documents, and the rollup aggregates to
+    one row per source. Oracle: the minhash near-dup SQL mirror
+    extended with the same two joins and rollup."""
+    from .operators.dedup import minhash_near_dups
+    d = _spread(spark, _t(spark, sf_dir, "documents")["documents"])
+    pairs = minhash_near_dups(d, num_hashes=16, bands=4, n=5,
+                              threshold=0.5).select("d1", "d2")
+    sides = (pairs.select(F.col("d1").alias("doc_id"),
+                          F.col("d2").alias("partner"))
+             .unionByName(pairs.select(F.col("d2").alias("doc_id"),
+                                       F.col("d1").alias("partner"))))
+    src = d.select("doc_id", "source")
+    flagged = (sides
+               .join(src.withColumnsRenamed(
+                   {"doc_id": "partner", "source": "p_source"}), "partner")
+               .join(src, "doc_id")
+               .groupBy("doc_id")
+               .agg(F.count("*").alias("n_partners"),
+                    F.sum((F.col("p_source") != F.col("source"))
+                          .cast("long")).alias("n_cross")))
+    return (src.join(flagged.select("doc_id", "n_cross"), "doc_id", "left")
+            .groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.count("n_cross").alias("n_dup_docs"),
+                 F.round(F.count("n_cross")
+                         / F.count("*").cast("double"), 6).alias("dup_frac"),
+                 F.coalesce(F.sum("n_cross"), F.lit(0)).cast("long")
+                 .alias("n_cross_pairs")))
