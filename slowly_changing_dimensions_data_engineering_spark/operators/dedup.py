@@ -572,7 +572,15 @@ def substring_dup_spans(docs: DataFrame, id_col: str = "doc_id",
     dup = (ps.groupBy("h").agg(F.count("*").alias("_c"))
            .filter(F.col("_c") >= min_count).select("h"))
     hits = ps.join(dup.hint("shuffle_hash"), "h")
+    return _hits_to_spans(hits, id_col, w)
 
+
+def _hits_to_spans(hits: DataFrame, id_col: str, w: int) -> DataFrame:
+    """Gaps-and-islands over matched window START positions → maximal
+    disjoint spans (the substring_dup_spans step 4, shared with
+    :func:`contamination_spans`): starts whose gap is <= w have
+    overlapping/abutting w-windows and merge; a gap > w leaves an
+    uncovered token between islands."""
     from pyspark.sql.window import Window
     win = Window.partitionBy(id_col).orderBy("pos")
     prev = F.lag("pos").over(win)
@@ -587,6 +595,30 @@ def substring_dup_spans(docs: DataFrame, id_col: str = "doc_id",
         (F.col("_last_start") + (w - 1)).alias("span_end"),
         (F.col("_last_start") - F.col("span_start") + w)
         .alias("span_tokens"))
+
+
+def contamination_spans(docs: DataFrame, bench: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        w: int = 5) -> DataFrame:
+    """SURGICAL decontamination, span stage: find the maximal token
+    spans of every corpus document whose w-token windows appear
+    VERBATIM in the benchmark/eval set — :func:`substring_dup_spans`'s
+    span algebra with the duplicate-hash set replaced by the eval
+    shingle set, so the output composes with :func:`cut_dup_spans` to
+    REWRITE contaminated documents instead of dropping them (the
+    surgical alternative to :func:`benchmark_overlap`'s doc-level
+    flag: a long document with one quoted eval item keeps its clean
+    remainder).
+
+    Scale shape: the eval side is MBs against a 100 TB corpus, so its
+    DISTINCT w-gram hash set BROADCASTS (the benchmark_overlap
+    design); the corpus pays one position-indexed shingle explode,
+    the hit filter is map-side, and the islands window is doc-keyed —
+    linear end-to-end, nothing pairwise."""
+    ps = positional_shingles(docs, id_col, text_col, w)
+    ev = bench.select(F.explode(shingles(text_col, w)).alias("h")).distinct()
+    hits = ps.join(F.broadcast(ev), "h")
+    return _hits_to_spans(hits, id_col, w)
 
 
 def cut_dup_spans(docs: DataFrame, spans: DataFrame,

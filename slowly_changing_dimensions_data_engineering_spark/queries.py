@@ -6768,3 +6768,92 @@ def dedup_audit_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                          / F.count("*").cast("double"), 6).alias("dup_frac"),
                  F.coalesce(F.sum("n_cross"), F.lit(0)).cast("long")
                  .alias("n_cross_pairs")))
+
+
+@register("decontamination_cut", """
+WITH ctoks AS (
+  SELECT doc_id, string_split(trim(text), ' ') AS t FROM documents
+  WHERE doc_id % 97 <> 0
+),
+etoks AS (
+  SELECT string_split(trim(text), ' ') AS t FROM documents
+  WHERE doc_id % 97 = 0
+),
+ev AS (
+  SELECT DISTINCT md5(array_to_string(t[i:i+4], ' ')) AS h
+  FROM etoks, unnest(range(1, greatest(len(t) - 4, 0) + 1)) AS u(i)
+),
+sh AS (
+  SELECT doc_id, len(t) AS n_tokens, i AS pos,
+         md5(array_to_string(t[i:i+4], ' ')) AS h
+  FROM ctoks, unnest(range(1, greatest(len(t) - 4, 0) + 1)) AS u(i)
+),
+hits AS (SELECT sh.* FROM sh JOIN ev USING (h)),
+isl AS (
+  SELECT doc_id, n_tokens, pos,
+         SUM(CASE WHEN prev IS NULL OR pos - prev <= 5 THEN 0 ELSE 1 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS span_id
+  FROM (SELECT hits.*,
+               lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM hits)
+),
+spans AS (
+  SELECT doc_id, span_id, MIN(pos) AS sp, MAX(pos) AS lp
+  FROM isl GROUP BY doc_id, span_id
+),
+per_doc AS (
+  SELECT doc_id, SUM(lp - sp + 5) AS cut FROM spans GROUP BY doc_id
+),
+corpus AS (
+  SELECT c.doc_id,
+         CASE WHEN len(c.t) = 1 AND c.t[1] = '' THEN 0
+              ELSE len(c.t) END AS n_tokens,
+         COALESCE(p.cut, 0) AS cut
+  FROM ctoks c LEFT JOIN per_doc p USING (doc_id)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN cut > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_cut,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_before,
+       CAST(SUM(cut) AS BIGINT) AS tokens_removed,
+       CAST(SUM(n_tokens - cut) AS BIGINT) AS tokens_after,
+       round(SUM(cut) / CAST(SUM(n_tokens) AS DOUBLE), 6) AS frac_removed
+FROM corpus
+""")
+def decontamination_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURGICAL benchmark decontamination end-to-end
+    (operators/dedup.py:contamination_spans + cut_dup_spans): every
+    corpus token span whose 5-gram windows appear VERBATIM in the
+    held-out eval slice (doc_id % 97 = 0 — the decontamination_overlap
+    split and shingle basis) is CUT out of the document's token
+    stream, and the corpus token budget is re-counted from the cleaned
+    text — the rewrite alternative to dropping whole flagged docs (a
+    long document quoting one eval item keeps its clean remainder;
+    the action decontamination_overlap's report stage feeds). The
+    funnel columns share the recount base (the substring_dedup_cut
+    consistency rule); the oracle restates removal as span arithmetic,
+    equal under the corpus' single-space token convention. Linear:
+    one eval shingle broadcast, one corpus positional explode, a
+    doc-keyed islands window, one id join for the cut."""
+    from .operators.dedup import contamination_spans, cut_dup_spans
+    d = _spread(spark, _t(spark, sf_dir, "documents")["documents"])
+    corpus = d.filter(F.col("doc_id") % 97 != 0)
+    bench = d.filter(F.col("doc_id") % 97 == 0)
+    spans = contamination_spans(corpus, bench, w=5)
+    cut = cut_dup_spans(corpus, spans)
+    recount = F.when(F.length(F.col("text_clean")) == 0, F.lit(0)) \
+        .otherwise(F.size(F.split(F.col("text_clean"), " ")))
+    return (cut.withColumn("_n_after_recount", recount.cast("long"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.when(F.col("_n_after_recount")
+                              < F.col("n_tokens_before"), 1)
+                       .otherwise(0)).cast("long").alias("n_docs_cut"),
+                 F.sum("n_tokens_before").alias("tokens_before"),
+                 F.sum(F.col("n_tokens_before")
+                       - F.col("_n_after_recount"))
+                 .alias("tokens_removed"),
+                 F.sum("_n_after_recount").alias("tokens_after"),
+                 F.round(F.sum(F.col("n_tokens_before")
+                               - F.col("_n_after_recount"))
+                         / F.sum("n_tokens_before").cast("double"), 6)
+                 .alias("frac_removed")))

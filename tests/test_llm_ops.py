@@ -2166,3 +2166,29 @@ def test_dsir_log_ir_property_matches_reference(spark):
             assert got[i]["log_ir"] == round(float(s_), 6)
 
     run()
+
+
+def test_contamination_spans_cut_quoted_eval_item_only(spark):
+    """Surgical decontamination: a corpus doc QUOTING an eval item
+    mid-text loses exactly the quoted window span (plus the w-window
+    closure), keeps its clean remainder, and untouched docs pass
+    through byte-identical."""
+    from slowly_changing_dimensions_data_engineering_spark.operators.dedup import (
+        contamination_spans, cut_dup_spans,
+    )
+    quote = "q1 q2 q3 q4 q5"          # one exact 5-gram eval item
+    bench = spark.createDataFrame([(100, quote)], ["doc_id", "text"])
+    docs = spark.createDataFrame([
+        (1, f"a1 a2 a3 {quote} b1 b2 b3"),   # quote at pos 4..8
+        (2, "c1 c2 c3 c4 c5 c6 c7"),         # clean
+    ], ["doc_id", "text"])
+    spans = {r["doc_id"]: r for r in
+             contamination_spans(docs, bench, w=5).collect()}
+    assert set(spans) == {1}
+    assert (spans[1]["span_start"], spans[1]["span_end"],
+            spans[1]["span_tokens"]) == (4, 8, 5)
+    out = {r["doc_id"]: r for r in
+           cut_dup_spans(docs, contamination_spans(docs, bench, w=5))
+           .collect()}
+    assert out[1]["text_clean"] == "a1 a2 a3 b1 b2 b3"
+    assert out[2]["text_clean"] == "c1 c2 c3 c4 c5 c6 c7"
