@@ -6000,7 +6000,14 @@ def domain_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed stage. Cross-engine determinism: sqrt and division on
     doubles are IEEE-identical, every intermediate that feeds a
     floor/comparison is pre-rounded to 6 dp on BOTH engines (sw,
-    weight, alloc_f), and largest-remainder ties break on source."""
+    weight, alloc_f), and largest-remainder ties break on source.
+    Exactness caveat: the 6-dp weight rounding (the cross-engine
+    determinism mechanism — un-rounded window sums of floats add in
+    engine-specific order) means the weights sum to 1 ± ~n·5e-7, so
+    the integer allocations total budget ± O(budget·1e-5) rather than
+    exactly budget (classic largest-remainder exactness needs exact
+    fractions); the remainder comparison handles both drift signs
+    (rem > n gives every domain its +1, rem <= 0 gives none)."""
     d = _t(spark, sf_dir, "documents")["documents"]
     ntok = F.size(F.split(F.trim(F.col("text")), " "))
     per = d.groupBy("source").agg(F.sum(ntok).cast("long").alias("n_tokens"))
@@ -6092,7 +6099,12 @@ def quality_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus, and ranking/fusion then run on K-bounded frames — the
     dim-table-bounded window pattern). Ties inside a list break on
     doc_id; the three reciprocal terms are added in a fixed order on
-    both engines so the doubles match bit-for-bit. Oracle: the full
+    both engines so the doubles match bit-for-bit. Data-model note:
+    the classifier list keys on vec_id and the text signals on doc_id
+    — fused directly because the fixture's embeddings are 1:1 with
+    documents by id (the same identity curriculum_quality_shards and
+    pretraining_funnel_v2 join on); a deployment with its own id map
+    inserts that join before the fusion. Oracle: the full
     logreg chained-CTE replay's final scoring CTE feeds the classifier
     list, the bigram-LM CTEs are restated verbatim, and the fusion is
     two FULL JOINs over the bounded lists."""
