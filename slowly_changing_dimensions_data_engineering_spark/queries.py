@@ -4280,7 +4280,7 @@ def ivf_two_level_assign_highdim(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("vec_id").alias("sum_vec_id")))
 
 
-@register("kmeans_train_embeddings", """
+_KMEANS_CTES = """
 WITH v AS (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ve
   FROM embeddings
@@ -4341,6 +4341,10 @@ s3 AS (
 ),
 a3 AS (SELECT vec_id, cid FROM s3
        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1)
+"""
+
+
+@register("kmeans_train_embeddings", _KMEANS_CTES + """
 SELECT CAST(a3.cid AS BIGINT) AS centroid_id,
        COUNT(*) AS n_vectors,
        CAST(SUM(a3.vec_id) AS BIGINT) AS sum_vec_id,
@@ -6869,3 +6873,68 @@ def decontamination_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
                                - F.col("_n_after_recount"))
                          / F.sum("n_tokens_before").cast("double"), 6)
                  .alias("frac_removed")))
+
+
+_CBS_Q = 5   #: per-cluster selection quota (topic-balanced sample)
+
+
+@register("cluster_balanced_sample", _KMEANS_CTES + f""",
+ranked AS (
+  SELECT vec_id, cid,
+         ROW_NUMBER() OVER (PARTITION BY cid
+                            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           AS rn
+  FROM a3
+)
+SELECT CAST(cid AS BIGINT) AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_avail,
+       CAST(LEAST(COUNT(*), {_CBS_Q}) AS BIGINT) AS quota,
+       CAST(COUNT(CASE WHEN rn <= {_CBS_Q} THEN 1 END) AS BIGINT) AS n_kept,
+       CAST(COALESCE(SUM(CASE WHEN rn <= {_CBS_Q} THEN vec_id END), 0)
+            AS BIGINT) AS kept_id_sum
+FROM ranked GROUP BY cid
+""")
+def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOPIC-balanced selection — close the kmeans→curation loop (the
+    way curriculum_quality_shards closes train→score→order): train
+    k-means over the embedding corpus (the kmeans_train_embeddings
+    loop verbatim: k=40, 2 Lloyd rounds, lowid init), assign every
+    vector to its cluster, then keep AT MOST _CBS_Q documents per
+    cluster by deterministic md5-hash rank — the uniform-per-topic
+    sample that keeps a crawl's head topics from dominating a seed/
+    eval set (cluster-balanced selection, the embedding-space
+    counterpart of domain_mix_quotas' source quotas). The kept set
+    comes from ``operators.sampling.hash_quota_take`` — per-(cluster,
+    hash-bucket) counts locate each quota boundary, full buckets pass
+    a broadcast join, only boundary buckets are ranked — so no
+    per-cluster corpus sort exists in the plan (the r4 lesson), and
+    the training/assign stages are the audited bounded-iteration
+    shapes. Output: the per-cluster manifest with kept_id_sum pinning
+    the exact kept SET to the (md5, id) rank semantics. Oracle: the
+    full kmeans chained-CTE replay (shared _KMEANS_CTES) extended
+    with the naive rank restatement."""
+    from .operators.sampling import hash_quota_take
+    from .operators.similarity import ivf_assign, kmeans_fit
+    from .session import stabilize
+    k = 40
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    cents = kmeans_fit(e, k=k, iters=2)
+    # the assignment frame feeds FOUR consumers (avail, quotas, the
+    # quota-take's counts + probe) — materialize it once so the
+    # argmin-over-k pipeline doesn't rescan the corpus per consumer
+    assign = stabilize(ivf_assign(e, cents, n_centroids=k)
+                       .select("vec_id", F.col("centroid_id").cast("long")
+                               .alias("cluster_id")))
+    avail = assign.groupBy("cluster_id").agg(F.count("*").alias("n_avail"))
+    quotas = avail.select(
+        "cluster_id",
+        F.least(F.col("n_avail"), F.lit(_CBS_Q)).cast("long").alias("quota"))
+    kept = hash_quota_take(assign, quotas, domain_col="cluster_id",
+                           id_col="vec_id")
+    per = kept.groupBy("cluster_id").agg(
+        F.count("*").alias("_k"), F.sum("vec_id").alias("_ks"))
+    return (avail.join(quotas, "cluster_id")
+            .join(F.broadcast(per), "cluster_id", "left")
+            .select("cluster_id", "n_avail", "quota",
+                    F.coalesce(F.col("_k"), F.lit(0)).alias("n_kept"),
+                    F.coalesce(F.col("_ks"), F.lit(0)).alias("kept_id_sum")))

