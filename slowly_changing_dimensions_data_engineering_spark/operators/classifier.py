@@ -104,15 +104,25 @@ def logreg_fit(vectors: DataFrame, label: Column, rounds: int = 5,
 
     ``sample_fraction`` enables MINI-BATCH (sampled-gradient) rounds —
     the production-scale variant: each round's gradient is computed on
-    an independent Bernoulli sample of the scored corpus
-    (``F.rand(seed + round) < fraction``) and normalized by the ACTUAL
-    sample size, so at 100 TB a round shuffles only fraction·n·dim
-    values instead of the full corpus. Metrics stay full-corpus (the
-    loss trajectory is still evaluated exactly). Sampled descent is
-    stochastic — per-round loss is only non-increasing in expectation
-    — and ``F.rand`` is not cross-engine-replayable, so this mode has
-    no SQL oracle; convergence is property-tested instead
-    (tests/test_llm_ops.py)."""
+    an independent Bernoulli sample of the scored corpus and
+    normalized by the ACTUAL sample size, so at 100 TB a round
+    shuffles only fraction·n·dim values instead of the full corpus.
+    Metrics stay full-corpus (the loss trajectory is still evaluated
+    exactly). The per-round draw is the repo's DETERMINISTIC
+    md5-Bernoulli rule (weighted_sample_docs convention): keep row iff
+    the first 24 bits of ``md5('{seed}:{round}:' || id)`` scaled to
+    [0,1) fall under ``fraction`` — a pure codegen filter with three
+    consequences: (a) any engine draws the identical sample, so the
+    sampled trajectory is chained-CTE-oracle-replayable exactly like
+    full batch; (b) the two gradient aggregates (per-dim + bias) scan
+    the filter independently yet can never diverge, under ANY
+    ``spark.sds.stabilize.mode``, because membership is a pure
+    function of (seed, round, id) — and each branch carries its OWN
+    ``count(*)`` normalizer anyway (r11 ADVICE); (c) re-runs are
+    reproducible without RNG state. Sampled descent is stochastic —
+    per-round loss is only non-increasing in expectation; convergence
+    is property-tested (tests/test_llm_ops.py) and the registered
+    instance is driver-oracle-checked (classifier_train_minibatch)."""
     if sum_mode not in ("exact", "fast"):
         raise ValueError(f"unknown sum_mode {sum_mode!r}")
     if sample_fraction is not None and not (0.0 < sample_fraction <= 1.0):
@@ -174,29 +184,39 @@ def logreg_fit(vectors: DataFrame, label: Column, rounds: int = 5,
             break
 
         if sample_fraction is not None:
-            # mini-batch round: gradient over an independent Bernoulli
-            # sample, normalized by the ACTUAL sample size (collected
-            # with the gradient — still dim+1 rows + one count); an
-            # empty sample leaves the weights unchanged this round
+            # mini-batch round: gradient over an independent
+            # DETERMINISTIC md5-Bernoulli sample, the updated weight
+            # computed IN each aggregate projection normalized by that
+            # branch's own count(*) — the actual sample size, which
+            # every per-dim group shares (each sampled row contributes
+            # every dimension). An empty sample leaves the weights
+            # unchanged this round (per-dim rows vanish -> keep old;
+            # the bias guard is explicit).
+            u = (F.conv(F.substring(F.md5(F.concat_ws(
+                    ":", F.lit(str(seed)), F.lit(str(r)),
+                    F.col("_id").cast("string"))), 1, 6),
+                        16, 10).cast("long") / F.lit(16777216.0))
             ed = (scored
-                  .filter(F.rand(seed + r) < F.lit(sample_fraction))
+                  .filter(u < F.lit(sample_fraction))
                   .select("_id", (F.col("_p") - F.col("_y")).alias("_e"),
                           "_x"))
             ex = ed.select("_id", "_e", F.posexplode("_x"))
+            lrn = F.lit(lr)
             rows = (ex.groupBy("pos")
-                    .agg(fold(F.col("_e") * F.col("col")).alias("g"),
-                         F.count("*").alias("m"))
-                    .unionAll(ed.agg(F.lit(-1).alias("pos"),
-                                     fold(F.col("_e")).alias("g"),
-                                     F.count("*").alias("m")))
+                    .agg(F.round(F.get(wlit, F.col("pos")) - lrn
+                                 * fold(F.col("_e") * F.col("col"))
+                                 / F.count("*").cast("double"), 12)
+                         .alias("w"))
+                    .unionAll(ed.agg(
+                        F.lit(-1).alias("pos"),
+                        F.when(F.count("*") > 0,
+                               F.round(F.lit(b) - lrn * fold(F.col("_e"))
+                                       / F.count("*").cast("double"), 12))
+                        .otherwise(F.lit(b)).alias("w")))
                     .collect())  # bounded: dim+1 rows, the model itself
-            ns = next((int(row["m"]) for row in rows
-                       if int(row["pos"]) == -1), 0)
-            if ns > 0:
-                g = {int(row["pos"]): float(row["g"]) for row in rows}
-                b = round(b - lr * g[-1] / ns, 12)
-                w = [round(w[d] - lr * g.get(d, 0.0) / ns, 12)
-                     for d in range(dim)]
+            got = {int(row["pos"]): float(row["w"]) for row in rows}
+            b = got[-1]
+            w = [got.get(d, w[d]) for d in range(dim)]
             new = {-1: b, **{d: w[d] for d in range(dim)}}
         else:
             # gradient + update, engine-side: per-dimension ordered

@@ -473,7 +473,18 @@ def fuzzy_decontaminate(docs: DataFrame, bench: DataFrame,
     estimator) stands in for exact Jaccard so no shingle set is ever
     re-materialized for verification. Output: one row per corpus doc
     sharing >= 1 LSH band bucket with the eval set —
-    (id, n_eval_cands, max_jaccard_est, contaminated >= threshold)."""
+    (id, n_eval_cands, max_jaccard_est, contaminated >= threshold).
+
+    CONTRACT — ``bench`` must be small enough to broadcast: the
+    explicit ``F.broadcast`` here is the whole scale design (no corpus
+    re-shingle, map-side candidate join), and it is only valid because
+    eval sets are MB-sized. Handing a corpus-sized frame as ``bench``
+    would OOM the driver/executors, not degrade gracefully — if both
+    sides are large you want :func:`minhash_near_dup_pairs`'s
+    symmetric bucket-blocked self-join instead. (The registered
+    ``decontamination_fuzzy`` query's 10%-of-documents eval split is a
+    fixture stand-in, exempted in test_plans.py on exactly this
+    contract — r11 ADVICE.)"""
     cb = minhash_band_frame(docs, id_col, text_col, num_hashes, bands, n)
     bb = minhash_band_frame(bench, id_col, text_col, num_hashes, bands, n)
     est = (F.aggregate(

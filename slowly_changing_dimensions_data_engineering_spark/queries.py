@@ -208,7 +208,7 @@ _PIPELINE_CACHE_NAMES = (
     "_DELETE_STORE_CACHE", "_DIFF_STORE_CACHE", "_STREAM_MV_CACHE",
     "_STREAM_ANN_CACHE", "_ORDERS_SCD2_CACHE", "_IVFPQ_INDEX_CACHE",
     "_BPE_CACHE", "_CLS_TRAIN_CACHE", "_STREAM_JOIN_CACHE",
-    "_STREAM_JOIN_OUTER_CACHE", "_STREAM_SCORE_CACHE",
+    "_STREAM_JOIN_OUTER_CACHE", "_STREAM_SCORE_CACHE", "_CLS_MB_CACHE",
 )
 
 
@@ -2917,8 +2917,11 @@ def _quality_gate(spark: SparkSession, sf_dir: str,
     weights (_CLS_W, threshold 0.2 — what the registered funnel's
     oracle restates); ``"trained"`` scores with the logreg_fit-trained
     round-6 weights shared with classifier_trained_scores
-    (p >= 0.5 after the trained sigmoid — the train→score loop feeding
-    curation). Both are one codegen map over the embeddings scan."""
+    (p >= 0.5 after the trained sigmoid, ROUNDED to 9 dp first so the
+    gate decision is bit-identical to classifier_trained_scores' kept
+    column — r11 ADVICE; the fixed branch stays unrounded because the
+    funnel oracle restates it unrounded). Both are one codegen map
+    over the embeddings scan."""
     e = _t(spark, sf_dir, "embeddings")["embeddings"]
     x = F.col("embedding").cast("array<double>")
     if probe == "trained":
@@ -2935,9 +2938,11 @@ def _quality_gate(spark: SparkSession, sf_dir: str,
         raise ValueError(f"unknown quality probe {probe!r}")
     dot = F.aggregate(F.zip_with(x, wv, lambda a, b: a * b),
                       F.lit(0.0), lambda acc, v: acc + v)
+    p = 1 / (1 + F.exp(-(dot + bias)))
+    if probe == "trained":
+        p = F.round(p, 9)
     return e.select(F.col("vec_id").alias("doc_id"),
-                    ((1 / (1 + F.exp(-(dot + bias)))) >= 0.5)
-                    .alias("q_ok"))
+                    (p >= 0.5).alias("q_ok"))
 
 
 @register("pretraining_pipeline_summary", """
@@ -5322,7 +5327,8 @@ _CLS_TRAIN_ROUNDS = 6
 _CLS_TRAIN_LR = 6.0
 
 
-def _logreg_oracle_sql(rounds: int, lr: float, tail: str) -> str:
+def _logreg_oracle_sql(rounds: int, lr: float, tail: str,
+                       sample: tuple[float, int] | None = None) -> str:
     """Replay every round of ``logreg_fit`` as chained CTEs (the
     kmeans_train_embeddings discipline — per-round CTEs rather than
     recursion, so each round's argument order is explicit): p{r} scores
@@ -5330,7 +5336,13 @@ def _logreg_oracle_sql(rounds: int, lr: float, tail: str) -> str:
     round-9 sigmoid, g{r}/w{r+1} restate the gradient folds and the
     round-12 HALF_UP update, m{r} the decimal-exact mean log-loss and
     teacher-agreement count. ``tail`` selects which trajectory the
-    query returns."""
+    query returns. ``sample=(fraction, seed)`` replays the MINI-BATCH
+    variant: each g{r} filters to the deterministic md5-Bernoulli draw
+    (first 24 bits of md5('{seed}:{r}:' || vec_id) scaled to [0,1) <
+    fraction — keeping the sample a pure function of (seed, round, id)
+    on both engines) and w{r+1} normalizes by that round's ACTUAL
+    sample count via LEFT JOIN + COALESCE, so an empty sample leaves
+    the weights unchanged, exactly like the implementation."""
     parts = [f"""
 WITH xv AS MATERIALIZED (
   SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -5374,7 +5386,8 @@ m{r} AS (
 )""")
         if r == rounds:
             break
-        parts.append(f""",
+        if sample is None:
+            parts.append(f""",
 g{r} AS MATERIALIZED (
   SELECT s.dim AS dim,
          list_reduce(list((p.p - p.y) * s.x ORDER BY s.vec_id),
@@ -5389,6 +5402,32 @@ g{r} AS MATERIALIZED (
 w{r + 1} AS MATERIALIZED (
   SELECT w.dim, round(w.w - {lr!r} * g.g / n.n, 12) AS w
   FROM w{r} w JOIN g{r} g USING (dim), cnt n
+)""")
+        else:
+            frac, seed = sample
+            draw = (f"('0x' || substr(md5('{seed}:{r}:' || "
+                    f"CAST(vec_id AS VARCHAR)), 1, 6))::BIGINT"
+                    f" / 16777216.0 < {frac!r}")
+            parts.append(f""",
+g{r} AS MATERIALIZED (
+  SELECT s.dim AS dim,
+         list_reduce(list((p.p - p.y) * s.x ORDER BY s.vec_id),
+                     (a, b) -> a + b) AS g,
+         COUNT(*) AS m
+  FROM xs s JOIN (SELECT * FROM p{r} WHERE {draw}) p
+         ON p.vec_id = s.vec_id
+  GROUP BY s.dim
+  UNION ALL
+  SELECT CAST(-1 AS BIGINT) AS dim,
+         list_reduce(list(p - y ORDER BY vec_id), (a, b) -> a + b) AS g,
+         COUNT(*) AS m
+  FROM p{r} WHERE {draw}
+),
+w{r + 1} AS MATERIALIZED (
+  SELECT w.dim,
+         COALESCE(round(w.w - {lr!r} * g.g / CAST(g.m AS DOUBLE), 12),
+                  w.w) AS w
+  FROM w{r} w LEFT JOIN g{r} g USING (dim)
 )""")
     return "".join(parts) + tail
 
@@ -5458,34 +5497,70 @@ def _cls_trained(spark: SparkSession, sf_dir: str):
     return _CLS_TRAIN_CACHE[sf_dir]
 
 
-@register("classifier_train_minibatch", None)
+#: Mini-batch training run shared by classifier_train_minibatch /
+#: classifier_minibatch_weights (the _CLS_TRAIN_CACHE convention).
+_CLS_MB_CACHE: dict[str, tuple] = {}
+
+_CLS_MB_FRACTION = 0.5
+_CLS_MB_SEED = 17
+
+
+def _cls_minibatch(spark: SparkSession, sf_dir: str):
+    if sf_dir not in _CLS_MB_CACHE:
+        from .operators.classifier import logreg_fit
+        from .operators.similarity import as_double
+        e = _t(spark, sf_dir, "embeddings")["embeddings"]
+        wlit = F.array(*[F.lit(x) for x in _CLS_W])
+        teacher = (F.aggregate(
+            F.zip_with(as_double("embedding"), wlit, lambda a, b: a * b),
+            F.lit(0.0), lambda acc, x: acc + x) >= 0.2).cast("int")
+        _CLS_MB_CACHE[sf_dir] = logreg_fit(
+            e, teacher, rounds=_CLS_TRAIN_ROUNDS, lr=_CLS_TRAIN_LR,
+            sample_fraction=_CLS_MB_FRACTION, seed=_CLS_MB_SEED)
+    return _CLS_MB_CACHE[sf_dir]
+
+
+@register("classifier_train_minibatch", _logreg_oracle_sql(
+    _CLS_TRAIN_ROUNDS, _CLS_TRAIN_LR, "\n" + "\nUNION ALL\n".join(
+        f"SELECT * FROM m{r}" for r in range(_CLS_TRAIN_ROUNDS + 1)),
+    sample=(_CLS_MB_FRACTION, _CLS_MB_SEED)))
 def classifier_train_minibatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mini-batch (sampled-gradient) quality-classifier training — the
     production-scale counterpart of ``classifier_train_rounds``: same
     teacher labels and bounded-round discipline, but each round's
     gradient is computed on an independent Bernoulli HALF-SAMPLE of
-    the scored corpus in ``sum_mode="fast"`` (map-side partial sums),
-    so a round shuffles fraction·n·dim values instead of the full
-    corpus — at 100 TB that halves (or with smaller fractions,
-    decimates) per-round shuffle volume while metrics stay full-corpus
-    exact. Returns the (round, log_loss, n_correct) trajectory.
-    ``F.rand`` sampling is not cross-engine-replayable, so this entry
-    has NO SQL oracle (the driver records a rows-only check);
-    convergence and bookkeeping are property-tested in
-    tests/test_llm_ops.py, and the exact full-batch twin
-    (classifier_train_rounds) is hash-checked against the chained-CTE
-    replay."""
-    from .operators.classifier import logreg_fit
-    from .operators.similarity import as_double
-    e = _t(spark, sf_dir, "embeddings")["embeddings"]
-    wlit = F.array(*[F.lit(x) for x in _CLS_W])
-    teacher = (F.aggregate(
-        F.zip_with(as_double("embedding"), wlit, lambda a, b: a * b),
-        F.lit(0.0), lambda acc, x: acc + x) >= 0.2).cast("int")
-    _, metrics = logreg_fit(e, teacher, rounds=_CLS_TRAIN_ROUNDS,
-                            lr=_CLS_TRAIN_LR, sum_mode="fast",
-                            sample_fraction=0.5, seed=17)
-    return metrics
+    the scored corpus, so a round shuffles fraction·n·dim values
+    instead of the full corpus — at 100 TB that halves (or with
+    smaller fractions, decimates) per-round shuffle volume while
+    metrics stay full-corpus exact. Returns the (round, log_loss,
+    n_correct) trajectory. The draw is the repo's DETERMINISTIC
+    md5-Bernoulli rule (first 24 bits of md5(seed:round:vec_id) scaled
+    to [0,1) < 0.5 — the weighted_sample_docs convention), so unlike
+    the r11 ``F.rand`` version every round replays cross-engine: the
+    oracle extends the chained-CTE trajectory with the identical draw
+    filter and actual-sample-size normalizer. Convergence and
+    bookkeeping stay property-tested (tests/test_llm_ops.py); the
+    production deployment would pair the same sampler with
+    ``sum_mode="fast"`` partial sums (plan shape identical — only the
+    fold inside the aggregate changes)."""
+    return _cls_minibatch(spark, sf_dir)[1]
+
+
+@register("classifier_minibatch_weights", _logreg_oracle_sql(
+    _CLS_TRAIN_ROUNDS, _CLS_TRAIN_LR, "\n" + "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, dim, w AS weight FROM w{r}"
+        for r in range(1, _CLS_TRAIN_ROUNDS + 1)),
+    sample=(_CLS_MB_FRACTION, _CLS_MB_SEED)))
+def classifier_minibatch_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full weight TRAJECTORY of the mini-batch training run —
+    (round, dim, weight) for all 6 sampled rounds × 65 parameters:
+    pins the deterministic md5-Bernoulli draw membership, the
+    actual-sample-size normalizer, and the engine-side round-12
+    HALF_UP update bit-for-bit against the sampled chained-CTE replay
+    (its metrics twin only witnesses the full-corpus loss under those
+    weights). Shares the per-process run with
+    ``classifier_train_minibatch`` (_CLS_MB_CACHE)."""
+    return _cls_minibatch(spark, sf_dir)[0]
 
 
 @register("classifier_trained_scores", _logreg_oracle_sql(

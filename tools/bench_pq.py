@@ -400,9 +400,15 @@ def perm_residual(n: int = 20_000) -> None:
 
 
 if __name__ == "__main__":
+    _KNOWN = {"--residual", "--perm-residual", "--permres", "--perm"}
+    unknown = [a for a in sys.argv[1:] if a.startswith("--")
+               and a not in _KNOWN]
+    if unknown:  # never fall through to the wrong benchmark silently
+        raise SystemExit(f"bench_pq: unknown flag(s) {unknown}; "
+                         f"known: {sorted(_KNOWN)}")
     if "--residual" in sys.argv:
         residual_vs_raw()
-    elif "--perm-residual" in sys.argv:
+    elif "--perm-residual" in sys.argv or "--permres" in sys.argv:
         perm_residual()
     elif "--perm" in sys.argv:
         perm_trade()
