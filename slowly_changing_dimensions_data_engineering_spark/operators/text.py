@@ -327,3 +327,221 @@ def bpe_segment(df: DataFrame, syms_col: str,
     for left, right in merges:
         c = _bpe_merge_fold(c, left, right)
     return df.withColumn(syms_col, c)
+
+
+def _viterbi_dp(cand_rows: Column, max_len: int) -> Column:
+    """Forward Viterbi pass over one word's candidate-piece rows —
+    ``cand_rows`` is the e-ascending array of per-position candidate
+    arrays (``cands[j-1]`` = logp of the j-char piece ENDING at
+    position e, NULL when the piece is out-of-vocabulary or j > e).
+
+    Pure codegen fold with a flat ``array<double>`` accumulator in the
+    interleaved layout ``[best_0, best_1, bp_1, best_2, bp_2, ...]``
+    (best_k = best segmentation log-prob of the k-char prefix, bp_k =
+    the length of its last piece) — flat doubles rather than a struct
+    because the SAME fold must be restatable in the DuckDB oracle,
+    whose ``list_reduce`` only folds elements of the accumulator's own
+    type. Ties take the SHORTEST piece (first argmax position), the
+    cross-engine-deterministic rule. Unreachable states carry -1e18;
+    they never win because every single character stays in-vocabulary
+    by construction (see :func:`unigram_lm_fit`)."""
+    def step(acc, cands):
+        e = ((F.size(acc) + 1) / 2).cast("int")
+
+        def score(lp, i):
+            j = (i + F.lit(1)).cast("int")  # Spark transform idx is 0-based
+            k = e - j
+            prev = F.when(k == 0, F.element_at(acc, 1)) \
+                    .otherwise(F.element_at(acc, (2 * k).cast("int")))
+            return F.when(lp.isNull(), F.lit(-1e18)).otherwise(prev + lp)
+
+        scores = F.transform(cands, score)
+        m = F.array_max(scores)
+        js = F.array_position(scores, m).cast("double")
+        return F.concat(acc, F.array(m, js))
+
+    return F.aggregate(cand_rows, F.array(F.lit(0.0)), step)
+
+
+def _viterbi_traceback(dp: Column, word: Column) -> Column:
+    """Walk the backpointers of a :func:`_viterbi_dp` result from the
+    end of the word to position 0 — another flat ``array<double>``
+    fold (``[cur_pos, end_1, len_1, end_2, len_2, ...]``, pieces
+    accumulating LAST-FIRST): iterating positions n..1, a position
+    matching the cursor emits its (end, backpointer-length) pair and
+    jumps the cursor back; every other position is a no-op. Same
+    DuckDB-restatable-flat-fold rationale as the forward pass."""
+    n = F.length(word)
+
+    def step(acc, i):
+        jj = F.element_at(dp, (2 * i + 1).cast("int"))
+        return F.when(
+            i == F.element_at(acc, 1),
+            F.concat(F.array(i - jj),
+                     F.slice(acc, 2, F.size(acc) - 1),
+                     F.array(i, jj))).otherwise(acc)
+
+    return F.aggregate(
+        F.transform(F.sequence(n, F.lit(1), F.lit(-1)),
+                    lambda i: i.cast("double")),
+        F.array(n.cast("double")), step)
+
+
+def unigram_lm_fit(docs: DataFrame, rounds: int = 3, max_len: int = 4,
+                   seed_vocab: int = 128, text_col: str = "text",
+                   ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Train a unigram-LM (SentencePiece-style, Kudo 2018) subword
+    vocabulary against the corpus — the EM counterpart of
+    :func:`bpe_train`: instead of greedily growing merges, start from
+    a substring seed vocabulary and alternate (E) Viterbi-segmenting
+    every word under the current piece log-probabilities with (M)
+    re-estimating those probabilities from the segmentation's piece
+    usage, pruning pieces that no best-segmentation uses.
+
+    Algorithm (hard-EM / Viterbi variant of Kudo's algorithm — the
+    E-step takes the argmax segmentation rather than full
+    forward-backward expectations; pruning is use-it-or-lose-it
+    rather than loss-ranked, the standard simplification):
+
+    1. the corpus collapses ONCE to the distinct-word frequency table
+       (exactly ``bpe_train``'s first shuffle);
+    2. seed vocabulary: every ≤ ``max_len``-char substring of every
+       word, occurrence-weighted by word frequency; the top
+       ``seed_vocab`` by (count DESC, piece ASC) — a distributed
+       TakeOrdered(K), no global sort — UNION every single character
+       (segmentability guarantee); seed logp = round(ln(cnt/total),9);
+    3. per round r = 0..R: E-step = one codegen Viterbi pass over the
+       DISTINCT-WORD table (:func:`_viterbi_dp` + traceback; the
+       vocabulary joins in by piece — hash join, never broadcast by
+       construction), metrics = one decimal-exact aggregate; then for
+       r < R the M-step: piece usage counts in one aggregate,
+       survivors = used pieces ∪ single characters, new logp =
+       round(ln((use+1)/(total+V)), 9) — add-1 smoothed so a
+       resurrected zero-use character stays finite (the repo's LM-gate
+       convention).
+
+    100 TB shape: identical to ``bpe_train`` — the corpus is touched
+    once; every per-round frame (candidates, DP, usage counts) is
+    distinct-word- or piece-sized, fully distributed, shuffled on
+    uniform string keys with map-side partial aggregation; driver
+    collects are the 1-row metric aggregates only. ``stabilize()``
+    pins each round's vocabulary (multi-consumer + iterative lineage,
+    the kmeans_fit discipline).
+
+    Returns ``(vocab, metrics, seg)``: ``vocab`` = final (piece, logp);
+    ``metrics`` = (round, vocab_size, total_ll, avg_pieces) for rounds
+    0..R, each evaluated UNDER that round's vocabulary (so the
+    log-likelihood trajectory is the EM witness — non-decreasing per
+    round is property-tested, not assumed); ``seg`` = the final
+    segmentation (word, cnt, n_pieces, best_ll, pieces left-to-right)
+    under the final vocabulary."""
+    from pyspark.sql import types as T
+
+    from ..session import stabilize
+    if rounds < 0:
+        raise ValueError(f"rounds must be >= 0, got {rounds}")
+    spark = docs.sparkSession
+    words = stabilize(
+        docs.select(F.explode(_tokens(text_col)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word").agg(F.count("*").alias("cnt")))
+
+    # candidate (end, len, piece) explode — shared by the seed count
+    # and every E-step round, so materialize it once
+    wl = F.length("word")
+    cand_structs = F.flatten(F.transform(
+        F.sequence(F.lit(1), wl),
+        lambda e: F.transform(
+            F.sequence(F.lit(1), F.least(F.lit(max_len), e)),
+            lambda j: F.struct(
+                e.alias("e"), j.alias("j"),
+                F.col("word").substr(e - j + 1, j).alias("piece")))))
+    cand = stabilize(
+        words.select("word", "cnt", F.explode(cand_structs).alias("c"))
+        .select("word", "cnt", F.col("c.e").alias("e"),
+                F.col("c.j").alias("j"), F.col("c.piece").alias("piece")))
+    chars = stabilize(
+        words.select(F.explode(
+            F.filter(F.split("word", ""), lambda x: x != "")).alias("piece"))
+        .distinct())
+
+    # seed vocabulary: occurrence-weighted substring counts, top-K via
+    # TakeOrdered, single chars re-joined (anti-join avoids doubles)
+    pcounts = cand.groupBy("piece").agg(F.sum("cnt").alias("pcnt"))
+    top = pcounts.orderBy(F.desc("pcnt"), "piece").limit(seed_vocab)
+    sel = top.unionByName(
+        pcounts.join(chars, "piece", "left_semi")
+        .join(top.select("piece"), "piece", "left_anti"))
+    tot = sel.agg(F.sum("pcnt").cast("double").alias("t"))
+    vocab = stabilize(
+        sel.crossJoin(F.broadcast(tot))
+        .select("piece",
+                F.round(F.log(F.col("pcnt") / F.col("t")), 9).alias("logp")))
+
+    metric_rows: list[tuple[int, int, float, float]] = []
+    seg = None
+    for r in range(rounds + 1):
+        # E-step: per-position candidate arrays -> forward DP ->
+        # traceback -> (n_pieces, best_ll, pieces)
+        cj = (cand.join(vocab, "piece", "left")
+              .select("word", "cnt", "e", "j", "logp"))
+        ce = (cj.groupBy("word", "cnt", "e")
+              .agg(F.transform(
+                  F.array_sort(F.collect_list(F.struct("j", "logp"))),
+                  lambda s: s["logp"]).alias("cands")))
+        de = (ce.groupBy("word", "cnt")
+              .agg(F.transform(
+                  F.array_sort(F.collect_list(F.struct("e", "cands"))),
+                  lambda s: s["cands"]).alias("rows")))
+        dpf = de.select("word", "cnt",
+                        _viterbi_dp(F.col("rows"), max_len).alias("dp"))
+        tbf = dpf.select("word", "cnt", "dp",
+                         _viterbi_traceback(F.col("dp"), F.col("word"))
+                         .alias("tb"))
+        np_ = ((F.size("tb") - 1) / 2).cast("long")
+        best = F.element_at(F.col("dp"), (2 * F.length("word")).cast("int"))
+        pieces = F.reverse(F.transform(
+            F.sequence(F.lit(1), ((F.size("tb") - 1) / 2).cast("int")),
+            lambda k: F.col("word").substr(
+                (F.element_at(F.col("tb"), (2 * k).cast("int"))
+                 - F.element_at(F.col("tb"), (2 * k + 1).cast("int"))
+                 + 1).cast("int"),
+                F.element_at(F.col("tb"), (2 * k + 1).cast("int"))
+                .cast("int"))))
+        seg = stabilize(tbf.select(
+            "word", "cnt", np_.alias("n_pieces"), best.alias("best_ll"),
+            pieces.alias("pieces")))
+
+        vsize = vocab.count()  # bounded: the piece dictionary
+        mrow = seg.agg(
+            F.round(F.sum((F.col("cnt") * F.col("best_ll"))
+                          .cast("decimal(38,12)")).cast("double"), 6)
+            .alias("total_ll"),
+            F.round(F.sum(F.col("cnt") * F.col("n_pieces")).cast("double")
+                    / F.sum("cnt"), 6).alias("avg_pieces")).collect()[0]
+        metric_rows.append((r, int(vsize), float(mrow["total_ll"]),
+                            float(mrow["avg_pieces"])))
+        if r == rounds:
+            break
+
+        # M-step: usage counts -> survivors (∪ single chars) -> add-1
+        # smoothed log-probabilities
+        u = (seg.select("cnt", F.explode("pieces").alias("piece"))
+             .groupBy("piece").agg(F.sum("cnt").alias("ucnt")))
+        sv = u.select("piece").unionByName(chars).distinct()
+        st = (u.agg(F.sum("ucnt").cast("double").alias("total"))
+              .crossJoin(F.broadcast(sv.agg(F.count("*").alias("v")))))
+        vocab = stabilize(
+            sv.join(u, "piece", "left")
+            .crossJoin(F.broadcast(st))
+            .select("piece",
+                    F.round(F.log((F.coalesce(F.col("ucnt"), F.lit(0)) + 1)
+                                  / (F.col("total") + F.col("v"))), 9)
+                    .alias("logp")))
+
+    mschema = T.StructType([
+        T.StructField("round", T.LongType()),
+        T.StructField("vocab_size", T.LongType()),
+        T.StructField("total_ll", T.DoubleType()),
+        T.StructField("avg_pieces", T.DoubleType())])
+    return vocab, spark.createDataFrame(metric_rows, mschema), seg

@@ -209,6 +209,7 @@ _PIPELINE_CACHE_NAMES = (
     "_STREAM_ANN_CACHE", "_ORDERS_SCD2_CACHE", "_IVFPQ_INDEX_CACHE",
     "_BPE_CACHE", "_CLS_TRAIN_CACHE", "_STREAM_JOIN_CACHE",
     "_STREAM_JOIN_OUTER_CACHE", "_STREAM_SCORE_CACHE", "_CLS_MB_CACHE",
+    "_UNIGRAM_CACHE",
 )
 
 
@@ -5605,6 +5606,77 @@ def classifier_trained_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                     teacher.alias("teacher"))
 
 
+@register("classifier_calibration_bins", _logreg_oracle_sql(
+    _CLS_TRAIN_ROUNDS, _CLS_TRAIN_LR, f"""
+, binned AS (
+  SELECT least(CAST(floor(p * 10) AS BIGINT), 9) AS bin, p, y
+  FROM p{_CLS_TRAIN_ROUNDS}
+),
+bs AS (
+  SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+         round(CAST(SUM(CAST(p AS DECIMAL(38,12))) AS DOUBLE)
+               / COUNT(*), 6) AS mean_score,
+         round(SUM(y) / COUNT(*), 6) AS frac_pos
+  FROM binned GROUP BY bin
+),
+gs AS (
+  SELECT bin, n, mean_score, frac_pos,
+         round(abs(mean_score - frac_pos), 6) AS abs_gap
+  FROM bs
+)
+SELECT bin, n, mean_score, frac_pos, abs_gap,
+       round(SUM(n * abs_gap) OVER () / SUM(n) OVER (), 6) AS ece
+FROM gs
+"""))
+def classifier_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability / expected-calibration-error contract for the
+    TRAINED quality probe — the audit the quality-gating decision rests
+    on: a probe whose p=0.9 bucket is only 60% teacher-positive is
+    mis-calibrated and its threshold gate mislabels data regardless of
+    accuracy. Ten equal-width probability bins over the trained scores
+    (the classifier_trained_scores pass verbatim: round-9 sigmoid over
+    the round-6 weights as a codegen literal); per non-empty bin the
+    count, decimal-exact mean predicted probability, observed
+    teacher-positive fraction, and |gap|; ECE = the sample-weighted
+    mean |gap| rides along on every row (the manifest-total
+    convention). Scale shape: ONE corpus scan into a ≤10-group
+    aggregate (map-side partials), then all calibration math on the
+    bounded 10-row frame via un-partitioned windows — the
+    domain_mix_temperature pattern; nothing corpus-sized shuffles
+    beyond the 10-key hash. Oracle: the chained-CTE replay's final
+    scoring CTE binned with identical decimal/rounding rules."""
+    from .operators.similarity import as_double
+    wdf, _ = _cls_trained(spark, sf_dir)
+    final = {int(r["dim"]): float(r["weight"])
+             for r in wdf.filter(F.col("round") == _CLS_TRAIN_ROUNDS)
+             .collect()}  # bounded: dim+1 rows, the trained model
+    wlit = F.array(*[F.lit(final[d]) for d in range(_CLS_DIM)])
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    x = as_double("embedding")
+    z = F.aggregate(F.zip_with(x, wlit, lambda a, c: a * c),
+                    F.lit(0.0), lambda acc, v: acc + v) + F.lit(final[-1])
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 9)
+    tw = F.array(*[F.lit(v) for v in _CLS_W])
+    y = (F.aggregate(F.zip_with(x, tw, lambda a, c: a * c),
+                     F.lit(0.0), lambda acc, v: acc + v)
+         >= 0.2).cast("double")
+    bs = (e.select(F.least(F.floor(p * 10).cast("long"), F.lit(9))
+                   .alias("bin"),
+                   p.alias("_p"), y.alias("_y"))
+          .groupBy("bin")
+          .agg(F.count("*").alias("n"),
+               F.round(_dsum("_p", 12) / F.count("*"), 6)
+               .alias("mean_score"),
+               F.round(F.sum("_y") / F.count("*"), 6).alias("frac_pos")))
+    gap = F.round(F.abs(F.col("mean_score") - F.col("frac_pos")), 6)
+    w_all = W.partitionBy()  # bounded: <= 10 bin rows
+    return (bs.select("bin", "n", "mean_score", "frac_pos",
+                      gap.alias("abs_gap"))
+            .select("*",
+                    F.round(F.sum(F.col("n") * F.col("abs_gap")).over(w_all)
+                            / F.sum("n").over(w_all), 6).alias("ece")))
+
+
 @register("leakage_safe_splits",
           _SHINGLE_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
           + _minhash_sql() + _CC_CTES + """
@@ -7013,3 +7085,264 @@ def cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("cluster_id", "n_avail", "quota",
                     F.coalesce(F.col("_k"), F.lit(0)).alias("n_kept"),
                     F.coalesce(F.col("_ks"), F.lit(0)).alias("kept_id_sum")))
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM (SentencePiece-style) tokenizer training — r12
+# ---------------------------------------------------------------------------
+
+#: Trained unigram-LM state per sf_dir: (vocab, metrics, seg) from one
+#: unigram_lm_fit run shared by the unigram_* queries.
+_UNIGRAM_CACHE: dict[str, tuple] = {}
+
+_UNI_ROUNDS = 3
+_UNI_MAXLEN = 4
+_UNI_SEEDV = 128
+
+
+def _unigram_ctes(rounds: int = _UNI_ROUNDS, max_len: int = _UNI_MAXLEN,
+                  seed_vocab: int = _UNI_SEEDV) -> str:
+    """Replay every EM round of ``unigram_lm_fit`` as chained CTEs (no
+    leading WITH — callers prepend ``WITH RECURSIVE`` or compose after
+    _BPE_ORACLE_CTE): uv{r} is round r's vocabulary, useg{r} the
+    Viterbi segmentation under it, umet{r} the decimal-exact round
+    metrics, uu{r}/uv{r+1} the usage-count M-step with add-1 smoothing
+    over survivors ∪ single chars.
+
+    The forward DP (udpr) and backpointer walk (utbr) are RECURSIVE
+    CTEs over positions — the BPE-oracle pattern — and deliberately
+    LAMBDA-FREE: DuckDB 1.0's ``list_reduce`` returned
+    nondeterministic garbage on multi-row inputs whose list lengths
+    vary (outer-column captures misbind; even capture-free folds over
+    aggregate-built list-of-list columns differed run to run), and a
+    ``list_transform`` capturing recursion-state columns inside the
+    recursive member was context-sensitive too (the same CTE counted
+    50 or 70 rows depending on which consumer evaluated it) — all
+    measured on this very DP during r12. So: per-position candidate
+    scores are a plain join projection aggregated with
+    ``list(score ORDER BY j)``, argmax via list_position — scalar
+    functions only. Semantics are identical to
+    operators/text.py:_viterbi_dp: best_e = max over piece length j of
+    best_{e-j} + logp(piece ending at e), ties to the SHORTEST piece
+    via first argmax position."""
+    parts = [f"""uwords AS MATERIALIZED (
+  SELECT w AS word, COUNT(*) AS cnt
+  FROM (SELECT unnest(string_split(trim(text), ' ')) AS w FROM documents)
+  WHERE w <> '' GROUP BY w
+),
+uchars AS MATERIALIZED (
+  SELECT DISTINCT unnest(str_split(word, '')) AS piece FROM uwords
+),
+ucand AS MATERIALIZED (
+  SELECT word, cnt, e, j,
+         substr(word, CAST(e - j + 1 AS INT), CAST(j AS INT)) AS piece
+  FROM uwords, unnest(range(1, len(word) + 1)) AS a(e),
+               unnest(range(1, {max_len} + 1)) AS b(j)
+  WHERE j <= e
+),
+up0 AS (SELECT piece, SUM(cnt) AS pcnt FROM ucand GROUP BY piece),
+utop AS (SELECT piece, pcnt FROM (
+           SELECT piece, pcnt,
+                  ROW_NUMBER() OVER (ORDER BY pcnt DESC, piece ASC) AS rn
+           FROM up0)
+         WHERE rn <= {seed_vocab}),
+usel AS (SELECT piece, pcnt FROM utop
+         UNION ALL
+         SELECT p.piece, p.pcnt FROM up0 p
+         WHERE p.piece IN (SELECT piece FROM uchars)
+           AND p.piece NOT IN (SELECT piece FROM utop)),
+uv0 AS MATERIALIZED (
+  SELECT piece,
+         round(ln(pcnt / (SELECT CAST(SUM(pcnt) AS DOUBLE) FROM usel)),
+               9) AS logp
+  FROM usel
+)"""]
+    for r in range(rounds + 1):
+        parts.append(f""",
+ucj{r} AS (
+  SELECT c.word, c.cnt, c.e, c.j, v.logp
+  FROM ucand c LEFT JOIN uv{r} v ON c.piece = v.piece
+),
+udpr{r} AS (
+  SELECT word, cnt, CAST(0 AS BIGINT) AS e,
+         [CAST(0.0 AS DOUBLE)] AS bests, CAST([] AS BIGINT[]) AS bps
+  FROM uwords
+  UNION ALL
+  SELECT word, cnt, e,
+         bests || [list_aggregate(scores, 'max')] AS bests,
+         bps || [CAST(list_position(scores,
+                      list_aggregate(scores, 'max')) AS BIGINT)] AS bps
+  FROM (
+    SELECT r.word, ANY_VALUE(r.cnt) AS cnt, c.e,
+           ANY_VALUE(r.bests) AS bests, ANY_VALUE(r.bps) AS bps,
+           list(CASE WHEN c.logp IS NULL THEN -1e18
+                ELSE r.bests[CAST(c.e - c.j + 1 AS INT)] + c.logp END
+                ORDER BY c.j) AS scores
+    FROM udpr{r} r JOIN ucj{r} c ON c.word = r.word AND c.e = r.e + 1
+    GROUP BY r.word, c.e
+  )
+),
+udp{r} AS MATERIALIZED (
+  SELECT word, cnt, bests, bps FROM udpr{r} WHERE e = len(word)
+),
+utbr{r} AS (
+  SELECT word, cnt, CAST(len(word) AS BIGINT) AS cur,
+         CAST(NULL AS BIGINT) AS pend, CAST(NULL AS BIGINT) AS plen, bps
+  FROM udp{r}
+  UNION ALL
+  SELECT word, cnt, cur - bps[CAST(cur AS INT)] AS cur,
+         cur AS pend, bps[CAST(cur AS INT)] AS plen, bps
+  FROM utbr{r} WHERE cur > 0
+),
+useg{r} AS MATERIALIZED (
+  SELECT t.word, t.cnt,
+         CAST(COUNT(*) AS BIGINT) AS n_pieces,
+         ANY_VALUE(d.bests[CAST(len(t.word) AS INT) + 1]) AS best,
+         list(substr(t.word, CAST(t.pend - t.plen + 1 AS INT),
+                     CAST(t.plen AS INT)) ORDER BY t.pend) AS pieces
+  FROM utbr{r} t JOIN udp{r} d ON t.word = d.word
+  WHERE t.pend IS NOT NULL
+  GROUP BY t.word, t.cnt
+),
+umet{r} AS (
+  SELECT CAST({r} AS BIGINT) AS round,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM uv{r}) AS vocab_size,
+         round(CAST(SUM(CAST(cnt * best AS DECIMAL(38,12))) AS DOUBLE),
+               6) AS total_ll,
+         round(CAST(SUM(cnt * n_pieces) AS DOUBLE) / SUM(cnt),
+               6) AS avg_pieces
+  FROM useg{r}
+)""")
+        if r == rounds:
+            break
+        parts.append(f""",
+uu{r} AS (
+  SELECT piece, SUM(cnt) AS ucnt
+  FROM (SELECT cnt, unnest(pieces) AS piece FROM useg{r}) GROUP BY piece
+),
+usv{r} AS (
+  -- explicit DISTINCT: under WITH RECURSIVE, DuckDB 1.0 ran this
+  -- two-branch UNION as UNION ALL (70 rows / 50 distinct, measured)
+  SELECT DISTINCT piece FROM (
+    SELECT piece FROM uu{r} UNION ALL SELECT piece FROM uchars)),
+uv{r + 1} AS MATERIALIZED (
+  SELECT s.piece,
+         round(ln((COALESCE(u.ucnt, 0) + 1) /
+                  ((SELECT CAST(SUM(ucnt) AS DOUBLE) FROM uu{r})
+                   + (SELECT COUNT(*) FROM usv{r}))), 9) AS logp
+  FROM usv{r} s LEFT JOIN uu{r} u ON s.piece = u.piece
+)""")
+    return "".join(parts)
+
+
+def _unigram_trained(spark: SparkSession, sf_dir: str):
+    if sf_dir not in _UNIGRAM_CACHE:
+        from .operators.text import unigram_lm_fit
+        d = _spread(spark, _t(spark, sf_dir, "documents")["documents"])
+        _UNIGRAM_CACHE[sf_dir] = unigram_lm_fit(
+            d, rounds=_UNI_ROUNDS, max_len=_UNI_MAXLEN,
+            seed_vocab=_UNI_SEEDV)
+    return _UNIGRAM_CACHE[sf_dir]
+
+
+@register("unigram_lm_train", "WITH RECURSIVE " + _unigram_ctes() + "\n"
+          + "\nUNION ALL\n".join(f"SELECT * FROM umet{r}"
+                                 for r in range(_UNI_ROUNDS + 1)))
+def unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style, Kudo 2018) tokenizer TRAINING
+    trajectory — the EM counterpart of ``bpe_train_merges``
+    (operators/text.py:unigram_lm_fit): substring seed vocabulary
+    (top-128 by weighted count via TakeOrdered ∪ all single chars),
+    then per round a Viterbi E-step segmenting every DISTINCT word
+    under the current piece log-probs (pure codegen flat-array DP
+    fold — no Python, no UDF) and a one-aggregate M-step re-estimating
+    add-1-smoothed probs over used-pieces ∪ chars. Returns (round,
+    vocab_size, total_ll, avg_pieces) for rounds 0..3, each row
+    evaluated UNDER that round's vocabulary: total corpus
+    log-likelihood is the EM witness (non-decreasing, property-tested)
+    and avg_pieces the corpus fertility trajectory. 100 TB shape =
+    bpe_train's: one corpus collapse to word counts, then every round
+    touches only the Zipf-bounded distinct-word and piece frames
+    (uniform-key hash joins + map-side partial aggregates; the only
+    driver collects are 1-row metric aggregates). Oracle: every round
+    replayed as chained CTEs with the IDENTICAL interleaved
+    [best, backpointer] DP fold."""
+    return _unigram_trained(spark, sf_dir)[1]
+
+
+@register("unigram_lm_segmentation", "WITH RECURSIVE " + _unigram_ctes() + f"""
+SELECT word, cnt, n_pieces, round(best, 6) AS best_ll,
+       array_to_string(pieces, ' ') AS seg
+FROM useg{_UNI_ROUNDS}
+""")
+def unigram_lm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The final Viterbi segmentation under the TRAINED unigram-LM
+    vocabulary — (word, cnt, n_pieces, best_ll, seg) for every distinct
+    corpus word, the inference side closing the train→segment loop
+    (the bpe_vocab_segmentation counterpart). Pins the whole DP
+    bit-for-bit per word: piece boundaries (seg joins the pieces
+    left-to-right), piece count, and the round-6 best path log-prob —
+    so the oracle must reproduce every backpointer decision including
+    the shortest-piece tie-break, not just the aggregate metrics.
+    Shares the per-process training run with ``unigram_lm_train``
+    (_UNIGRAM_CACHE)."""
+    seg = _unigram_trained(spark, sf_dir)[2]
+    return seg.select("word", "cnt", "n_pieces",
+                      F.round("best_ll", 6).alias("best_ll"),
+                      F.array_join("pieces", " ").alias("seg"))
+
+
+@register("unigram_fertility_vs_bpe",
+          _BPE_ORACLE_CTE + ",\n" + _unigram_ctes() + f"""
+, bseg AS (SELECT word, len(syms) AS n_syms FROM bpe
+           WHERE r = {_BPE_N_MERGES}),
+cwords AS (
+  SELECT doc_id, source, w AS word
+  FROM (SELECT doc_id, source,
+               unnest(string_split(trim(text), ' ')) AS w FROM documents)
+  WHERE w <> '')
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(b.n_syms) AS BIGINT) AS n_bpe_tokens,
+       CAST(SUM(u.n_pieces) AS BIGINT) AS n_uni_tokens,
+       round(SUM(b.n_syms) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS bpe_fertility,
+       round(SUM(u.n_pieces) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS uni_fertility
+FROM cwords c JOIN bseg b USING (word) JOIN useg{_UNI_ROUNDS} u USING (word)
+GROUP BY source
+""")
+def unigram_fertility_vs_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-to-head tokenizer-fertility comparison per domain — the
+    TRAINED unigram-LM against the TRAINED BPE on the same corpus
+    (subword tokens per word, bpe_fertility_by_source's frame with
+    both tokenizers side by side): the decision table for picking a
+    tokenizer per corpus mix, and the first query composing BOTH
+    training loops, so the driver re-verifies the recursive-CTE BPE
+    replay and the chained-CTE unigram replay in one result. Spark
+    shape: the corpus explodes to words ONCE and equi-joins the two
+    Zipf-bounded word→token-count dictionaries (hash-on-word), then
+    one bounded per-source aggregate."""
+    _, bvocab = _bpe_trained(spark, sf_dir)
+    useg = _unigram_trained(spark, sf_dir)[2].select("word", "n_pieces")
+    d = _spread(spark, _t(spark, sf_dir, "documents")["documents"])
+    words = (d.select("doc_id", "source",
+                      F.explode(F.split(F.trim(F.col("text")), " "))
+                      .alias("word"))
+             .filter(F.col("word") != ""))
+    bseg = bvocab.select("word", F.size("syms").alias("_n_syms"))
+    return (words.join(bseg, "word").join(useg, "word")
+            .groupBy("source")
+            .agg(F.count("*").alias("n_words"),
+                 F.sum("_n_syms").alias("n_bpe_tokens"),
+                 F.sum("n_pieces").alias("n_uni_tokens"))
+            .select("source",
+                    F.col("n_words").cast("long").alias("n_words"),
+                    F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+                    F.col("n_uni_tokens").cast("long").alias("n_uni_tokens"),
+                    F.round(F.col("n_bpe_tokens")
+                            / F.col("n_words").cast("double"), 6)
+                    .alias("bpe_fertility"),
+                    F.round(F.col("n_uni_tokens")
+                            / F.col("n_words").cast("double"), 6)
+                    .alias("uni_fertility")))

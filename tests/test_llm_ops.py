@@ -2209,3 +2209,106 @@ def test_cluster_balanced_sample_caps_every_cluster(spark):
         assert r["quota"] == min(r["n_avail"], q._CBS_Q)
         assert r["n_kept"] == r["quota"]
         assert r["n_kept"] <= r["n_avail"]
+
+
+def _py_unigram_reference(texts, rounds=3, L=4, V=128):
+    """From-scratch Python Viterbi hard-EM unigram-LM trainer — the
+    independent reference for unigram_lm_fit (the bpe_train property
+    test's pattern): same seed rule (top-V weighted substrings ∪ single
+    chars), same shortest-piece tie-break, same add-1 M-step."""
+    import math
+    from collections import Counter
+
+    words = Counter()
+    for t in texts:
+        for w in t.strip().split(" "):
+            if w:
+                words[w] += 1
+    pc = Counter()
+    for w, c in words.items():
+        for e in range(1, len(w) + 1):
+            for j in range(1, min(L, e) + 1):
+                pc[w[e - j:e]] += c
+    top = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[:V]
+    chars = {ch for w in words for ch in w}
+    sel = dict(top)
+    for ch in chars:
+        sel.setdefault(ch, pc[ch])
+    tot = float(sum(sel.values()))
+    logp = {p: round(math.log(c / tot), 9) for p, c in sel.items()}
+    metrics, segs = [], None
+    for r in range(rounds + 1):
+        segs = {}
+        for w in words:
+            n = len(w)
+            best, bp = [0.0] + [None] * n, [0] * (n + 1)
+            for e in range(1, n + 1):
+                scores = []
+                for j in range(1, min(L, e) + 1):
+                    lp = logp.get(w[e - j:e])
+                    scores.append(-1e18 if lp is None else best[e - j] + lp)
+                best[e] = max(scores)
+                bp[e] = scores.index(best[e]) + 1
+            pieces, cur = [], n
+            while cur > 0:
+                pieces.append(w[cur - bp[cur]:cur])
+                cur -= bp[cur]
+            segs[w] = (list(reversed(pieces)), best[n])
+        nw = sum(words.values())
+        metrics.append((
+            r, len(logp),
+            round(sum(words[w] * segs[w][1] for w in words), 6),
+            round(sum(words[w] * len(segs[w][0]) for w in words) / nw, 6)))
+        if r == rounds:
+            break
+        u = Counter()
+        for w, c in words.items():
+            for p in segs[w][0]:
+                u[p] += c
+        sv = set(u) | chars
+        total, vn = float(sum(u.values())), len(sv)
+        logp = {p: round(math.log((u.get(p, 0) + 1) / (total + vn)), 9)
+                for p in sv}
+    return metrics, segs
+
+
+def test_unigram_lm_fit_matches_reference_implementation(spark):
+    """unigram_lm_fit reproduces the from-scratch Python trainer
+    bit-for-bit on a corpus exercising ties, pruning, resurrected
+    characters, and words longer than max_len — metrics trajectory,
+    every per-word segmentation, and the best-path scores."""
+    from slowly_changing_dimensions_data_engineering_spark.operators.text import unigram_lm_fit
+
+    texts = ["the cat sat on the mat", "the cat ate the rat",
+             "a cat and a rat sat", "mats and rats and cats",
+             "catalogue of rates and mattresses", "the the the cat cat"]
+    pm, ps = _py_unigram_reference(texts, rounds=3, L=4, V=40)
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               ["doc_id", "text"])
+    vocab, mdf, seg = unigram_lm_fit(df, rounds=3, max_len=4, seed_vocab=40)
+    sm = sorted((r["round"], r["vocab_size"], r["total_ll"], r["avg_pieces"])
+                for r in mdf.collect())
+    assert sm == pm
+    ss = {r["word"]: (list(r["pieces"]), r["best_ll"])
+          for r in seg.collect()}
+    assert set(ss) == set(ps)
+    for w in ps:
+        assert ss[w][0] == ps[w][0], (w, ss[w], ps[w])
+        assert abs(ss[w][1] - ps[w][1]) < 1e-12
+    # segmentation invariants: pieces reassemble the word; every piece
+    # is in the final vocabulary
+    vset = {r["piece"] for r in vocab.collect()}
+    for w, (pieces, _) in ss.items():
+        assert "".join(pieces) == w
+        assert all(p in vset for p in pieces)
+    # EM witness: corpus log-likelihood never decreases across rounds
+    lls = [m[2] for m in sorted(pm)]
+    assert all(b >= a - 1e-9 for a, b in zip(lls, lls[1:]))
+
+
+def test_unigram_lm_fit_rejects_bad_rounds(spark):
+    from slowly_changing_dimensions_data_engineering_spark.operators.text import unigram_lm_fit
+
+    df = spark.createDataFrame([(0, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="rounds"):
+        unigram_lm_fit(df, rounds=-1)
