@@ -209,7 +209,7 @@ _PIPELINE_CACHE_NAMES = (
     "_STREAM_ANN_CACHE", "_ORDERS_SCD2_CACHE", "_IVFPQ_INDEX_CACHE",
     "_BPE_CACHE", "_CLS_TRAIN_CACHE", "_STREAM_JOIN_CACHE",
     "_STREAM_JOIN_OUTER_CACHE", "_STREAM_SCORE_CACHE", "_CLS_MB_CACHE",
-    "_UNIGRAM_CACHE",
+    "_UNIGRAM_CACHE", "_FORGET_CACHE",
 )
 
 
@@ -7346,3 +7346,176 @@ def unigram_fertility_vs_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round(F.col("n_uni_tokens")
                             / F.col("n_words").cast("double"), 6)
                     .alias("uni_fertility")))
+
+
+# ---------------------------------------------------------------------------
+# Deletion-request propagation (right-to-be-forgotten cascade) — r12
+# ---------------------------------------------------------------------------
+
+#: Per-sf_dir cascade pipeline state: store root, artifact paths, and
+#: the pre-deletion row counts captured at build time.
+_FORGET_CACHE: dict[str, dict] = {}
+
+_FORGET_MOD = 37  # kill list: every id with id % 37 == 0
+
+
+def _forget_pipeline(spark: SparkSession, sf_dir: str) -> dict:
+    """Build (once per sf_dir) the full derived-artifact family over
+    the corpus — versioned doc store, minhash band index, IVF index,
+    epoch-shard manifest — then run the deletion cascade for the
+    deterministic kill list: ``delete_where`` on the store (CDC
+    DELETE rows + history vacuum = true erasure, not soft delete)
+    and ``forget_cascade`` over the three parquet artifacts
+    (partition-local rewrites)."""
+    import os as _os
+
+    from .operators.dedup import minhash_band_frame, minhash_index_append
+    from .operators.forget import forget_cascade
+    from .operators.merge import delete_where
+    from .operators.sampling import shard_assign
+    from .operators.similarity import ivf_build_index
+    from .store import TableStore
+
+    state = _FORGET_CACHE.get(sf_dir)
+    if state and _os.path.exists(_os.path.join(state["root"], "_meta",
+                                               "docs.json")):
+        return state
+
+    root = _pipeline_tmpdir("sds_forget_")
+    store = TableStore(root)
+    d = _t(spark, sf_dir, "documents")["documents"]
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+
+    # corpus store: bucketed so the delete rewrites only buckets
+    # holding killed rows (the delete_dml convention); the initial
+    # load writes all 8 buckets via the pruned-commit path
+    store.create("docs", d.schema, bucket_by=(["doc_id"], 8))
+    store.commit_buckets("docs", d, range(8))
+
+    mh_path = _os.path.join(root, "minhash_index")
+    minhash_index_append(minhash_band_frame(d), mh_path)
+
+    ivf_path = _os.path.join(root, "ivf_index")
+    k = max(_IVF_N_CENTROIDS, e.count() // _IVF_CELL_ROWS)
+    cents = (e.filter(F.col("vec_id") < k)
+             .select(F.col("vec_id").alias("centroid_id"), "embedding"))
+    ivf_build_index(e.select("vec_id", "embedding"), cents, ivf_path,
+                    n_centroids=k)
+
+    shard_path = _os.path.join(root, "shard_manifest")
+    (shard_assign(d.select("doc_id"), n_shards=8, seed="epoch1")
+     .write.partitionBy("shard").parquet(shard_path))
+
+    n_before = {
+        "corpus_store": store.read(spark, "docs").count(),
+        "minhash_index": spark.read.parquet(mh_path).count(),
+        "ivf_index": spark.read.parquet(ivf_path).count(),
+        "shard_manifest": spark.read.parquet(shard_path).count(),
+    }
+
+    kill = (d.select(F.col("doc_id").alias("kid"))
+            .unionByName(e.select(F.col("vec_id").alias("kid")))
+            .filter(F.col("kid") % _FORGET_MOD == 0).distinct())
+    delete_where(store, spark, "docs", f"doc_id % {_FORGET_MOD} = 0",
+                 ["doc_id"])
+    # true erasure: age the pre-deletion snapshot AND its change batch
+    # out of the store history once downstream CDC consumers are done
+    store.vacuum("docs", keep_last=1)
+    store.vacuum_changes("docs", through_version=store.version("docs"))
+    forget_cascade(spark, kill, "kid", {
+        "minhash_index": (mh_path, "doc_id", "band"),
+        "ivf_index": (ivf_path, "vec_id", "centroid_id"),
+        "shard_manifest": (shard_path, "doc_id", "shard"),
+    })
+
+    state = {"root": root, "mh": mh_path, "ivf": ivf_path,
+             "shard": shard_path, "n_before": n_before}
+    _FORGET_CACHE[sf_dir] = state
+    return state
+
+
+@register("deletion_cascade_audit", f"""
+WITH d AS (SELECT doc_id FROM documents),
+e AS (SELECT vec_id AS doc_id FROM embeddings),
+sd AS (SELECT doc_id FROM d WHERE doc_id % {_FORGET_MOD} <> 0),
+se AS (SELECT doc_id FROM e WHERE doc_id % {_FORGET_MOD} <> 0)
+SELECT 'corpus_store' AS artifact,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM d) AS n_before,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM sd) AS n_after,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM d)
+         - (SELECT CAST(COUNT(*) AS BIGINT) FROM sd) AS n_removed,
+       (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM sd)
+         AS id_sum_after,
+       CAST(0 AS BIGINT) AS kill_rows_left
+UNION ALL
+SELECT 'ivf_index',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM e),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM se),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM e)
+         - (SELECT CAST(COUNT(*) AS BIGINT) FROM se),
+       (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM se),
+       CAST(0 AS BIGINT)
+UNION ALL
+SELECT 'minhash_index',
+       4 * (SELECT CAST(COUNT(*) AS BIGINT) FROM d),
+       4 * (SELECT CAST(COUNT(*) AS BIGINT) FROM sd),
+       4 * ((SELECT CAST(COUNT(*) AS BIGINT) FROM d)
+            - (SELECT CAST(COUNT(*) AS BIGINT) FROM sd)),
+       4 * (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM sd),
+       CAST(0 AS BIGINT)
+UNION ALL
+SELECT 'shard_manifest',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM d),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM sd),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM d)
+         - (SELECT CAST(COUNT(*) AS BIGINT) FROM sd),
+       (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM sd),
+       CAST(0 AS BIGINT)
+""")
+def deletion_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten CASCADE (operators/forget.py): a kill
+    list (every 37th id) is erased from the corpus store via
+    ``delete_where`` (CDC DELETE emission, bucket-pruned rewrite,
+    then history + change-batch vacuum so no pre-deletion version
+    survives) AND propagated through every derived artifact — the
+    minhash band index (the ``minhash_index_append`` inverse), the
+    centroid-partitioned IVF index, and the epoch shard manifest —
+    each as a PARTITION-LOCAL rewrite via dynamic partition overwrite
+    (only partitions holding killed rows are touched; byte-identity of
+    untouched partitions pinned in tests/test_forget.py). The audit
+    rows are read LIVE from the post-cascade artifacts: per artifact
+    the before/after/removed counts, the surviving id_sum (pinning
+    exact membership), and kill_rows_left — rows still matching the
+    kill list, 0 by construction and verified against the artifacts
+    themselves, the driver-checked unreachability claim. Frozen index
+    geometry (centroid vectors) is model-parameter state, not row
+    storage — erasing a vector removes its index ROW; re-deriving
+    geometry is a rebuild (``ivf_build_index``), the same trade every
+    production ANN system makes. Oracle: the kill-predicate algebra
+    applied to the base tables (membership math an erasure cascade
+    must land on exactly)."""
+    st = _forget_pipeline(spark, sf_dir)
+    from .store import TableStore
+    store = TableStore(st["root"])
+    frames = {
+        "corpus_store": store.read(spark, "docs").select("doc_id"),
+        "minhash_index": spark.read.parquet(st["mh"]).select("doc_id"),
+        "ivf_index": (spark.read.parquet(st["ivf"])
+                      .select(F.col("vec_id").alias("doc_id"))),
+        "shard_manifest": (spark.read.parquet(st["shard"])
+                           .select("doc_id")),
+    }
+    out = None
+    for name, df in frames.items():
+        row = df.agg(
+            F.lit(name).alias("artifact"),
+            F.lit(st["n_before"][name]).cast("long").alias("n_before"),
+            F.count("*").alias("n_after"),
+            (F.lit(st["n_before"][name]).cast("long") - F.count("*"))
+            .alias("n_removed"),
+            F.coalesce(F.sum("doc_id"), F.lit(0)).alias("id_sum_after"),
+            F.coalesce(F.sum((F.col("doc_id") % _FORGET_MOD == 0)
+                             .cast("long")), F.lit(0))
+            .alias("kill_rows_left"))
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -1,0 +1,220 @@
+"""Deletion-request propagation (operators/forget.py): once an id is
+forgotten, it must be unreachable via EVERY derived artifact — the ANN
+index, the minhash dedup index, the shard manifest — and gone from the
+corpus store's current state, history, and change feed. The rewrites
+must also be partition-LOCAL: untouched partition directories keep
+their files byte-for-byte."""
+
+import os
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from slowly_changing_dimensions_data_engineering_spark.operators.dedup import (
+    minhash_band_frame,
+    minhash_dedup_batch,
+    minhash_index_append,
+)
+from slowly_changing_dimensions_data_engineering_spark.operators.forget import (
+    forget_cascade,
+    forget_partitions,
+)
+from slowly_changing_dimensions_data_engineering_spark.operators.merge import delete_where
+from slowly_changing_dimensions_data_engineering_spark.operators.sampling import shard_assign
+from slowly_changing_dimensions_data_engineering_spark.operators.similarity import (
+    ivf_build_index,
+    ivf_search_index,
+    nearest_centroids,
+)
+from slowly_changing_dimensions_data_engineering_spark.store import TableStore
+
+
+def _file_state(root):
+    """{relative parquet path: (size, mtime_ns)} for every data file."""
+    out = {}
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = os.path.join(dirpath, f)
+                st = os.stat(p)
+                out[os.path.relpath(p, root)] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+def _mk_vectors(spark, n=40, dim=4):
+    rows = [(i, [float((i * 7 + d * 3) % 11) / 11.0 + (1.0 if i % 4 == d else 0.0)
+                 for d in range(dim)]) for i in range(n)]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_forget_partitions_rewrites_only_affected(tmp_path, spark):
+    """IVF layout: kills live in a subset of centroid partitions; the
+    other partition directories keep their files byte-identical, and
+    killed ids are gone from the tree."""
+    vecs = _mk_vectors(spark)
+    cents = (vecs.filter(F.col("vec_id") < 4)
+             .select(F.col("vec_id").alias("centroid_id"), "embedding"))
+    path = str(tmp_path / "ivf")
+    ivf_build_index(vecs, cents, path, n_centroids=4)
+    idx = spark.read.parquet(path)
+    # kill two vectors from ONE cell so at least one cell is untouched
+    cell = idx.groupBy("centroid_id").count().orderBy("centroid_id") \
+              .collect()[0]["centroid_id"]
+    kill_ids = [r["vec_id"] for r in
+                idx.filter(F.col("centroid_id") == cell)
+                .orderBy("vec_id").limit(2).collect()]
+    before = _file_state(path)
+    n_before = idx.count()
+
+    kill = spark.createDataFrame([(i,) for i in kill_ids], ["vec_id"])
+    rep = forget_partitions(spark, path, kill, "vec_id", "centroid_id")
+
+    assert rep["n_before"] == n_before
+    assert rep["n_removed"] == len(kill_ids)
+    assert rep["partitions_rewritten"] == [cell]
+    assert rep["partitions_dropped"] == []
+    after = _file_state(path)
+    untouched_before = {p: s for p, s in before.items()
+                        if f"centroid_id={cell}" not in p}
+    untouched_after = {p: s for p, s in after.items()
+                       if f"centroid_id={cell}" not in p}
+    assert untouched_before == untouched_after  # byte-for-byte
+    left = spark.read.parquet(path)
+    assert left.filter(F.col("vec_id").isin(kill_ids)).count() == 0
+    assert left.count() == n_before - len(kill_ids)
+
+
+def test_forget_partitions_drops_emptied_partition(tmp_path, spark):
+    """Killing every row of a partition must remove its directory —
+    dynamic overwrite writes nothing for an empty partition, so stale
+    files would otherwise stay live."""
+    vecs = _mk_vectors(spark)
+    cents = (vecs.filter(F.col("vec_id") < 4)
+             .select(F.col("vec_id").alias("centroid_id"), "embedding"))
+    path = str(tmp_path / "ivf")
+    ivf_build_index(vecs, cents, path, n_centroids=4)
+    idx = spark.read.parquet(path)
+    cell = idx.groupBy("centroid_id").count().orderBy("centroid_id") \
+              .collect()[0]["centroid_id"]
+    kill_ids = [r["vec_id"] for r in
+                idx.filter(F.col("centroid_id") == cell).collect()]
+    kill = spark.createDataFrame([(i,) for i in kill_ids], ["vec_id"])
+    rep = forget_partitions(spark, path, kill, "vec_id", "centroid_id")
+    assert rep["partitions_dropped"] == [cell]
+    assert not os.path.exists(os.path.join(path, f"centroid_id={cell}"))
+    left = spark.read.parquet(path)
+    assert left.filter(F.col("centroid_id") == cell).count() == 0
+    assert left.filter(F.col("vec_id").isin(kill_ids)).count() == 0
+
+
+def test_forget_partitions_noop_on_absent_ids(tmp_path, spark):
+    vecs = _mk_vectors(spark, n=12)
+    cents = (vecs.filter(F.col("vec_id") < 2)
+             .select(F.col("vec_id").alias("centroid_id"), "embedding"))
+    path = str(tmp_path / "ivf")
+    ivf_build_index(vecs, cents, path, n_centroids=2)
+    before = _file_state(path)
+    kill = spark.createDataFrame([(999,)], ["vec_id"])
+    rep = forget_partitions(spark, path, kill, "vec_id", "centroid_id")
+    assert rep["n_removed"] == 0
+    assert rep["partitions_rewritten"] == []
+    assert _file_state(path) == before  # nothing touched at all
+
+
+def test_forgotten_vector_unreachable_via_ann_search(tmp_path, spark):
+    """After the cascade, probing EVERY cell never returns the
+    forgotten vector — the index-level unreachability claim."""
+    vecs = _mk_vectors(spark)
+    cents = (vecs.filter(F.col("vec_id") < 4)
+             .select(F.col("vec_id").alias("centroid_id"), "embedding"))
+    path = str(tmp_path / "ivf")
+    ivf_build_index(vecs, cents, path, n_centroids=4)
+    victim = vecs.filter("vec_id = 17").collect()[0]
+    # pre-delete: the victim IS its own nearest neighbor
+    probes = nearest_centroids(cents, victim["embedding"], nprobe=4)
+    pre = ivf_search_index(spark, path, victim["embedding"], probes, k=3)
+    assert 17 in {r["vec_id"] for r in pre.collect()}
+
+    forget_partitions(spark, path,
+                      spark.createDataFrame([(17,)], ["vec_id"]),
+                      "vec_id", "centroid_id")
+    post = ivf_search_index(spark, path, victim["embedding"], probes,
+                            k=vecs.count())
+    assert 17 not in {r["vec_id"] for r in post.collect()}
+
+
+def test_forgotten_doc_unreachable_via_minhash_index(tmp_path, spark):
+    """A re-submitted duplicate of a forgotten document must sail
+    through incremental dedup: the forgotten signatures seed no
+    candidate pairs."""
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(1, text), (2, "a completely different document about spark sql "
+                        "engines and shuffle behavior at scale")],
+        ["doc_id", "text"])
+    path = str(tmp_path / "mh")
+    minhash_index_append(minhash_band_frame(docs), path)
+
+    # sanity: before erasure, a near-copy of doc 1 is caught
+    dup = spark.createDataFrame([(10, text)], ["doc_id", "text"])
+    caught = minhash_dedup_batch(spark, dup, path)
+    assert caught.count() == 0  # dropped as a duplicate of doc 1
+
+    forget_partitions(spark, path,
+                      spark.createDataFrame([(1,), (10,)], ["doc_id"]),
+                      "doc_id", "band")
+    assert (spark.read.parquet(path)
+            .filter(F.col("doc_id").isin([1, 10])).count() == 0)
+    dup2 = spark.createDataFrame([(11, text)], ["doc_id", "text"])
+    survived = minhash_dedup_batch(spark, dup2, path)
+    assert [r["doc_id"] for r in survived.collect()] == [11]
+
+
+def test_forget_cascade_and_store_erasure(tmp_path, spark):
+    """The composed story: delete_where on the store (CDC DELETE rows,
+    then vacuum erases the pre-deletion version AND the change batch)
+    plus forget_cascade over a manifest — audit counts line up and the
+    id is gone from every surface including time travel."""
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} body text") for i in range(20)],
+        "doc_id long, text string")
+    store = TableStore(str(tmp_path / "store"))
+    store.create("docs", docs.schema, bucket_by=(["doc_id"], 4))
+    store.commit_buckets("docs", docs, range(4))
+    v_loaded = store.version("docs")
+
+    man_path = str(tmp_path / "manifest")
+    (shard_assign(docs.select("doc_id"), n_shards=4, seed="e1")
+     .write.partitionBy("shard").parquet(man_path))
+    man_before = {(r["doc_id"], r["shard"], r["pos"])
+                  for r in spark.read.parquet(man_path).collect()}
+
+    delete_where(store, spark, "docs", "doc_id = 7", ["doc_id"])
+    ch = store.read_changes(spark, "docs", since=v_loaded)
+    assert [(r["doc_id"], r["METADATA$ACTION"], r["METADATA$ISUPDATE"])
+            for r in ch.collect()] == [(7, "DELETE", False)]
+
+    kill = spark.createDataFrame([(7,)], ["kid"])
+    audit = {r["artifact"]: r for r in forget_cascade(
+        spark, kill, "kid",
+        {"manifest": (man_path, "doc_id", "shard")}).collect()}
+    assert audit["manifest"]["n_removed"] == 1
+
+    # current state: gone everywhere; surviving manifest rows untouched
+    assert store.read(spark, "docs").filter("doc_id = 7").count() == 0
+    man_after = {(r["doc_id"], r["shard"], r["pos"])
+                 for r in spark.read.parquet(man_path).collect()}
+    assert man_after == {t for t in man_before if t[0] != 7}
+
+    # history: time travel still shows the row (retention window) ...
+    assert store.read(spark, "docs", version=v_loaded) \
+                .filter("doc_id = 7").count() == 1
+    # ... until vacuum ages it out: full erasure
+    store.vacuum("docs", keep_last=1)
+    store.vacuum_changes("docs", through_version=store.version("docs"))
+    with pytest.raises(Exception):
+        store.read(spark, "docs", version=v_loaded).collect()
+    assert store.read_changes(spark, "docs", since=v_loaded) is None or \
+        store.read_changes(spark, "docs", since=v_loaded) \
+             .filter("doc_id = 7").count() == 0

@@ -67,6 +67,7 @@ PIPELINE_QUERIES = {
     "streaming_ivfpq_index_state", "streaming_click_attribution",
     "streaming_click_attribution_outer",
     "streaming_trained_scores",
+    "deletion_cascade_audit",
 }
 
 
