@@ -80,6 +80,31 @@ def register(name: str, oracle: str | None):
 # demote list so it backfilled the filler slots after r7's kmeans seed
 # change to their shared module.
 _BOARD_DEMOTE = [
+    # -- demoted r12 (>=2 lifetime greens banked through r11). The
+    #    classifier pair leads the backfill: r12 touches
+    #    operators/classifier.py (deterministic mini-batch sampler),
+    #    and although the full-batch plan is ledger-identical, the
+    #    shared module earns a fresh driver green first (r7 protocol).
+    #    The 21 queries left non-demoted are exactly those with <=1
+    #    lifetime green: the 13 r11-new cohort awaiting their second
+    #    green plus the 7 r12-new (zero greens) and
+    #    classifier_train_minibatch (first-ever oracle check). --
+    "classifier_train_rounds",
+    "classifier_train_weights",
+    "ivf_two_level_assign_highdim",
+    "ivf_two_level_assign_state",
+    "ivfpq_residual_search_embeddings",
+    "ivfpq_search_embeddings",
+    "kmeans_train_embeddings",
+    "lm_trigram_perplexity_docs",
+    "pq_adc_batch_embeddings",
+    "pq_adc_topk_embeddings",
+    "pq_encode_embeddings",
+    "scd2_orders_history_bucketed",
+    "streaming_ann_index_state",
+    "streaming_click_attribution",
+    "streaming_ivfpq_index_state",
+    "streaming_mv_order_status",
     # -- ANN/embedding family: >=2 lifetime greens, but r7 touches
     #    operators/similarity.py (kmeans seed mode), so they backfill
     #    the board FIRST for a fresh driver check under the new code --
