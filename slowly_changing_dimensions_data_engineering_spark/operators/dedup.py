@@ -175,15 +175,22 @@ def minhash_band_frame(docs: DataFrame, id_col: str = "doc_id",
 
 def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text", num_hashes: int = 16,
-                           bands: int = 4, n: int = 5) -> DataFrame:
+                           bands: int = 4, n: int = 5,
+                           band_frame: DataFrame | None = None) -> DataFrame:
     """Candidate near-dup pairs: docs sharing >= 1 LSH band bucket.
 
     The band join shuffles on (band_idx, signature) — uniform keys, no
     skew. The two sides of the self-join shuffle identically, so Spark's
     ReusedExchange evaluates the signature pipeline once.
-    """
-    bands_df = minhash_band_frame(docs, id_col, text_col, num_hashes,
-                                  bands, n).drop("mh")
+
+    ``band_frame`` lets a caller that ALREADY built (and typically
+    persisted) the corpus band frame — e.g. an index build sharing one
+    shingle pass with pair generation — hand it in instead of
+    re-shingling; it must come from :func:`minhash_band_frame` with the
+    same parameters."""
+    bands_df = (band_frame if band_frame is not None
+                else minhash_band_frame(docs, id_col, text_col, num_hashes,
+                                        bands, n)).drop("mh")
     # Pin the band self-join to a shuffle on (band, bsig): the two
     # sides are the same corpus-sized frame, so an estimate-driven
     # broadcast (observed at sf1) evaluates the signature pipeline for
@@ -202,12 +209,16 @@ def minhash_lsh_candidates(docs: DataFrame, id_col: str = "doc_id",
 def minhash_near_dups(docs: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", num_hashes: int = 16,
                       bands: int = 4, n: int = 5,
-                      threshold: float = 0.5) -> DataFrame:
+                      threshold: float = 0.5,
+                      band_frame: DataFrame | None = None) -> DataFrame:
     """End-to-end MinHash near-dup pipeline: LSH candidate generation
     followed by EXACT Jaccard verification on the candidates only —
     the standard two-phase shape whose cost is O(candidates), never
-    O(n²). Returns (d1, d2, jaccard) with jaccard >= threshold."""
-    cands = minhash_lsh_candidates(docs, id_col, text_col, num_hashes, bands, n)
+    O(n²). Returns (d1, d2, jaccard) with jaccard >= threshold.
+    ``band_frame`` forwards to :func:`minhash_lsh_candidates` (share
+    one shingle pass with an index build)."""
+    cands = minhash_lsh_candidates(docs, id_col, text_col, num_hashes,
+                                   bands, n, band_frame=band_frame)
     sh = docs.select(F.col(id_col), shingles(text_col, n).alias("shl"))
     s1 = sh.select(F.col(id_col).alias("d1"), F.col("shl").alias("shl1"))
     s2 = sh.select(F.col(id_col).alias("d2"), F.col("shl").alias("shl2"))

@@ -7544,3 +7544,162 @@ def deletion_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kill_rows_left"))
         out = row if out is None else out.unionByName(row)
     return out
+
+
+#: Near-dup-expanded erasure pipeline state per sf_dir.
+_FORGET_EXP_CACHE: dict[str, dict] = {}
+
+_FORGET_EXP_MOD = 97  # erasure requests: every doc with doc_id % 97 == 1
+
+
+def _forget_expansion_pipeline(spark: SparkSession, sf_dir: str) -> dict:
+    import os as _os
+
+    from .operators.dedup import (
+        minhash_band_frame,
+        minhash_index_append,
+        minhash_near_dups,
+    )
+    from .operators.forget import forget_cascade
+    from .operators.sampling import shard_assign
+    from .session import stabilize
+
+    state = _FORGET_EXP_CACHE.get(sf_dir)
+    if state and _os.path.exists(state["mh"]):
+        return state
+
+    root = _pipeline_tmpdir("sds_forget_exp_")
+    d = _spread(spark, _t(spark, sf_dir, "documents")["documents"])
+
+    # ONE shingle pass: the persisted band frame serves both the index
+    # build and the near-dup pair generation
+    bf = stabilize(minhash_band_frame(d))
+    mh_path = _os.path.join(root, "minhash_index")
+    minhash_index_append(bf, mh_path)
+    shard_path = _os.path.join(root, "shard_manifest")
+    (shard_assign(d.select("doc_id"), n_shards=8, seed="epoch1")
+     .write.partitionBy("shard").parquet(shard_path))
+    n_before = {
+        "minhash_index": spark.read.parquet(mh_path).count(),
+        "shard_manifest": spark.read.parquet(shard_path).count(),
+    }
+
+    seeds = d.filter(F.col("doc_id") % _FORGET_EXP_MOD == 1) \
+             .select("doc_id")
+    pairs = minhash_near_dups(d, threshold=0.5, band_frame=bf)
+    partners = (pairs.join(seeds.withColumnRenamed("doc_id", "d1"), "d1")
+                .select(F.col("d2").alias("doc_id"))
+                .unionByName(
+                    pairs.join(seeds.withColumnRenamed("doc_id", "d2"), "d2")
+                    .select(F.col("d1").alias("doc_id"))))
+    kill = stabilize(seeds.unionByName(partners).distinct())
+    req = seeds.agg(
+        F.count("*").alias("n_seeds")).collect()[0]  # bounded: 1 row
+    krow = kill.agg(F.count("*").alias("n_kill"),
+                    F.coalesce(F.sum("doc_id"), F.lit(0)).alias("ksum")
+                    ).collect()[0]  # bounded: 1 row
+
+    forget_cascade(spark, kill, "doc_id", {
+        "minhash_index": (mh_path, "doc_id", "band"),
+        "shard_manifest": (shard_path, "doc_id", "shard"),
+    })
+    state = {"root": root, "mh": mh_path, "shard": shard_path,
+             "n_before": n_before, "n_seeds": int(req["n_seeds"]),
+             "n_kill": int(krow["n_kill"]), "ksum": int(krow["ksum"]),
+             "kill": kill}
+    _FORGET_EXP_CACHE[sf_dir] = state
+    return state
+
+
+@register("deletion_neardup_expansion",
+          _SHINGLE_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
+          + _minhash_sql() + f""",
+pairs AS (
+  SELECT d1, d2 FROM cands JOIN sh s1 ON d1 = s1.doc_id
+                           JOIN sh s2 ON d2 = s2.doc_id
+  WHERE CAST(len(list_intersect(s1.shl, s2.shl)) AS DOUBLE)
+        / (len(s1.shl) + len(s2.shl) - len(list_intersect(s1.shl, s2.shl)))
+        >= 0.5
+),
+seeds AS (SELECT doc_id FROM documents WHERE doc_id % {_FORGET_EXP_MOD} = 1),
+kill AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id FROM seeds
+    UNION ALL
+    SELECT p.d2 AS doc_id FROM pairs p JOIN seeds s ON p.d1 = s.doc_id
+    UNION ALL
+    SELECT p.d1 AS doc_id FROM pairs p JOIN seeds s ON p.d2 = s.doc_id)
+),
+surv AS (SELECT doc_id FROM documents
+         WHERE doc_id NOT IN (SELECT doc_id FROM kill))
+SELECT 'request_expansion' AS artifact,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM seeds) AS n_before,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM kill) AS n_after,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM kill)
+         - (SELECT CAST(COUNT(*) AS BIGINT) FROM seeds) AS n_removed,
+       (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM kill)
+         AS id_sum_after,
+       CAST(0 AS BIGINT) AS kill_rows_left
+UNION ALL
+SELECT 'minhash_index',
+       4 * (SELECT CAST(COUNT(*) AS BIGINT) FROM documents),
+       4 * (SELECT CAST(COUNT(*) AS BIGINT) FROM surv),
+       4 * ((SELECT CAST(COUNT(*) AS BIGINT) FROM documents)
+            - (SELECT CAST(COUNT(*) AS BIGINT) FROM surv)),
+       4 * (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM surv),
+       CAST(0 AS BIGINT)
+UNION ALL
+SELECT 'shard_manifest',
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM documents),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM surv),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM documents)
+         - (SELECT CAST(COUNT(*) AS BIGINT) FROM surv),
+       (SELECT CAST(COALESCE(SUM(doc_id), 0) AS BIGINT) FROM surv),
+       CAST(0 AS BIGINT)
+""")
+def deletion_neardup_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Erasure-request EXPANSION through near-duplicates — the GDPR
+    reality a per-id delete misses: a removed document's syndicated
+    copies and light paraphrases still carry the content, so the kill
+    list expands to each request's >=0.5-Jaccard MinHash partners
+    (the audited two-phase pipeline, sharing ONE shingle pass with the
+    index build via the persisted band frame) before the cascade runs
+    (operators/forget.py over the minhash index + shard manifest).
+    Output: the 'request_expansion' row reads (n_before = seed
+    requests, n_after = expanded kill-list size, n_removed = partners
+    added, id_sum_after = exact kill-set membership); the artifact
+    rows are read LIVE post-cascade with kill_rows_left ≡ 0 — the
+    expanded set, not just the seeds, is unreachable. Scale shape:
+    everything is the near-dup pipeline's own cost plus a pair-bounded
+    expansion join and the partition-local rewrites; nothing new
+    touches the corpus. Oracle: the shared shingle/minhash/verify CTE
+    blocks (dedup_clusters_cc's) + the expansion and kill-predicate
+    algebra, with explicit DISTINCT (the r12 WITH RECURSIVE UNION
+    finding)."""
+    st = _forget_expansion_pipeline(spark, sf_dir)
+    frames = {
+        "minhash_index": spark.read.parquet(st["mh"]).select("doc_id"),
+        "shard_manifest": spark.read.parquet(st["shard"]).select("doc_id"),
+    }
+    spark_rows = [("request_expansion", st["n_seeds"], st["n_kill"],
+                   st["n_kill"] - st["n_seeds"], st["ksum"], 0)]
+    out = spark.createDataFrame(
+        spark_rows, schema="artifact string, n_before long, n_after long,"
+                           " n_removed long, id_sum_after long,"
+                           " kill_rows_left long")
+    for name, df in frames.items():
+        # kill_rows_left = LIVE artifact rows still in the EXPANDED
+        # kill set (semi-join against the stabilized kill frame, a
+        # distributed count — never a collected id list); 0 means the
+        # partners are unreachable too, not just the seed requests
+        kleft = df.join(st["kill"], "doc_id", "left_semi").count()
+        row = df.agg(
+            F.lit(name).alias("artifact"),
+            F.lit(st["n_before"][name]).cast("long").alias("n_before"),
+            F.count("*").alias("n_after"),
+            (F.lit(st["n_before"][name]).cast("long") - F.count("*"))
+            .alias("n_removed"),
+            F.coalesce(F.sum("doc_id"), F.lit(0)).alias("id_sum_after"),
+            F.lit(kleft).cast("long").alias("kill_rows_left"))
+        out = out.unionByName(row)
+    return out

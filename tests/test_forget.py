@@ -218,3 +218,40 @@ def test_forget_cascade_and_store_erasure(tmp_path, spark):
     assert store.read_changes(spark, "docs", since=v_loaded) is None or \
         store.read_changes(spark, "docs", since=v_loaded) \
              .filter("doc_id = 7").count() == 0
+
+
+def test_neardup_expansion_erases_partners(tmp_path, spark):
+    """Kill-list expansion: erasing a document also erases its
+    near-duplicates from the index — the syndicated-copy case a
+    per-id delete misses."""
+    from slowly_changing_dimensions_data_engineering_spark.operators.dedup import minhash_near_dups
+    from slowly_changing_dimensions_data_engineering_spark.operators.forget import forget_cascade
+
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "cat watches from the warm windowsill nearby and the "
+            "afternoon sun slowly sets behind the old oak trees at "
+            "the far end of the quiet garden path")
+    near = base.replace("warm", "cold")
+    other = ("completely unrelated text about distributed query "
+             "engines shuffling parquet row groups across executors")
+    docs = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], ["doc_id", "text"])
+    path = str(tmp_path / "mh")
+    minhash_index_append(minhash_band_frame(docs), path)
+
+    seeds = spark.createDataFrame([(1,)], ["doc_id"])
+    pairs = minhash_near_dups(docs, threshold=0.5)
+    partners = (pairs.join(seeds.withColumnRenamed("doc_id", "d1"), "d1")
+                .select(F.col("d2").alias("doc_id"))
+                .unionByName(
+                    pairs.join(seeds.withColumnRenamed("doc_id", "d2"),
+                               "d2")
+                    .select(F.col("d1").alias("doc_id"))))
+    kill = seeds.unionByName(partners).distinct()
+    assert {r["doc_id"] for r in kill.collect()} == {1, 2}  # 2 = partner
+
+    forget_cascade(spark, kill, "doc_id",
+                   {"mh": (path, "doc_id", "band")})
+    left = {r["doc_id"] for r in
+            spark.read.parquet(path).select("doc_id").distinct().collect()}
+    assert left == {3}

@@ -68,6 +68,7 @@ PIPELINE_QUERIES = {
     "streaming_click_attribution_outer",
     "streaming_trained_scores",
     "deletion_cascade_audit",
+    "deletion_neardup_expansion",
 }
 
 
