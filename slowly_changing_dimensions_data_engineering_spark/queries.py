@@ -7703,3 +7703,48 @@ def deletion_neardup_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(kleft).cast("long").alias("kill_rows_left"))
         out = out.unionByName(row)
     return out
+
+
+@register("unigram_corpus_tokens",
+          "WITH RECURSIVE " + _unigram_ctes() + f"""
+, cwords AS (
+  SELECT doc_id, w AS word
+  FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+        FROM documents)
+  WHERE w <> ''
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(u.n_pieces) AS BIGINT) AS n_uni_tokens,
+       round(SUM(u.n_pieces) / CAST(COUNT(*) AS DOUBLE), 6)
+         AS tokens_per_word
+FROM cwords JOIN useg{_UNI_ROUNDS} u USING (word)
+GROUP BY doc_id
+""")
+def unigram_corpus_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained unigram-LM tokenizer applied CORPUS-WIDE — the
+    inference path closing the unigram family exactly as
+    ``bpe_corpus_tokens`` closes BPE's: per-document token budgets
+    under the final EM vocabulary. One corpus word explode equi-joins
+    the Zipf-bounded (word → piece count) segmentation dictionary
+    (broadcast-or-hash-on-word at 100 TB), then one doc-keyed
+    aggregate; no per-row Python. Shares the per-process training run
+    (_UNIGRAM_CACHE). Oracle: the full EM replay's final segmentation
+    joined to the exploded corpus."""
+    useg = _unigram_trained(spark, sf_dir)[2].select("word", "n_pieces")
+    d = _spread(spark, _t(spark, sf_dir, "documents")["documents"])
+    words = (d.select("doc_id",
+                      F.explode(F.split(F.trim(F.col("text")), " "))
+                      .alias("word"))
+             .filter(F.col("word") != ""))
+    return (words.join(useg, "word")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_words"),
+                 F.sum("n_pieces").alias("n_uni_tokens"))
+            .select("doc_id",
+                    F.col("n_words").cast("long").alias("n_words"),
+                    F.col("n_uni_tokens").cast("long")
+                    .alias("n_uni_tokens"),
+                    F.round(F.col("n_uni_tokens")
+                            / F.col("n_words").cast("double"), 6)
+                    .alias("tokens_per_word")))
