@@ -34,16 +34,21 @@ NEW_R12 = [
 def main() -> None:
     with open(os.path.join(HIST, "bench_runs.jsonl")) as f:
         runs = [json.loads(line) for line in f if line.strip()]
+    # freeze soak triple = the 134-query records; the post-freeze full
+    # registry (136: + deletion_neardup_expansion, unigram_corpus_
+    # tokens) lands under its own r12_sf01_final key (r11 convention)
     r12 = [r for r in runs if r["n_queries"] == 134]
     by_sf: dict[float, dict] = {}
     for r in r12:
         by_sf[r["sf"]] = r  # last record per sf wins
     sf01, sf3, sf10 = by_sf.get(0.1), by_sf.get(3.0), by_sf.get(10.0)
     assert sf01, "no 134-query sf0.1 record"
+    final = [r for r in runs if r["n_queries"] > 134 and r["sf"] == 0.1]
 
     out = {}
     for label, rec in (("r12_sf01", sf01), ("r12_sf3", sf3),
-                       ("r12_sf10", sf10)):
+                       ("r12_sf10", sf10),
+                       ("r12_sf01_final", final[-1] if final else None)):
         if rec:
             out[label] = rec
     with open(os.path.join(HIST, "r12_local.json"), "w") as f:
