@@ -255,3 +255,50 @@ def test_neardup_expansion_erases_partners(tmp_path, spark):
     left = {r["doc_id"] for r in
             spark.read.parquet(path).select("doc_id").distinct().collect()}
     assert left == {3}
+
+
+def test_forgotten_vector_unreachable_via_ivfpq_index(tmp_path, spark):
+    """The cascade generalizes to the IVF-PQ index unchanged — same
+    centroid_id-partitioned layout, rows are codes instead of floats:
+    after erasure the victim is gone from the tree, never surfaces
+    from an all-cells ADC search, and untouched cells keep their files
+    byte-for-byte."""
+    from slowly_changing_dimensions_data_engineering_spark.operators.pq import (
+        ivfpq_build_index,
+        ivfpq_search,
+        pq_codebooks,
+    )
+
+    dim, m = 8, 2
+    rows = [(i, [float((i * 5 + d * 3) % 13) / 13.0
+                 + (1.0 if i % 4 == d % 4 else 0.0)
+                 for d in range(dim)]) for i in range(32)]
+    vecs = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    cents = (vecs.filter(F.col("vec_id") < 4)
+             .select(F.col("vec_id").alias("centroid_id"), "embedding"))
+    cbs = pq_codebooks(vecs, m=m, ks=4, dim=dim)
+    path = str(tmp_path / "ivfpq")
+    ivfpq_build_index(vecs, cents, cbs, path, m=m, dim=dim,
+                      n_centroids=4)
+    victim = vecs.filter("vec_id = 13").collect()[0]
+    qdf = spark.createDataFrame([(13, victim["embedding"])],
+                                ["vec_id", "embedding"])
+    pre = ivfpq_search(spark, path, cbs, cents, qdf, m=m, dim=dim,
+                       k=32, nprobe=4, exclude_query_id=False)
+    assert 13 in {r["vec_id"] for r in pre.collect()}
+    idx = spark.read.parquet(path)
+    vcell = idx.filter("vec_id = 13").collect()[0]["centroid_id"]
+    before = _file_state(path)
+
+    rep = forget_partitions(
+        spark, path, spark.createDataFrame([(13,)], ["vec_id"]),
+        "vec_id", "centroid_id")
+    assert rep["n_removed"] == 1
+    assert rep["partitions_rewritten"] == [vcell]
+    untouched = lambda st: {p: v for p, v in st.items()  # noqa: E731
+                            if f"centroid_id={vcell}" not in p}
+    assert untouched(before) == untouched(_file_state(path))
+    post = ivfpq_search(spark, path, cbs, cents, qdf, m=m, dim=dim,
+                        k=32, nprobe=4, exclude_query_id=False)
+    assert 13 not in {r["vec_id"] for r in post.collect()}
+    assert spark.read.parquet(path).filter("vec_id = 13").count() == 0
