@@ -2312,3 +2312,35 @@ def test_unigram_lm_fit_rejects_bad_rounds(spark):
     df = spark.createDataFrame([(0, "a b")], ["doc_id", "text"])
     with pytest.raises(ValueError, match="rounds"):
         unigram_lm_fit(df, rounds=-1)
+
+
+def test_logreg_minibatch_exact_vs_fast_same_sample(spark):
+    """The deterministic md5-Bernoulli draw makes sample MEMBERSHIP a
+    pure function of (seed, round, id), so exact and fast sum modes
+    train on the identical rows — trajectories agree to float noise
+    (the full-batch exact-vs-fast contract extended to sampling)."""
+    import numpy as np
+
+    from slowly_changing_dimensions_data_engineering_spark.operators.classifier import (
+        logreg_fit,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(11)
+    dim, n = 6, 90
+    xs = rng.normal(0, 0.5, size=(n, dim))
+    xs[: n // 2, 1] += 1.2
+    rows = [(i, [float(v) for v in xs[i]], 1 if i < n // 2 else 0)
+            for i in range(n)]
+    d = spark.createDataFrame(rows, ["vec_id", "embedding", "y"])
+    we, me = logreg_fit(d, F.col("y"), rounds=4, lr=1.0,
+                        sum_mode="exact", sample_fraction=0.5, seed=5)
+    wf, mf = logreg_fit(d, F.col("y"), rounds=4, lr=1.0,
+                        sum_mode="fast", sample_fraction=0.5, seed=5)
+    exact = {(r["round"], r["dim"]): r["weight"] for r in we.collect()}
+    fast = {(r["round"], r["dim"]): r["weight"] for r in wf.collect()}
+    assert set(exact) == set(fast)
+    assert all(abs(exact[k] - fast[k]) < 1e-6 for k in exact)
+    mex = {r["round"]: r["n_correct"] for r in me.collect()}
+    mfa = {r["round"]: r["n_correct"] for r in mf.collect()}
+    assert mex == mfa
