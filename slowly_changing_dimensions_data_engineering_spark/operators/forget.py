@@ -70,7 +70,16 @@ def forget_partitions(spark: SparkSession, path: str, kill: DataFrame,
     The rewrite is anti-join → ``stabilize()`` → dynamic-partition
     overwrite: the materialization barrier is load-bearing, not a
     courtesy — the survivors frame reads the same files the overwrite
-    commit replaces, so a lazy plan would race its own input."""
+    commit replaces, so a lazy plan would race its own input. The
+    barrier is therefore forced to a real checkpoint here even when the
+    session runs ``spark.sds.stabilize.mode=none`` (pure lineage would
+    recompute survivors from already-replaced files)."""
+    if "://" in path and not path.startswith("file:"):
+        raise NotImplementedError(
+            f"forget_partitions only supports local filesystem paths "
+            f"(got {path!r}): dropped-partition cleanup uses local "
+            f"directory removal; route remote trees through the Hadoop "
+            f"FileSystem API before relying on this for erasure")
     kill_ids = F.broadcast(kill.select(F.col(id_col)).distinct())
     idx = spark.read.parquet(path)
     n_before = idx.count()
@@ -85,8 +94,14 @@ def forget_partitions(spark: SparkSession, path: str, kill: DataFrame,
         return {"n_before": n_before, "n_after": n_before, "n_removed": 0,
                 "partitions_rewritten": [], "partitions_dropped": []}
 
+    from ..session import STABILIZE_MODE_CONF
+    mode = spark.conf.get(STABILIZE_MODE_CONF, "local")
+    if mode == "none":
+        mode = "local"  # lineage is NOT a barrier; see docstring
     hit = idx.filter(F.col(partition_col).isin(affected))
-    survivors = stabilize(hit.join(kill_ids, id_col, "left_anti"))
+    survivors = stabilize(hit.join(kill_ids, id_col, "left_anti"), mode=mode)
+    # this collect is also the action that materializes the checkpoint
+    # BEFORE any replaced file is touched
     keep_parts = {r[0] for r in
                   survivors.select(partition_col).distinct().collect()}
     dropped = [v for v in affected if v not in keep_parts]
@@ -100,11 +115,17 @@ def forget_partitions(spark: SparkSession, path: str, kill: DataFrame,
              .partitionBy(partition_col).parquet(path))
     finally:
         spark.conf.set(_OVERWRITE_MODE, prev)
+    # fail LOUDLY if a kill-list partition cannot be removed — a silent
+    # no-op here would leave erased rows live, the opposite of the
+    # erasure guarantee
     for v in dropped:
-        shutil.rmtree(os.path.join(path, f"{partition_col}={v}"),
-                      ignore_errors=True)
+        shutil.rmtree(os.path.join(path, f"{partition_col}={v}"))
 
-    n_after = spark.read.parquet(path).count()
+    # an erasure that emptied every partition leaves no parquet files;
+    # reading the bare dir would raise schema-inference instead of 0
+    has_files = any(f.endswith(".parquet")
+                    for _, _, fs in os.walk(path) for f in fs)
+    n_after = spark.read.parquet(path).count() if has_files else 0
     return {"n_before": n_before, "n_after": n_after,
             "n_removed": n_before - n_after,
             "partitions_rewritten": sorted(rewritten),

@@ -79,12 +79,19 @@ def refresh_aggregate(store, spark: SparkSession, mv_name: str,
     way) and commit the refreshed MV. Returns the MV version; a call
     with nothing pending is a no-op (no empty commit, offset untouched).
 
-    Crash safety mirrors the pipeline's task semantics: the offset
-    advances only AFTER the MV commit, so a crash between the two
-    replays the batch into a pre-refresh MV — same-or-older state, never
-    a skipped batch.
+    Crash safety: the consumed-to watermark rides INSIDE the MV commit
+    (``offsets=`` → the same atomic ``meta.json`` swap as the snapshot
+    pointer), so commit and offset advance can never be split by a
+    crash — the Snowflake contract ("stream data once used is gone",
+    SCD-Automation.sql:142). This matters here specifically because
+    ``apply_delta`` folds a SIGNED delta into the already-refreshed MV:
+    replaying a consumed batch would double-count it. A crash *before*
+    the commit leaves both MV and watermark at the previous state (the
+    batch is simply re-run); a crash *after* leaves only the global
+    offset mirror stale, and ``get_offset(..., table=mv_name)`` reads
+    the meta-carried watermark first, skipping the batch.
     """
-    since = store.get_offset(consumer)
+    since = store.get_offset(consumer, table=mv_name)
     changes = store.read_changes(spark, base_name, since)
     if changes is None:
         return store.version(mv_name) if store.exists(mv_name) else -1
@@ -96,6 +103,6 @@ def refresh_aggregate(store, spark: SparkSession, mv_name: str,
         new = apply_delta(None, delta, group_cols)
     else:
         new = apply_delta(store.read(spark, mv_name), delta, group_cols)
-    v = store.commit(mv_name, new)
-    store.set_offset(consumer, consumed_to)
+    v = store.commit(mv_name, new, offsets={consumer: consumed_to})
+    store.set_offset(consumer, consumed_to)  # global mirror (retention)
     return v

@@ -110,13 +110,21 @@ def plan_scd2(
 
 
 def scd2_merge(store, spark, staging_name: str, stream: DataFrame,
-               key: list[str], now: dt.datetime) -> int:
+               key: list[str], now: dt.datetime,
+               offsets: dict[str, int] | None = None) -> int:
     """Execute M2 against the store (one atomic commit).
 
     On a bucketed staging table the merge is PRUNED to the buckets the
     stream batch touches (bucket cols ⊆ the composite merge key, so every
     close/open lands in a stream-key bucket); other buckets keep their
-    files — see merge.merge_upsert."""
+    files — see merge.merge_upsert.
+
+    ``offsets`` rides the staging commit's atomic meta swap (C3): a
+    consuming pipeline passes its stream consumer's high-watermark so a
+    crash right after this merge can never replay the batch into the
+    already-merged staging (replay is structurally idempotent for SCD2
+    — re-closes re-match, re-opens no-op — but would re-stamp closed
+    rows' end_date with the replay cycle's timestamp)."""
     # The stream batch feeds the bucket probe, the close join and the
     # open anti-join — materialize it once (delta-sized).
     stream = stabilize(stream)
@@ -134,7 +142,7 @@ def scd2_merge(store, spark, staging_name: str, stream: DataFrame,
                     F.lit("Y").alias("current_flag"))
             .select(*scols)
         )
-        return store.commit(staging_name, opened)
+        return store.commit(staging_name, opened, offsets=offsets)
     spec = store.bucket_spec(staging_name)
     # Pruning requires bucket cols ⊆ merge key (see merge.merge_upsert);
     # a staging table bucketed otherwise takes the full-read path.
@@ -144,9 +152,11 @@ def scd2_merge(store, spark, staging_name: str, stream: DataFrame,
         ids = touched_buckets(stream, bcols, n)
         staging = store.read_buckets(spark, staging_name, ids)
         return store.commit_buckets(
-            staging_name, plan_scd2(staging, stream, key, now), ids)
+            staging_name, plan_scd2(staging, stream, key, now), ids,
+            offsets=offsets)
     staging = store.read(spark, staging_name)
-    return store.commit(staging_name, plan_scd2(staging, stream, key, now))
+    return store.commit(staging_name, plan_scd2(staging, stream, key, now),
+                        offsets=offsets)
 
 
 def plan_master(staging: DataFrame, cols: list[str]) -> DataFrame:

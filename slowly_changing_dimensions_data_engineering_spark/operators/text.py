@@ -329,11 +329,14 @@ def bpe_segment(df: DataFrame, syms_col: str,
     return df.withColumn(syms_col, c)
 
 
-def _viterbi_dp(cand_rows: Column, max_len: int) -> Column:
+def _viterbi_dp(cand_rows: Column) -> Column:
     """Forward Viterbi pass over one word's candidate-piece rows —
     ``cand_rows`` is the e-ascending array of per-position candidate
     arrays (``cands[j-1]`` = logp of the j-char piece ENDING at
     position e, NULL when the piece is out-of-vocabulary or j > e).
+    The piece-length bound is already encoded in the candidate arrays
+    (each has exactly ``min(max_len, e)`` slots), so the DP needs no
+    separate length parameter.
 
     Pure codegen fold with a flat ``array<double>`` accumulator in the
     interleaved layout ``[best_0, best_1, bp_1, best_2, bp_2, ...]``
@@ -494,7 +497,7 @@ def unigram_lm_fit(docs: DataFrame, rounds: int = 3, max_len: int = 4,
                   F.array_sort(F.collect_list(F.struct("e", "cands"))),
                   lambda s: s["cands"]).alias("rows")))
         dpf = de.select("word", "cnt",
-                        _viterbi_dp(F.col("rows"), max_len).alias("dp"))
+                        _viterbi_dp(F.col("rows")).alias("dp"))
         tbf = dpf.select("word", "cnt", "dp",
                          _viterbi_traceback(F.col("dp"), F.col("word"))
                          .alias("tb"))

@@ -15,16 +15,16 @@ scheduled variant loops with an interval, mirroring
 ``SCHEDULE = '1 minute'``; run history lands in a ``pipeline_runs`` log
 (T4, the TASK_HISTORY analogue at Automation:116,147).
 
-Consume-once stream semantics (C3, Automation:142): task4 reads every
-change batch past the ``scd2`` consumer offset and advances the offset
-immediately after its staging commit lands — a crash between commit and
-advance replays the batch. Replay is *flag*-idempotent (a DELETE
-re-closes an already-'N' row, an INSERT still matches → no-op) but not
-*value*-idempotent: re-closing overwrites ``end_date`` with the replay
-cycle's timestamp, exactly as re-executing the reference MERGE would in
-Snowflake (matched rows are updated unconditionally when the action
-predicate holds) — we preserve that observable behavior rather than
-guard it away.
+Consume-once stream semantics (C3, Automation:142): task4 passes the
+``scd2`` consumer's high-watermark INTO the staging commit
+(``offsets=``), so consumption is recorded in the same atomic
+``meta.json`` swap as the merge itself — Snowflake advances a stream's
+offset in the consuming DML's transaction, and so do we. A crash at any
+point either re-runs the whole batch against pre-merge staging (commit
+never landed) or skips it entirely (commit landed, watermark with it);
+the replayed-batch window that existed when the advance was a separate
+post-commit file write is closed (drilled in
+tests/test_incremental.py::test_crash_between_commit_and_offset_*).
 """
 
 from __future__ import annotations
@@ -87,12 +87,16 @@ class SupplierPipeline:
         merge_upsert(self.store, self.spark, LANDING, raw, MERGE_KEY, COMPARE_COLS)
 
     def task4_scd2_merge(self, now: dt.datetime) -> None:
-        offset = self.store.get_offset(STREAM_CONSUMER)
+        offset = self.store.get_offset(STREAM_CONSUMER, table=STAGING)
         latest = self.store.version(LANDING)
         stream = self.store.read_changes(self.spark, LANDING, since=offset)
         if stream is not None:
-            scd2_merge(self.store, self.spark, STAGING, stream, SCD2_KEY, now)
-        self.store.set_offset(STREAM_CONSUMER, latest)
+            # The offset advance rides the staging commit's atomic meta
+            # swap (C3, Automation:142) — a crash after the merge cannot
+            # replay the batch and re-stamp closed rows' end_date.
+            scd2_merge(self.store, self.spark, STAGING, stream, SCD2_KEY,
+                       now, offsets={STREAM_CONSUMER: latest})
+        self.store.set_offset(STREAM_CONSUMER, latest)  # global mirror
 
     def task5_refresh_master(self) -> None:
         refresh_master(self.store, self.spark, MASTER, STAGING)
@@ -120,7 +124,7 @@ class SupplierPipeline:
         for t in (RAW, LANDING, STAGING, MASTER):
             out[f"vacuum_{t}"] = self.store.vacuum(t, keep_last=keep_versions)
         out["changes_retired"] = self.store.vacuum_changes(
-            LANDING, self.store.get_offset(STREAM_CONSUMER))
+            LANDING, self.store.get_offset(STREAM_CONSUMER, table=STAGING))
         return out
 
     # ---- orchestration ---------------------------------------------------

@@ -435,11 +435,12 @@ def _scd2_store(spark: SparkSession, sf_dir: str):
 
     for load, ts in ((_supplier_load1(spark, sf_dir), _TS1),
                      (_supplier_load2(spark, sf_dir), _TS2)):
-        offset = store.get_offset("scd2")
+        offset = store.get_offset("scd2", table="staging")
         merge_upsert(store, spark, "landing", load, key, cmp_cols)
         stream = store.read_changes(spark, "landing", since=offset)
         if stream is not None:
-            scd2_merge(store, spark, "staging", stream, scd2_key, ts)
+            scd2_merge(store, spark, "staging", stream, scd2_key, ts,
+                       offsets={"scd2": store.version("landing")})
         store.set_offset("scd2", store.version("landing"))
 
     _SCD2_STORE_CACHE[sf_dir] = store.root
@@ -4063,11 +4064,12 @@ def _orders_scd2_store(spark: SparkSession, sf_dir: str, n_buckets: int = 32):
     key, scd2_key = ["order_code"], ["order_code", "order_status"]
     cmp_cols = ["order_status", "order_priority", "order_key"]
     for load, ts in ((load1, _TS1), (load2, _TS2), (load3, _TS3)):
-        offset = store.get_offset("oscd2")
+        offset = store.get_offset("oscd2", table="staging")
         merge_upsert(store, spark, "landing", load, key, cmp_cols)
         stream = store.read_changes(spark, "landing", since=offset)
         if stream is not None:
-            scd2_merge(store, spark, "staging", stream, scd2_key, ts)
+            scd2_merge(store, spark, "staging", stream, scd2_key, ts,
+                       offsets={"oscd2": store.version("landing")})
         store.set_offset("oscd2", store.version("landing"))
 
     _ORDERS_SCD2_CACHE[(sf_dir, n_buckets)] = store.root

@@ -510,12 +510,22 @@ class TableStore:
         return df.select(*[f.name for f in declared.fields])
 
     def commit(self, name: str, df: DataFrame, changes: DataFrame | None = None,
-               sort_within: list[F.Column] | None = None) -> int:
+               sort_within: list[F.Column] | None = None,
+               offsets: dict[str, int] | None = None) -> int:
         """Write a new immutable snapshot (+ optional change batch) and swap
         the pointer. One commit == one reference DML statement (Snowflake's
         per-statement transactionality, SURVEY.md §3.1). ``sort_within``
         (bucketed tables) orders rows inside each bucket at write time —
-        the per-bucket Z-ORDER layout hook used by ``compact``."""
+        the per-bucket Z-ORDER layout hook used by ``compact``.
+
+        ``offsets`` = {consumer: consumed_to_version} records stream
+        consumption ATOMICALLY with this commit — the map lands in the
+        same ``meta.json`` rewrite as the snapshot pointer (one
+        ``os.replace``), re-creating Snowflake's "DML over a stream
+        advances its offset in the same transaction" semantics
+        (SCD-Automation.sql:142). Consumers read it back via
+        ``get_offset(consumer, table=name)``; the standalone
+        ``set_offset`` file stays a best-effort global mirror only."""
         meta = self._read_meta(name)
         df = self._check_schema(name, meta, df)
         v = self._prep_version(name, meta)
@@ -540,11 +550,24 @@ class TableStore:
         if changes is not None:
             changes.write.mode("errorifexists").parquet(self._cdir(name, v))
         meta["latest"] = v
+        self._merge_offsets(meta, offsets)
         self._write_meta(name, meta)
         return v
 
+    @staticmethod
+    def _merge_offsets(meta: dict, offsets: dict[str, int] | None) -> None:
+        """Fold consumer high-watermarks into the meta dict about to be
+        atomically swapped in — the C3 crash-consistency carrier. A
+        watermark never moves backwards (RESTORE repoints ``latest`` but
+        must not un-consume a stream)."""
+        if offsets:
+            consumed = meta.setdefault("consumed", {})
+            for c, vv in offsets.items():
+                consumed[c] = max(int(vv), consumed.get(c, -1))
+
     def commit_append(self, name: str, df: DataFrame,
-                      changes: DataFrame | None = None) -> int:
+                      changes: DataFrame | None = None,
+                      offsets: dict[str, int] | None = None) -> int:
         """True append: write ONLY the new rows as a segment dir and add
         it to the snapshot's segment list — the append cost is the new
         data's size, never a rewrite of current contents (at 100 TB a
@@ -569,11 +592,13 @@ class TableStore:
         if changes is not None:
             changes.write.mode("errorifexists").parquet(self._cdir(name, v))
         meta["latest"] = v
+        self._merge_offsets(meta, offsets)
         self._write_meta(name, meta)
         return v
 
     def commit_buckets(self, name: str, df: DataFrame, bucket_ids: Iterable[int],
-                       changes: DataFrame | None = None) -> int:
+                       changes: DataFrame | None = None,
+                       offsets: dict[str, int] | None = None) -> int:
         """Partial commit: ``df`` holds the complete new contents of the
         given buckets (and ONLY those buckets); every other bucket keeps
         its current pointer. This is the pruned-merge write path — the
@@ -597,6 +622,7 @@ class TableStore:
         if changes is not None:
             changes.write.mode("errorifexists").parquet(self._cdir(name, v))
         meta["latest"] = v
+        self._merge_offsets(meta, offsets)
         self._write_meta(name, meta)
         return v
 
@@ -827,14 +853,30 @@ class TableStore:
     def _offset_path(self, consumer: str) -> str:
         return os.path.join(self.root, "_offsets", f"{consumer}.json")
 
-    def get_offset(self, consumer: str) -> int:
+    def get_offset(self, consumer: str, table: str | None = None) -> int:
+        """Last consumed source version for ``consumer``.
+
+        ``table`` names the table whose commits CARRY this consumer's
+        offset (``commit(..., offsets=...)``): the authoritative value is
+        then the max of the global offset file and the meta-carried
+        watermark, so a crash between a consuming commit and the
+        post-commit ``set_offset`` mirror can never replay the batch —
+        the commit itself already recorded consumption atomically."""
         p = self._offset_path(consumer)
-        if not os.path.exists(p):
-            return -1
-        with open(p) as f:
-            return json.load(f)["version"]
+        v = -1
+        if os.path.exists(p):
+            with open(p) as f:
+                v = json.load(f)["version"]
+        if table is not None and self.exists(table):
+            v = max(v, self._read_meta(table).get("consumed", {}).get(consumer, -1))
+        return v
 
     def set_offset(self, consumer: str, version: int) -> None:
+        """Global offset mirror (observability + change retention). NOT
+        the crash-safety mechanism — consuming DML passes ``offsets=`` to
+        its commit so the advance rides the same atomic meta swap; this
+        file may lag behind after a crash, which only RETAINS change
+        batches longer (vacuum_changes uses the min consumer offset)."""
         tmp = self._offset_path(consumer) + ".tmp"
         with open(tmp, "w") as f:
             json.dump({"version": version}, f)

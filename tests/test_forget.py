@@ -108,6 +108,59 @@ def test_forget_partitions_drops_emptied_partition(tmp_path, spark):
     assert left.filter(F.col("vec_id").isin(kill_ids)).count() == 0
 
 
+def test_forget_partitions_total_erasure_returns_zero(tmp_path, spark):
+    """Killing EVERY row leaves a parquet tree with no data files; the
+    audit must report n_after=0 instead of raising schema inference on
+    the empty directory (r12 ADVICE)."""
+    vecs = _mk_vectors(spark, n=12)
+    cents = (vecs.filter(F.col("vec_id") < 2)
+             .select(F.col("vec_id").alias("centroid_id"), "embedding"))
+    path = str(tmp_path / "ivf")
+    ivf_build_index(vecs, cents, path, n_centroids=2)
+    kill = spark.createDataFrame([(i,) for i in range(12)], ["vec_id"])
+    rep = forget_partitions(spark, path, kill, "vec_id", "centroid_id")
+    assert rep["n_before"] == 12
+    assert rep["n_after"] == 0 and rep["n_removed"] == 12
+    assert rep["partitions_rewritten"] == []
+    assert sorted(rep["partitions_dropped"]) == [0, 1]
+
+
+def test_forget_partitions_safe_under_stabilize_none(tmp_path, spark):
+    """spark.sds.stabilize.mode=none makes stabilize() pure lineage —
+    which is NOT a read-before-overwrite barrier. forget_partitions must
+    force a real checkpoint regardless, or the overwrite would consume a
+    lazy plan over the very files it replaces (r12 ADVICE, medium)."""
+    from slowly_changing_dimensions_data_engineering_spark.session import STABILIZE_MODE_CONF
+
+    vecs = _mk_vectors(spark)
+    cents = (vecs.filter(F.col("vec_id") < 4)
+             .select(F.col("vec_id").alias("centroid_id"), "embedding"))
+    path = str(tmp_path / "ivf")
+    ivf_build_index(vecs, cents, path, n_centroids=4)
+    expected_survivors = sorted(
+        r["vec_id"] for r in spark.read.parquet(path)
+        .filter(~F.col("vec_id").isin([0, 1, 2, 3, 4, 5])).collect())
+    prev = spark.conf.get(STABILIZE_MODE_CONF, "local")
+    spark.conf.set(STABILIZE_MODE_CONF, "none")
+    try:
+        kill = spark.createDataFrame([(i,) for i in range(6)], ["vec_id"])
+        rep = forget_partitions(spark, path, kill, "vec_id", "centroid_id")
+    finally:
+        spark.conf.set(STABILIZE_MODE_CONF, prev)
+    left = spark.read.parquet(path)
+    assert sorted(r["vec_id"] for r in left.collect()) == expected_survivors
+    assert rep["n_removed"] == 6
+
+
+def test_forget_partitions_rejects_remote_paths(tmp_path, spark):
+    """Erasure over a non-local tree would silently no-op its
+    dropped-partition cleanup (driver-local rmtree) — refuse loudly."""
+    kill = spark.createDataFrame([(1,)], ["vec_id"])
+    with pytest.raises(NotImplementedError, match="local filesystem"):
+        forget_partitions(spark, "hdfs://nn/warehouse/idx", kill,
+                          "vec_id", "centroid_id")
+
+
 def test_forget_partitions_noop_on_absent_ids(tmp_path, spark):
     vecs = _mk_vectors(spark, n=12)
     cents = (vecs.filter(F.col("vec_id") < 2)

@@ -187,6 +187,91 @@ def test_merge_when_matched_delete_tombstones(spark, tmp_path):
         == {"CA": (2, 5), "TX": (1, 3)}
 
 
+def test_crash_between_commit_and_offset_mv_no_double_apply(spark, tmp_path):
+    """C3 crash-atomicity (VERDICT r12 finding #1): the consumed-to
+    watermark rides INSIDE the MV commit's atomic meta swap, so a crash
+    between the commit and the post-commit global-mirror write must NOT
+    replay the batch — a replayed signed delta would double-count into
+    the already-refreshed MV."""
+    import pytest
+
+    store = TableStore(str(tmp_path))
+    store.create("base", schemas.SUPPLIER)
+    merge_upsert(store, spark, "base",
+                 _rows(spark, [(1, "CA"), (2, "CA"), (3, "NY")]), KEY, CMP)
+    refresh_aggregate(store, spark, "mv", "base", "mv", GROUP, SUMS)
+
+    # new pending batch, then CRASH right after the MV commit: the
+    # global-mirror set_offset never runs.
+    merge_upsert(store, spark, "base",
+                 _rows(spark, [(3, "CA"), (4, "TX")]), KEY, CMP)
+    real_set = store.set_offset
+    store.set_offset = lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError("simulated crash between commit and offset advance"))
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        refresh_aggregate(store, spark, "mv", "base", "mv", GROUP, SUMS)
+    store.set_offset = real_set
+
+    # The commit landed; the global offset file is stale (pre-batch) but
+    # the meta-carried watermark already records consumption.
+    assert store.get_offset("mv") < store.get_offset("mv", table="mv")
+    v_after_crash = store.version("mv")
+    mv_after_crash = _mv(store, spark)
+    assert mv_after_crash == _expected(store, spark)  # batch applied once
+
+    # Restart: the re-run must see nothing pending (no double-apply, no
+    # empty commit) and the MV must equal the one-shot recompute.
+    v = refresh_aggregate(store, spark, "mv", "base", "mv", GROUP, SUMS)
+    assert v == v_after_crash
+    assert _mv(store, spark) == mv_after_crash == _expected(store, spark)
+    # and the restart healed the global mirror for change retention
+    refresh_aggregate(store, spark, "mv", "base", "mv", GROUP, SUMS)
+    assert store.version("mv") == v_after_crash
+
+
+def test_crash_between_commit_and_offset_scd2_pipeline(spark, tmp_path):
+    """The same drill for the SCD2 task chain (pipeline.task4): a crash
+    after the staging merge commit but before the global offset mirror
+    must not replay the stream batch — replay would re-stamp closed
+    rows' end_date with the replay cycle's timestamp. Staging must be
+    golden-equivalent to the uncrashed two-load run."""
+    import datetime as dt
+
+    import pytest
+
+    from slowly_changing_dimensions_data_engineering_spark.pipeline import (
+        STAGING, SupplierPipeline)
+
+    p = SupplierPipeline(spark, str(tmp_path))
+    p.setup()
+    p.stage.put("/root/reference/suppliers.csv")
+    p.run_cycle(now=dt.datetime(2024, 3, 26, 23, 41, 54))
+
+    # load 2 with a crash inside task4's post-commit mirror write
+    p.stage.put("/root/reference/suppliers_v2.csv")
+    real_set = p.store.set_offset
+    p.store.set_offset = lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError("simulated crash"))
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        p.run_cycle(now=dt.datetime(2024, 3, 27, 0, 5, 43))
+    p.store.set_offset = real_set
+
+    golden = sorted(
+        (r["supplier_code"], r["supplier_state"], r["current_flag"],
+         r["start_date"], r["end_date"])
+        for r in p.store.read(spark, STAGING).collect())
+    assert len(golden) == 10  # Setup.sql:253-266 — 8 current + 2 closed
+
+    # Restart cycle at a LATER timestamp: an offset replay would re-close
+    # the two 'N' rows with this timestamp; the watermark must skip it.
+    p.run_cycle(now=dt.datetime(2024, 3, 27, 9, 0, 0))
+    again = sorted(
+        (r["supplier_code"], r["supplier_state"], r["current_flag"],
+         r["start_date"], r["end_date"])
+        for r in p.store.read(spark, STAGING).collect())
+    assert again == golden
+
+
 def test_merge_tombstones_first_load_and_bucketed_pruning(spark, tmp_path):
     store = TableStore(str(tmp_path))
     store.create("b", schemas.SUPPLIER, bucket_by=(KEY, 8))

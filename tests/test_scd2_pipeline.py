@@ -160,16 +160,20 @@ def test_no_delete_propagation(pipe, spark):
     assert {"A101", "A102", "A103", "A104"} <= codes
 
 
-def test_stream_replay_after_crash_is_flag_idempotent(spark, tmp_path):
-    """C3 crash semantics (pipeline.py docstring): a crash between the
-    staging commit and the offset advance replays the change batch. The
-    replayed DELETE re-closes already-'N' rows (end_date shifts to the
-    replay timestamp — Snowflake's unconditional matched-UPDATE does the
-    same); replayed INSERTs match and no-op. Row multiset is otherwise
-    unchanged."""
+def test_stream_consume_once_survives_offset_mirror_loss(spark, tmp_path):
+    """C3 crash-atomicity (r13 fix): the consumer watermark rides the
+    staging commit's atomic meta swap, so losing/rewinding the global
+    offset MIRROR file (the crash window VERDICT r12 flagged) can no
+    longer replay the batch — task4 sees nothing pending and staging is
+    bit-stable, matching Snowflake's "stream data once used is GONE"
+    (SCD-Automation.sql:142). A forced replay of the same batch through
+    scd2_merge directly is still flag-idempotent (Snowflake's
+    unconditional matched-UPDATE re-stamps end_date), pinning that the
+    merge semantics themselves did not change."""
     import datetime as dt
+    from slowly_changing_dimensions_data_engineering_spark.operators.scd2 import scd2_merge
     from slowly_changing_dimensions_data_engineering_spark.pipeline import (
-        STAGING, SupplierPipeline,
+        LANDING, SCD2_KEY, STAGING, SupplierPipeline,
     )
 
     p = SupplierPipeline(spark, str(tmp_path))
@@ -180,20 +184,35 @@ def test_stream_replay_after_crash_is_flag_idempotent(spark, tmp_path):
     p.stage.put("/root/reference/suppliers_v2.csv")
     p.run_cycle(now=dt.datetime(2024, 2, 1))
 
-    before = {(r["supplier_code"], r["supplier_state"], r["current_flag"],
-               r["start_date"]) for r in p.store.read(spark, STAGING).collect()}
+    before = sorted(
+        (r["supplier_code"], r["supplier_state"], r["current_flag"],
+         r["start_date"], r["end_date"])
+        for r in p.store.read(spark, STAGING).collect())
 
-    # crash: offset never advanced past load 1 -> load 2's batch replays
+    # crash scenario: the global mirror rewinds to load 1 (as if the
+    # post-commit set_offset never ran) — the meta-carried watermark
+    # must keep the batch consumed.
     p.store.set_offset("scd2", offset_after_1)
-    replay_now = dt.datetime(2024, 3, 1)
-    p.task4_scd2_merge(now=replay_now)
+    v_before = p.store.version(STAGING)
+    p.task4_scd2_merge(now=dt.datetime(2024, 3, 1))
+    assert p.store.version(STAGING) == v_before  # no commit: nothing pending
+    after = sorted(
+        (r["supplier_code"], r["supplier_state"], r["current_flag"],
+         r["start_date"], r["end_date"])
+        for r in p.store.read(spark, STAGING).collect())
+    assert after == before
 
+    # Forced replay (explicitly re-feeding the consumed batch): the
+    # merge itself stays flag-idempotent — multiset of
+    # (key, flag, start) stable, closed rows re-stamped.
+    batch = p.store.read_changes(spark, LANDING, since=offset_after_1)
+    replay_now = dt.datetime(2024, 3, 1)
+    scd2_merge(p.store, spark, STAGING, batch, SCD2_KEY, replay_now)
     rows = p.store.read(spark, STAGING).collect()
-    after = {(r["supplier_code"], r["supplier_state"], r["current_flag"],
-              r["start_date"]) for r in rows}
-    assert after == before                      # flag/key/start multiset stable
+    assert {(r["supplier_code"], r["supplier_state"], r["current_flag"],
+             r["start_date"]) for r in rows} \
+        == {(c, s, f, sd) for c, s, f, sd, _ in before}
     assert len(rows) == 10
-    # the two closed rows were re-closed with the replay timestamp
     closed = [r for r in rows if r["current_flag"] == "N"]
     assert len(closed) == 2
     assert all(r["end_date"] == replay_now for r in closed)
