@@ -243,6 +243,134 @@ def merge_upsert(store, spark, target_name: str, source: DataFrame,
     return store.commit(target_name, new_target, changes=changes)
 
 
+def plan_scd3(target: DataFrame, source: DataFrame, key: list[str],
+              compare_cols: list[str],
+              track: dict[str, str]) -> tuple[DataFrame, DataFrame]:
+    """SCD Type-3 merge plan: a current-state upsert (Type-1 shape,
+    ``plan_upsert``) that additionally preserves the PRIOR value of each
+    tracked column in a companion column — the "previous state" pattern
+    of the dimension family the reference's SCD2 pipeline belongs to
+    (Type-2 keeps full history rows, Setup.sql:143-153; Type-3 keeps
+    exactly one prior value in-row; Type-1 keeps none — that is
+    ``merge_upsert`` itself).
+
+    ``track`` maps tracked column → its previous-value column; the
+    target schema is the source schema plus those columns. Semantics:
+
+    - matched + changed → UPDATE: base columns take the source values;
+      each prev column ``p`` for tracked ``c`` becomes
+      ``CASE WHEN t.c != s.c THEN t.c ELSE t.p END`` — null-sensitive
+      ``!=`` (the J3 convention, Setup.sql:102-109): a NULL comparand
+      keeps the old prev value, and a load that changes OTHER compare
+      columns but not ``c`` leaves ``p`` untouched;
+    - not matched → INSERT with NULL prev columns (no prior value);
+    - unchanged matched rows and rows absent from the load carry over
+      (no delete propagation, SURVEY.md edge case 5).
+
+    Returns ``(new_target, cdc_changes)`` with the same DELETE+INSERT
+    pair encoding as ``plan_upsert`` over the FULL Type-3 schema, so
+    signed consumers (incremental MVs) fold prev-column transitions too.
+    Physical shape mirrors plan_upsert: one categorize join (source
+    broadcastable when delta-sized) + target anti-join carry-over — the
+    target is never on the build side.
+    """
+    cols = target.columns
+    prev_cols = list(track.values())
+    base_cols = [c for c in cols if c not in prev_cols]
+    prev_type = {p: target.schema[p].dataType for p in prev_cols}
+
+    s = source.select(*base_cols).alias("s")
+    t = target.alias("t")
+    on = [F.col(f"s.{k}") == F.col(f"t.{k}") for k in key]
+    cat = stabilize(
+        s.join(t.withColumn("_t_present", F.lit(True)), on, "left")
+        .withColumn(
+            "_op",
+            F.when(F.col("_t_present").isNull(), F.lit("insert"))
+            .when(_any_changed(compare_cols, "t", "s"), F.lit("update"))
+            .otherwise(F.lit("noop")),
+        )
+    )
+    s_base = [F.col(f"s.{c}").alias(c) for c in base_cols]
+
+    def prev_exprs(side_has_target: bool):
+        if not side_has_target:
+            return [F.lit(None).cast(prev_type[p]).alias(p)
+                    for p in prev_cols]
+        return [F.when(F.col(f"t.{c}") != F.col(f"s.{c}"), F.col(f"t.{c}"))
+                 .otherwise(F.col(f"t.{p}")).alias(p)
+                for c, p in track.items()]
+
+    upd = (cat.filter(F.col("_op") == "update")
+           .select(*s_base, *prev_exprs(True)).select(*cols))
+    ins = (cat.filter(F.col("_op") == "insert")
+           .select(*s_base, *prev_exprs(False)).select(*cols))
+
+    def rid(prefix: str | None):
+        ks = [F.col(f"{prefix}.{k}" if prefix else k).cast("string")
+              for k in key]
+        return F.md5(F.concat_ws("\x1f", *ks))
+
+    touched = (cat.filter(F.col("_op") == "update")
+               .select(*[F.col(f"s.{k}").alias(k) for k in key]).distinct())
+    # pre-images target-side (one per PHYSICAL row — the dup-source rule
+    # plan_upsert documents)
+    upd_pre = (target.join(touched, key, "semi")
+               .select(*cols, F.lit("DELETE").alias(CDC_ACTION),
+                       F.lit(True).alias(CDC_ISUPDATE),
+                       rid(None).alias(CDC_ROW_ID)))
+    changes = (
+        ins.select(*cols, F.lit("INSERT").alias(CDC_ACTION),
+                   F.lit(False).alias(CDC_ISUPDATE),
+                   rid(None).alias(CDC_ROW_ID))
+        .unionByName(upd.select(*cols, F.lit("INSERT").alias(CDC_ACTION),
+                                F.lit(True).alias(CDC_ISUPDATE),
+                                rid(None).alias(CDC_ROW_ID)))
+        .unionByName(upd_pre))
+
+    kept = target.join(touched, key, "left_anti")
+    new_target = kept.unionByName(upd).unionByName(ins)
+    return new_target, changes
+
+
+def scd3_upsert(store, spark, target_name: str, source: DataFrame,
+                key: list[str], compare_cols: list[str],
+                track: dict[str, str]) -> int:
+    """Execute the SCD Type-3 merge against the store (one atomic
+    commit, CDC batch included). Bucketed targets take the pruned path
+    under the same bucket-cols ⊆ merge-key condition as merge_upsert;
+    the first load into an empty table is a pure append with NULL prev
+    columns."""
+    source = store.stabilize(source)
+    cols = store.schema(target_name).fieldNames()
+    prev_cols = set(track.values())
+    base_cols = [c for c in cols if c not in prev_cols]
+    if store.version(target_name) < 0:
+        schema = store.schema(target_name)
+        src = source.select(
+            *base_cols,
+            *[F.lit(None).cast(schema[p].dataType).alias(p)
+              for p in track.values()]).select(*cols)
+        ridc = F.md5(F.concat_ws(
+            "\x1f", *[F.col(k).cast("string") for k in key]))
+        changes = src.select(
+            *cols, F.lit("INSERT").alias(CDC_ACTION),
+            F.lit(False).alias(CDC_ISUPDATE), ridc.alias(CDC_ROW_ID))
+        return store.commit(target_name, src, changes=changes)
+    spec = store.bucket_spec(target_name)
+    if spec is not None and set(spec[0]) <= set(key):
+        bcols, n = spec
+        ids = touched_buckets(source, bcols, n)
+        target = store.read_buckets(spark, target_name, ids)
+        new_target, changes = plan_scd3(target, source, key, compare_cols,
+                                        track)
+        return store.commit_buckets(target_name, new_target, ids,
+                                    changes=changes)
+    target = store.read(spark, target_name)
+    new_target, changes = plan_scd3(target, source, key, compare_cols, track)
+    return store.commit(target_name, new_target, changes=changes)
+
+
 def delete_where(store, spark, target_name: str, predicate,
                  key: list[str]) -> int:
     """``DELETE FROM target WHERE predicate`` with CDC emission — the

@@ -148,6 +148,48 @@ def sample_frames(df: DataFrame, every_k: int = 2, content_col: str = "content",
     return df.mapInPandas(explode_frames, schema=out_schema)
 
 
+def frame_mean_features(df: DataFrame, content_col: str = "content",
+                        center: bool = True) -> DataFrame:
+    """Per-frame mean-pixel profile of a FAKE1 payload as
+    ``features array<double>`` — the positional "brightness profile"
+    that makes media near-dup detection work where a global byte
+    histogram cannot: two near-duplicate assets share their profile
+    frame by frame, while unrelated assets of the same modality share
+    only the global distribution. ``center=True`` subtracts the asset's
+    own mean profile value, turning cosine similarity into the
+    correlation of profiles (measured on the driver corpus: median
+    inter-asset cosine 0.09 centered vs ~0.999 uncentered — the raw
+    byte average of same-language payloads swamps the signal).
+
+    Vectorized per Arrow batch: one ``frombuffer`` + reshape + axis
+    mean per asset — no per-frame Python loop. Requires every frame to
+    be complete (the FAKE1 packer guarantees it)."""
+    out_schema = T.StructType(
+        list(df.schema.fields)
+        + [T.StructField("features", T.ArrayType(T.DoubleType()))]
+    )
+
+    def featurize(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in batches:
+            bufs = [bytes(b) for b in pdf[content_col]]
+            whn = _parse_headers_np(bufs)
+            feats = []
+            for buf, (w, h, n) in zip(bufs, whn):
+                sz = int(w) * int(h)
+                px = np.frombuffer(buf, np.uint8, count=sz * int(n),
+                                   offset=17).astype(np.float64)
+                means = px.reshape(int(n), sz).mean(axis=1)
+                if center:
+                    means = means - means.mean()
+                feats.append(means.tolist())
+            pdf = pdf.copy()
+            pdf["features"] = feats
+            yield pdf
+
+    return df.mapInPandas(featurize, schema=out_schema)
+
+
 def byte_histogram_features(df: DataFrame, content_col: str = "content",
                             n_bins: int = 16) -> DataFrame:
     """Deterministic per-asset feature vector: normalized byte histogram

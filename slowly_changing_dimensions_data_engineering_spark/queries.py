@@ -80,15 +80,26 @@ def register(name: str, oracle: str | None):
 # demote list so it backfilled the filler slots after r7's kmeans seed
 # change to their shared module.
 _BOARD_DEMOTE = [
-    # -- demoted r12 (>=2 lifetime greens banked through r11). The
-    #    classifier pair leads the backfill: r12 touches
-    #    operators/classifier.py (deterministic mini-batch sampler),
-    #    and although the full-batch plan is ledger-identical, the
-    #    shared module earns a fresh driver green first (r7 protocol).
-    #    The 21 queries left non-demoted are exactly those with <=1
-    #    lifetime green: the 13 r11-new cohort awaiting their second
-    #    green plus the 7 r12-new (zero greens) and
-    #    classifier_train_minibatch (first-ever oracle check). --
+    # -- r13 rotation: CORRECTNESS_r12 was 50/50 green; the 13 r11-new
+    #    queries banked their second green and move to the "demoted
+    #    r13" section below. Non-demoted (leading the board): the 4
+    #    r13-new queries (scd1/scd3, multimodal near-dup, chunk RAG —
+    #    zero greens, auto-promoted by registration order) and the 9
+    #    one-green r12 cohort (classifier mini-batch pair +
+    #    calibration, unigram family, deletion family) banking their
+    #    second green. Touched-module backfill (r7 protocol) leads the
+    #    demote list: r13 rewrites the C3 offset path (store.py /
+    #    pipeline.py / scd2.py / incremental.py / merge.py) and
+    #    multimodal.py, so their queries re-earn driver greens first. --
+    "scd2_supplier_history",
+    "scd2_master_current",
+    "scd2_orders_history_bucketed",
+    "incremental_mv_state_stats",
+    "streaming_mv_order_status",
+    "delete_dml_state_stats",
+    "snapshot_diff_suppliers",
+    "multimodal_binary_stats",
+    # -- demoted r12 (>=2 lifetime greens banked through r11). --
     "classifier_train_rounds",
     "classifier_train_weights",
     "ivf_two_level_assign_highdim",
@@ -100,11 +111,9 @@ _BOARD_DEMOTE = [
     "pq_adc_batch_embeddings",
     "pq_adc_topk_embeddings",
     "pq_encode_embeddings",
-    "scd2_orders_history_bucketed",
     "streaming_ann_index_state",
     "streaming_click_attribution",
     "streaming_ivfpq_index_state",
-    "streaming_mv_order_status",
     # -- ANN/embedding family: >=2 lifetime greens, but r7 touches
     #    operators/similarity.py (kmeans seed mode), so they backfill
     #    the board FIRST for a fresh driver check under the new code --
@@ -126,7 +135,6 @@ _BOARD_DEMOTE = [
     "decontamination_overlap",
     "dedup_clusters_cc",
     "dedup_corpus_minhash",
-    "delete_dml_state_stats",
     "doc_chunks",
     "domain_mix_quotas",
     "dq_checks_orders",
@@ -134,7 +142,6 @@ _BOARD_DEMOTE = [
     "funnel_conversion_users",
     "histogram_prices",
     "hll_sketch_region_customers",
-    "incremental_mv_state_stats",
     "lm_quality_scores",
     "map_functions_events",
     "minhash_incremental_dedup",
@@ -147,10 +154,8 @@ _BOARD_DEMOTE = [
     "q5_region_revenue",
     "quantile_sketch_prices",
     "repetition_signals_docs",
-    "scd2_master_current",
     "sessionize_events_gap_rule",
     "set_except_all_orders",
-    "snapshot_diff_suppliers",
     "stats_aggregates_lineitem",
     "tfidf_top_terms",
     "token_freq_topk",
@@ -184,7 +189,6 @@ _BOARD_DEMOTE = [
     "json_extract_events",
     "minhash_lsh_candidates",
     "minhash_near_dups",
-    "multimodal_binary_stats",
     "ngram_jaccard_pairs",
     "pandas_udf_charge",
     "pandas_udf_grouped_price_range",
@@ -194,7 +198,6 @@ _BOARD_DEMOTE = [
     "rollup_order_status",
     "row_udf_nation_tag",
     "salted_agg_event_values",
-    "scd2_supplier_history",
     "semi_join_active_customers",
     "sequence_packing_bins",
     "set_except_finished_only",
@@ -209,6 +212,20 @@ _BOARD_DEMOTE = [
     "window_range_1h_user_spend",
     "window_running_spend",
     "window_top3_orders_per_customer",
+    # -- demoted r13 (r11-new cohort; green r11 + r12; alphabetical) --
+    "bpe_fertility_by_source",
+    "classifier_trained_scores",
+    "cluster_balanced_sample",
+    "curriculum_quality_shards",
+    "decontamination_cut",
+    "decontamination_fuzzy",
+    "dedup_audit_by_source",
+    "domain_mix_temperature",
+    "dsir_importance_topk",
+    "pretraining_funnel_v2",
+    "quality_rank_fusion",
+    "streaming_click_attribution_outer",
+    "streaming_trained_scores",
 ]
 
 
@@ -234,7 +251,8 @@ _PIPELINE_CACHE_NAMES = (
     "_STREAM_ANN_CACHE", "_ORDERS_SCD2_CACHE", "_IVFPQ_INDEX_CACHE",
     "_BPE_CACHE", "_CLS_TRAIN_CACHE", "_STREAM_JOIN_CACHE",
     "_STREAM_JOIN_OUTER_CACHE", "_STREAM_SCORE_CACHE", "_CLS_MB_CACHE",
-    "_UNIGRAM_CACHE", "_FORGET_CACHE",
+    "_UNIGRAM_CACHE", "_FORGET_CACHE", "_SCD3_STORE_CACHE",
+    "_FORGET_BASE_CACHE", "_FORGET_EXP_CACHE", "_CHUNK_RAG_CACHE",
 )
 
 
@@ -478,6 +496,86 @@ def scd2_master_current(spark: SparkSession, sf_dir: str) -> DataFrame:
     staging = store.read(spark, "staging")
     return staging.filter(F.col("current_flag") == "Y").select(
         "supplier_key", "supplier_code", "supplier_name", "supplier_state")
+
+
+@register("scd1_landing_current", _SCD2_CTES + """
+SELECT l.supplier_key, l.supplier_code, l.supplier_name,
+       COALESCE(c.supplier_state, l.supplier_state) AS supplier_state
+FROM load1 l LEFT JOIN changed c ON l.supplier_code = c.supplier_code
+UNION ALL
+SELECT supplier_key, supplier_code, supplier_name, supplier_state
+FROM newrows
+""")
+def scd1_landing_current(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-1 — overwrite-in-place, no history. This is exactly the
+    reference's LANDING semantics (the M1 merge_upsert at
+    Setup.sql:99-119 updates matched rows in place and keeps nothing of
+    the prior value); registered by its dimension-family name so the
+    Type-1/2/3 trio is explicit. Reads the LANDING table of the same
+    two-load pipeline run the SCD2 queries share; oracle =
+    last-write-wins over the two loads."""
+    store = _scd2_store(spark, sf_dir)
+    return store.read(spark, "landing").select(
+        "supplier_key", "supplier_code", "supplier_name", "supplier_state")
+
+
+#: sf_dir -> store root of the two-load SCD Type-3 run (shared with
+#: nothing: the Type-3 dimension has its own prev-column schema).
+_SCD3_STORE_CACHE: dict[str, str] = {}
+
+
+@register("scd3_supplier_prev_state", _SCD2_CTES + """
+SELECT l.supplier_key, l.supplier_code, l.supplier_name,
+       COALESCE(c.supplier_state, l.supplier_state) AS supplier_state,
+       CASE WHEN c.supplier_code IS NOT NULL
+            THEN l.supplier_state END AS prev_supplier_state
+FROM load1 l LEFT JOIN changed c ON l.supplier_code = c.supplier_code
+UNION ALL
+-- a synthetic "new" row whose offset key collides with an existing
+-- code (the documented S99 case: suppkey 0 + max) is a MATCH, so it
+-- carries the prior state like any other update
+SELECT n.supplier_key, n.supplier_code, n.supplier_name, n.supplier_state,
+       CASE WHEN l.supplier_code IS NOT NULL
+             AND l.supplier_state <> n.supplier_state
+            THEN l.supplier_state END AS prev_supplier_state
+FROM newrows n LEFT JOIN load1 l ON n.supplier_code = l.supplier_code
+""")
+def scd3_supplier_prev_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-3 (operators/merge.py::scd3_upsert): the current-state
+    dimension with the PRIOR supplier_state preserved in a companion
+    column — one prior value in-row, versus Type-2's full history rows
+    (Setup.sql:143-153) and Type-1's none. Two synthetic loads through
+    the bucketed pruned-merge path; changed suppliers carry their load-1
+    state in prev_supplier_state, inserts carry NULL. Oracle restates
+    the two-load transition."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from .operators.merge import scd3_upsert
+    from .store import TableStore
+
+    def read(store):
+        return store.read(spark, "dim").select(
+            "supplier_key", "supplier_code", "supplier_name",
+            "supplier_state", "prev_supplier_state")
+
+    root = _SCD3_STORE_CACHE.get(sf_dir)
+    if root and os.path.exists(os.path.join(root, "_meta", "dim.json")):
+        return read(TableStore(root))
+
+    store = TableStore(_pipeline_tmpdir("sds_scd3_"))
+    schema = T.StructType(
+        list(schemas.SUPPLIER.fields)
+        + [T.StructField("prev_supplier_state", T.StringType())])
+    store.create("dim", schema, bucket_by=(["supplier_code"], 8))
+    key = ["supplier_code"]
+    cmp_cols = ["supplier_state", "supplier_name", "supplier_key"]
+    track = {"supplier_state": "prev_supplier_state"}
+    for load in (_supplier_load1(spark, sf_dir), _supplier_load2(spark, sf_dir)):
+        scd3_upsert(store, spark, "dim", load, key, cmp_cols, track)
+    _SCD3_STORE_CACHE[sf_dir] = store.root
+    return read(store)
 
 
 # =====================================================================
@@ -2407,6 +2505,310 @@ def semantic_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("n_vectors",
                     (F.col("n_vectors") - F.col("n_dropped")).alias("n_kept"),
                     "n_dup_clusters", "n_dropped"))
+
+
+#: Media near-dup oracle: restates the FAKE1 frame-mean featurization
+#: (exact — frame sums are small integers, /16 is a power of two, so
+#: the centered profiles are bit-equal across engines), the lowid-
+#: centroid blocking (the embedding_near_dup_pairs convention), and the
+#: recursive-CTE reachability of _SEMANTIC_CC_ORACLE.
+_MULTIMODAL_CC_ORACLE = """
+WITH RECURSIVE d AS (
+  SELECT doc_id, substr(text, 1, 256) AS s FROM documents
+),
+fm AS (
+  SELECT doc_id, i,
+         COALESCE(list_sum(list_transform(
+             range(1, len(substr(s, 1 + i*16, 16)) + 1),
+             j -> CAST(ord(substr(substr(s, 1 + i*16, 16), j, 1)) AS DOUBLE))),
+           0.0) / 16.0 AS fmean
+  FROM d, range(0, 16) t(i)
+),
+vec AS (SELECT doc_id, list(fmean ORDER BY i) AS v FROM fm GROUP BY doc_id),
+cvec AS (
+  SELECT doc_id, list_transform(v, x -> x - list_sum(v) / 16.0) AS cv
+  FROM vec
+),
+cents AS (SELECT doc_id AS cid, cv AS ce FROM cvec ORDER BY doc_id LIMIT 8),
+scored AS (
+  SELECT cvec.doc_id, cents.cid,
+         round(list_dot_product(
+             list_transform(range(1, 17), i -> cv[i] - ce[i]),
+             list_transform(range(1, 17), i -> cv[i] - ce[i])), 9) AS dist
+  FROM cvec, cents
+),
+assign AS (
+  SELECT doc_id, cid FROM scored
+  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY dist, cid) = 1
+),
+pairs AS (
+  SELECT a.doc_id AS v1, b.doc_id AS v2
+  FROM cvec a JOIN assign ca ON a.doc_id = ca.doc_id
+       JOIN assign cb ON ca.cid = cb.cid
+       JOIN cvec b ON b.doc_id = cb.doc_id AND a.doc_id < b.doc_id
+  WHERE round(list_dot_product(a.cv, b.cv) /
+              (sqrt(list_dot_product(a.cv, a.cv))
+               * sqrt(list_dot_product(b.cv, b.cv))), 9) >= 0.95
+),
+edges AS (SELECT v1 AS u, v2 AS v FROM pairs
+          UNION SELECT v2 AS u, v1 AS v FROM pairs),
+reach AS (
+  SELECT u AS node, u AS comp FROM edges
+  UNION
+  SELECT e.u AS node, r.comp FROM edges e JOIN reach r ON e.v = r.node
+),
+lab AS (SELECT node, MIN(comp) AS comp FROM reach GROUP BY node)
+SELECT (SELECT COUNT(*) FROM documents) AS n_assets,
+       (SELECT COUNT(*) FROM pairs) AS n_pairs,
+       (SELECT COUNT(DISTINCT comp) FROM lab) AS n_dup_clusters,
+       (SELECT COUNT(*) FROM lab WHERE node != comp) AS n_dropped,
+       CAST((SELECT SUM(doc_id) FROM documents) AS BIGINT)
+         - COALESCE(CAST((SELECT SUM(node) FROM lab WHERE node != comp)
+                         AS BIGINT), 0) AS kept_id_sum
+"""
+
+
+@register("multimodal_near_dup_summary", _MULTIMODAL_CC_ORACLE)
+def multimodal_near_dup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media/asset near-dup dedup end-to-end (VERDICT r12 #3): binary
+    FAKE1 payloads → Arrow ``mapInPandas`` frame-mean featurization
+    (operators/multimodal.py::frame_mean_features — the mean-centered
+    per-frame brightness profile, so cosine = profile correlation) →
+    lowid-centroid-blocked vector near-dup pairs (the
+    embedding_near_dup_pairs machinery, never all-pairs) → connected
+    components → keep-canonical budget summary with the exact kept-set
+    pinned by kept_id_sum. The media corpus is documents text packed
+    into 16×1×16-frame FAKE1 containers (the deterministic codec), so
+    the oracle restates the feature math bit-for-bit — frame sums are
+    small exact integers and /16 is a power of two.
+
+    Scale shape: featurization is one Arrow pass over the corpus;
+    candidate pairs come only from within centroid cells (the
+    embedding_near_dup_pairs contract); CC shuffles the pair graph
+    only; the summary is pure aggregation."""
+    import struct as _struct
+
+    from .operators.graph import connected_components
+    from .operators.multimodal import MAGIC, frame_mean_features
+    from .operators.similarity import embedding_near_dup_pairs
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    header = MAGIC + _struct.pack(">III", 16, 1, 16)  # w=16, h=1, 16 frames
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.concat(F.lit(header),
+                 F.encode(F.rpad(F.substring("text", 1, 256), 256, "\x00"),
+                          "UTF-8")).alias("content"))
+    feats = frame_mean_features(media).select("media_id", "features")
+    cents = (feats.orderBy("media_id").limit(8)
+             .select(F.col("media_id").alias("centroid_id"),
+                     F.col("features").alias("embedding")))
+    pairs = embedding_near_dup_pairs(
+        feats, centroids=cents, id_col="media_id", vec_col="features",
+        threshold=0.95)
+    labels = connected_components(pairs, src="v1", dst="v2")
+    stats = labels.agg(
+        F.countDistinct("comp").alias("n_dup_clusters"),
+        F.coalesce(F.sum((F.col("node") != F.col("comp")).cast("long")),
+                   F.lit(0)).alias("n_dropped"),
+        F.coalesce(F.sum(F.when(F.col("node") != F.col("comp"),
+                                F.col("node"))), F.lit(0)).alias("_drop_sum"))
+    tot = media.agg(F.count("*").alias("n_assets"),
+                    F.sum("media_id").alias("_id_sum"))
+    npairs = pairs.agg(F.count("*").alias("n_pairs"))
+    return (tot.crossJoin(npairs).crossJoin(stats)
+            .select("n_assets", "n_pairs", "n_dup_clusters", "n_dropped",
+                    (F.col("_id_sum") - F.col("_drop_sum"))
+                    .alias("kept_id_sum")))
+
+
+#: sf_dir -> (index path, centroid count) for the chunk-retrieval index.
+_CHUNK_RAG_CACHE: dict[str, tuple[str, int]] = {}
+
+
+def _chunk_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk → deterministic featurization: the doc_chunks windows
+    (200 chars, 50 overlap) packed into FAKE1 containers and run
+    through frame_mean_features — the exact (bit-replayable) encoder
+    stand-in shared with multimodal_near_dup_summary."""
+    import struct as _struct
+
+    from .operators.multimodal import MAGIC, frame_mean_features
+    from .operators.text import chunk_documents
+
+    d = _t(spark, sf_dir, "documents")["documents"]
+    ch = chunk_documents(d, chunk_chars=200, overlap=50)
+    header = MAGIC + _struct.pack(">III", 16, 1, 16)
+    media = ch.select(
+        (F.col("doc_id") * 100 + F.col("chunk_id")).alias("cid"),
+        F.concat(F.lit(header),
+                 F.encode(F.rpad(F.substring("chunk", 1, 256), 256, "\x00"),
+                          "UTF-8")).alias("content"))
+    return frame_mean_features(media).select("cid", "features")
+
+
+def _chunk_rag_index(spark: SparkSession, sf_dir: str):
+    """Build (once per sf_dir) the centroid-partitioned IVF index over
+    the chunk features; k scales max(8, n_chunks // 250) — the
+    _IVF_CELL_ROWS convention, so cell population stays constant."""
+    import os
+
+    from .operators.similarity import ivf_build_index
+
+    feats = _chunk_feats(spark, sf_dir)
+    cached = _CHUNK_RAG_CACHE.get(sf_dir)
+    if cached and os.path.exists(cached[0]):
+        path, k = cached
+    else:
+        k = max(_IVF_N_CENTROIDS, feats.count() // _IVF_CELL_ROWS)
+        cents = (feats.orderBy("cid").limit(k)
+                 .select(F.col("cid").alias("centroid_id"),
+                         F.col("features").alias("embedding")))
+        path = _pipeline_tmpdir("sds_rag_") + "/index"
+        ivf_build_index(feats, cents, path, id_col="cid",
+                        vec_col="features", n_centroids=k)
+        _CHUNK_RAG_CACHE[sf_dir] = (path, k)
+    cents = (feats.orderBy("cid").limit(k)
+             .select(F.col("cid").alias("centroid_id"),
+                     F.col("features").alias("embedding")))
+    return path, cents, feats
+
+
+_CHUNK_QUERY_IDS = (700, 2300, 4200)  # chunk 0 of docs 7, 23, 42
+
+_CHUNK_RAG_ORACLE = f"""
+WITH ch0 AS (
+  SELECT doc_id, text,
+         unnest(range(0, CAST(greatest(1,
+             ceil((length(text) - 50) / 150.0)) AS BIGINT))) AS chunk_id
+  FROM documents
+),
+ch AS (
+  SELECT doc_id * 100 + chunk_id AS cid,
+         substr(text, CAST(chunk_id * 150 + 1 AS INT), 200) AS s
+  FROM ch0
+),
+fm AS (
+  SELECT cid, i,
+         COALESCE(list_sum(list_transform(
+             range(1, len(substr(s, 1 + i*16, 16)) + 1),
+             j -> CAST(ord(substr(substr(s, 1 + i*16, 16), j, 1)) AS DOUBLE))),
+           0.0) / 16.0 AS fmean
+  FROM ch, range(0, 16) t(i)
+),
+vec AS (SELECT cid, list(fmean ORDER BY i) AS v FROM fm GROUP BY cid),
+cvec AS (
+  SELECT cid, list_transform(v, x -> x - list_sum(v) / 16.0) AS cv FROM vec
+),
+kk AS (SELECT greatest(8, count(*) // 250) AS k FROM ch),
+cents AS (
+  SELECT cid AS ccid, cv AS ce
+  FROM (SELECT cid, cv, row_number() OVER (ORDER BY cid) AS rn FROM cvec), kk
+  WHERE rn <= k
+),
+scored AS (
+  SELECT cvec.cid, ccid,
+         round(list_dot_product(
+             list_transform(range(1, 17), i -> cv[i] - ce[i]),
+             list_transform(range(1, 17), i -> cv[i] - ce[i])), 9) AS dist
+  FROM cvec, cents
+),
+assign AS (
+  SELECT cid, ccid FROM scored
+  QUALIFY row_number() OVER (PARTITION BY cid ORDER BY dist, ccid) = 1
+),
+q AS (SELECT cid AS qid, cv AS qv FROM cvec
+      WHERE cid IN {_CHUNK_QUERY_IDS}),
+probes AS (
+  SELECT qid, ccid FROM cents, q
+  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY
+      round(list_dot_product(
+          list_transform(range(1, 17), i -> ce[i] - qv[i]),
+          list_transform(range(1, 17), i -> ce[i] - qv[i])), 9), ccid) <= 4
+),
+exact AS (
+  SELECT q.qid, v.cid FROM cvec v, q
+  WHERE v.cid != q.qid
+  QUALIFY row_number() OVER (PARTITION BY q.qid ORDER BY
+      round(list_dot_product(v.cv, q.qv) /
+        (sqrt(list_dot_product(v.cv, v.cv))
+         * sqrt(list_dot_product(q.qv, q.qv))), 9) DESC, v.cid) <= 10
+),
+ann AS (
+  SELECT p.qid, v.cid
+  FROM cvec v JOIN assign a ON v.cid = a.cid
+       JOIN probes p ON a.ccid = p.ccid
+       JOIN q ON q.qid = p.qid
+  WHERE v.cid != q.qid
+  QUALIFY row_number() OVER (PARTITION BY p.qid ORDER BY
+      round(list_dot_product(v.cv, q.qv) /
+        (sqrt(list_dot_product(v.cv, v.cv))
+         * sqrt(list_dot_product(q.qv, q.qv))), 9) DESC, v.cid) <= 10
+)
+SELECT q.qid AS query_id,
+       (SELECT count(*) FROM ann a WHERE a.qid = q.qid) AS n_ann,
+       round((SELECT count(*) FROM ann a JOIN exact e
+              ON a.qid = e.qid AND a.cid = e.cid
+              WHERE a.qid = q.qid) / 10.0, 3) AS recall_at_10,
+       (SELECT count(*) FROM ann a JOIN exact e
+        ON a.qid = e.qid AND a.cid = e.cid
+        WHERE a.qid = q.qid) / 10.0 >= 0.8 AS recall_ok
+FROM q
+"""
+
+
+@register("chunk_retrieval_topk", _CHUNK_RAG_ORACLE)
+def chunk_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RAG retrieval loop closed end-to-end (VERDICT r12 #4):
+    chunk_documents (text.py — the md5-pinned 200/50 windows) →
+    deterministic chunk featurization (FAKE1 frame-mean profiles, exact
+    cross-engine math) → centroid-partitioned IVF index build → BATCH
+    per-query ANN top-10 with dynamic partition pruning → recall@10
+    contract vs the brute-force exact top-10, per query. Every stage is
+    oracle-proven separately (doc_chunks, multimodal_near_dup_summary,
+    ivf_recall_at10, ann_batch_topk); this registers the composition a
+    retrieval user actually runs.
+
+    nprobe=4: chunk profiles are text-STRUCTURED (unlike the isotropic
+    synthetic embeddings), so the lowid-cell blocking carries real
+    signal — measured recall 1.0 at every driver sf with 4 of
+    max(8, n/250) cells probed. Scale shape: featurize is one Arrow
+    pass, the index build one partitioned write, the batch search scans
+    only the probed cluster directories, and the exact arm is the
+    documented brute-force contract cost (3 queries × corpus)."""
+    from pyspark.sql.window import Window
+
+    from .operators.similarity import as_double, cosine, ivf_search_index_inplan
+
+    path, cents, feats = _chunk_rag_index(spark, sf_dir)
+    qrows = (feats.filter(F.col("cid").isin(*_CHUNK_QUERY_IDS))
+             .select("cid", "features"))
+    ann = ivf_search_index_inplan(
+        spark, path, qrows, cents, k=10, nprobe=4, id_col="cid",
+        vec_col="features", single_query=False)
+
+    qv = (feats.filter(F.col("cid").isin(*_CHUNK_QUERY_IDS))
+          .select(F.col("cid").alias("query_id"),
+                  as_double("features").alias("_qv")))
+    wk = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                                F.asc("cid"))
+    exact = (feats.crossJoin(F.broadcast(qv))
+             .filter(F.col("cid") != F.col("query_id"))
+             .select("query_id", "cid",
+                     cosine(as_double("features"), F.col("_qv"))
+                     .alias("cosine"))
+             .withColumn("_rk", F.row_number().over(wk))
+             .filter(F.col("_rk") <= 10).select("query_id", "cid"))
+
+    hits = (ann.join(exact, ["query_id", "cid"])
+            .groupBy("query_id").agg(F.count("*").alias("_n_hit")))
+    return (ann.groupBy("query_id").agg(F.count("*").alias("n_ann"))
+            .join(hits, "query_id", "left")
+            .select("query_id", "n_ann",
+                    F.round(F.coalesce(F.col("_n_hit"), F.lit(0)) / 10.0, 3)
+                    .alias("recall_at_10"),
+                    (F.coalesce(F.col("_n_hit"), F.lit(0)) / 10.0 >= 0.8)
+                    .alias("recall_ok")))
 
 
 @register("quantile_sketch_prices", """
@@ -7385,37 +7787,56 @@ _FORGET_CACHE: dict[str, dict] = {}
 
 _FORGET_MOD = 37  # kill list: every id with id % 37 == 0
 
+#: Shared deletion-family build per sf_dir (VERDICT r12 #5): corpus
+#: store + minhash index + IVF index + shard manifest are built ONCE;
+#: each deletion pipeline hard-links the trees into its own root before
+#: mutating them (the two families cascade DIFFERENT kill lists — the
+#: build amortizes, the mutation stays private).
+_FORGET_BASE_CACHE: dict[str, dict] = {}
 
-def _forget_pipeline(spark: SparkSession, sf_dir: str) -> dict:
-    """Build (once per sf_dir) the full derived-artifact family over
-    the corpus — versioned doc store, minhash band index, IVF index,
-    epoch-shard manifest — then run the deletion cascade for the
-    deterministic kill list: ``delete_where`` on the store (CDC
-    DELETE rows + history vacuum = true erasure, not soft delete)
-    and ``forget_cascade`` over the three parquet artifacts
-    (partition-local rewrites)."""
+
+def _hardlink_tree(src: str, dst: str) -> None:
+    """Zero-copy clone of a store/parquet tree via hard links (local
+    FS). Safe under every mutator this repo has: ``os.replace`` meta
+    swaps, dynamic partition overwrites, vacuum deletions, and
+    ``shutil.rmtree`` all REPLACE or UNLINK directory entries — which
+    detaches the clone's link and leaves the source bytes untouched
+    (the divergence contract ``store.clone`` already pins)."""
+    import os as _os
+
+    for dirpath, _dirs, files in _os.walk(src):
+        rel = _os.path.relpath(dirpath, src)
+        tdir = dst if rel == "." else _os.path.join(dst, rel)
+        _os.makedirs(tdir, exist_ok=True)
+        for f in files:
+            _os.link(_os.path.join(dirpath, f), _os.path.join(tdir, f))
+
+
+def _forget_base(spark: SparkSession, sf_dir: str) -> dict:
+    """Build (once per sf_dir) the pristine derived-artifact family —
+    versioned doc store, minhash band index (one corpus shingle pass,
+    persisted), IVF index, epoch-shard manifest — that BOTH deletion
+    pipelines clone. Nothing here is ever mutated."""
     import os as _os
 
     from .operators.dedup import minhash_band_frame, minhash_index_append
-    from .operators.forget import forget_cascade
-    from .operators.merge import delete_where
     from .operators.sampling import shard_assign
     from .operators.similarity import ivf_build_index
     from .store import TableStore
 
-    state = _FORGET_CACHE.get(sf_dir)
+    state = _FORGET_BASE_CACHE.get(sf_dir)
     if state and _os.path.exists(_os.path.join(state["root"], "_meta",
                                                "docs.json")):
         return state
 
-    root = _pipeline_tmpdir("sds_forget_")
+    root = _pipeline_tmpdir("sds_forget_base_")
     store = TableStore(root)
     d = _t(spark, sf_dir, "documents")["documents"]
     e = _t(spark, sf_dir, "embeddings")["embeddings"]
 
-    # corpus store: bucketed so the delete rewrites only buckets
-    # holding killed rows (the delete_dml convention); the initial
-    # load writes all 8 buckets via the pruned-commit path
+    # corpus store: bucketed so a delete rewrites only buckets holding
+    # killed rows (the delete_dml convention); the initial load writes
+    # all 8 buckets via the pruned-commit path
     store.create("docs", d.schema, bucket_by=(["doc_id"], 8))
     store.commit_buckets("docs", d, range(8))
 
@@ -7439,6 +7860,39 @@ def _forget_pipeline(spark: SparkSession, sf_dir: str) -> dict:
         "ivf_index": spark.read.parquet(ivf_path).count(),
         "shard_manifest": spark.read.parquet(shard_path).count(),
     }
+    state = {"root": root, "mh": mh_path, "ivf": ivf_path,
+             "shard": shard_path, "n_before": n_before}
+    _FORGET_BASE_CACHE[sf_dir] = state
+    return state
+
+
+def _forget_pipeline(spark: SparkSession, sf_dir: str) -> dict:
+    """Clone the shared base fixture, then run the deletion cascade for
+    the deterministic kill list: ``delete_where`` on the store (CDC
+    DELETE rows + history vacuum = true erasure, not soft delete)
+    and ``forget_cascade`` over the three parquet artifacts
+    (partition-local rewrites)."""
+    import os as _os
+
+    from .operators.forget import forget_cascade
+    from .operators.merge import delete_where
+    from .store import TableStore
+
+    state = _FORGET_CACHE.get(sf_dir)
+    if state and _os.path.exists(_os.path.join(state["root"], "_meta",
+                                               "docs.json")):
+        return state
+
+    base = _forget_base(spark, sf_dir)
+    root = _pipeline_tmpdir("sds_forget_")
+    _hardlink_tree(base["root"], root)
+    store = TableStore(root)
+    d = _t(spark, sf_dir, "documents")["documents"]
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    mh_path = _os.path.join(root, "minhash_index")
+    ivf_path = _os.path.join(root, "ivf_index")
+    shard_path = _os.path.join(root, "shard_manifest")
+    n_before = dict(base["n_before"])
 
     kill = (d.select(F.col("doc_id").alias("kid"))
             .unionByName(e.select(F.col("vec_id").alias("kid")))
@@ -7557,34 +8011,32 @@ _FORGET_EXP_MOD = 97  # erasure requests: every doc with doc_id % 97 == 1
 def _forget_expansion_pipeline(spark: SparkSession, sf_dir: str) -> dict:
     import os as _os
 
-    from .operators.dedup import (
-        minhash_band_frame,
-        minhash_index_append,
-        minhash_near_dups,
-    )
+    from .operators.dedup import minhash_near_dups
     from .operators.forget import forget_cascade
-    from .operators.sampling import shard_assign
     from .session import stabilize
 
     state = _FORGET_EXP_CACHE.get(sf_dir)
     if state and _os.path.exists(state["mh"]):
         return state
 
+    # clone the shared base fixture's minhash index + shard manifest
+    # (r12 built its own copies — one extra corpus shingle pass + two
+    # extra writes per sf_dir); the PERSISTED base index doubles as the
+    # band frame for pair generation, read from the immutable base tree
+    # while the cascade mutates only this pipeline's hard links
+    base = _forget_base(spark, sf_dir)
     root = _pipeline_tmpdir("sds_forget_exp_")
-    d = _spread(spark, _t(spark, sf_dir, "documents")["documents"])
-
-    # ONE shingle pass: the persisted band frame serves both the index
-    # build and the near-dup pair generation
-    bf = stabilize(minhash_band_frame(d))
     mh_path = _os.path.join(root, "minhash_index")
-    minhash_index_append(bf, mh_path)
     shard_path = _os.path.join(root, "shard_manifest")
-    (shard_assign(d.select("doc_id"), n_shards=8, seed="epoch1")
-     .write.partitionBy("shard").parquet(shard_path))
+    _hardlink_tree(base["mh"], mh_path)
+    _hardlink_tree(base["shard"], shard_path)
     n_before = {
-        "minhash_index": spark.read.parquet(mh_path).count(),
-        "shard_manifest": spark.read.parquet(shard_path).count(),
+        "minhash_index": base["n_before"]["minhash_index"],
+        "shard_manifest": base["n_before"]["shard_manifest"],
     }
+    d = _spread(spark, _t(spark, sf_dir, "documents")["documents"])
+    bf = (spark.read.parquet(base["mh"])
+          .select("doc_id", "band", "bsig", "mh"))
 
     seeds = d.filter(F.col("doc_id") % _FORGET_EXP_MOD == 1) \
              .select("doc_id")

@@ -355,3 +355,52 @@ def test_forgotten_vector_unreachable_via_ivfpq_index(tmp_path, spark):
                         k=32, nprobe=4, exclude_query_id=False)
     assert 13 not in {r["vec_id"] for r in post.collect()}
     assert spark.read.parquet(path).filter("vec_id = 13").count() == 0
+
+
+def test_forgotten_media_asset_unreachable_via_feature_neardup(tmp_path, spark):
+    """Media corpus as a forget-cascade target (VERDICT r12 #3): after
+    erasing an asset from the centroid-partitioned feature artifact,
+    the near-dup pair generation over the LIVE artifact can no longer
+    surface it — its syndicated copy sails through as unique."""
+    import struct
+
+    from slowly_changing_dimensions_data_engineering_spark.operators.multimodal import (
+        frame_mean_features, pack_fake_media)
+    from slowly_changing_dimensions_data_engineering_spark.operators.similarity import (
+        embedding_near_dup_pairs, ivf_assign)
+
+    # two byte-identical assets (1, 2) + two distinct ones
+    def frames(seed):
+        return [bytes((seed * 37 + i * 11 + j) % 251 for j in range(16))
+                for i in range(16)]
+
+    payloads = [(1, pack_fake_media(16, 1, frames(3))),
+                (2, pack_fake_media(16, 1, frames(3))),
+                (3, pack_fake_media(16, 1, frames(5))),
+                (4, pack_fake_media(16, 1, frames(9)))]
+    media = spark.createDataFrame(payloads, "media_id long, content binary")
+    feats = frame_mean_features(media).select("media_id", "features")
+    cents = (feats.orderBy("media_id").limit(2)
+             .select(F.col("media_id").alias("centroid_id"),
+                     F.col("features").alias("embedding")))
+    # persist the centroid-partitioned feature artifact (the IVF layout)
+    assign = ivf_assign(feats, cents, id_col="media_id", vec_col="features")
+    path = str(tmp_path / "media_feats")
+    (feats.join(assign, "media_id")
+     .write.partitionBy("centroid_id").parquet(path))
+
+    def live_pairs():
+        idx = spark.read.parquet(path)
+        return {(r["v1"], r["v2"]) for r in embedding_near_dup_pairs(
+            idx, block_col="centroid_id", id_col="media_id",
+            vec_col="features", threshold=0.95).collect()}
+
+    assert (1, 2) in live_pairs()  # the duplicate is visible pre-erasure
+
+    rep = forget_partitions(
+        spark, path, spark.createDataFrame([(1,)], ["media_id"]),
+        "media_id", "centroid_id")
+    assert rep["n_removed"] == 1
+    post = live_pairs()
+    assert all(1 not in p for p in post)
+    assert spark.read.parquet(path).filter("media_id = 1").count() == 0

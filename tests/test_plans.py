@@ -59,7 +59,16 @@ NESTED_LOOP_ALLOWED = {"embed_topk_cosine", "ann_filtered_topk",
                        "ivfpq_residual_search_embeddings",
                        # composes the bigram-LM signal, inheriting its
                        # 1-row vocabulary-size aggregate broadcast
-                       "quality_rank_fusion"}
+                       "quality_rank_fusion",
+                       # flat ivf_assign's 8-row lowid-centroid
+                       # dictionary crossed into the feature frame +
+                       # the crossJoin of three 1-row summary
+                       # aggregates (the semantic_dedup_summary shape)
+                       "multimodal_near_dup_summary",
+                       # 3-row query-vector broadcast into the exact
+                       # (brute-force contract) arm + the bounded
+                       # centroid-dictionary probe ranking
+                       "chunk_retrieval_topk"}
 
 
 def _plan(spark, name: str) -> str:

@@ -339,3 +339,73 @@ def test_true_delete_closes_scd2_version_permanently(spark, tmp_path):
     # S1: one closed row, never reopened; S2 untouched and current
     assert hist == {("S1", "N", False), ("S2", "Y", True)}
     assert store.read(spark, "staging").count() == 2
+
+
+def test_scd3_prev_value_three_load_replay(spark, tmp_path):
+    """SCD Type-3 (operators/merge.py::scd3_upsert) over three loads:
+    load 2 sets prev from the prior current value, load 3 OVERWRITES
+    prev for a re-changed key, an untracked-column-only change leaves
+    prev untouched, a NULL comparand is a no-op (the J3 null-sensitive
+    rule), and the reference's no-delete-propagation holds."""
+    from pyspark.sql import Row, types as T
+
+    from slowly_changing_dimensions_data_engineering_spark import schemas
+    from slowly_changing_dimensions_data_engineering_spark.operators.merge import scd3_upsert
+    from slowly_changing_dimensions_data_engineering_spark.store import TableStore
+
+    key, cmp_cols = ["supplier_code"], ["supplier_state", "supplier_name",
+                                        "supplier_key"]
+    track = {"supplier_state": "prev_supplier_state"}
+    schema = T.StructType(list(schemas.SUPPLIER.fields)
+                          + [T.StructField("prev_supplier_state",
+                                           T.StringType())])
+    store = TableStore(str(tmp_path))
+    store.create("dim", schema, bucket_by=(key, 4))
+
+    def load(rows):
+        return spark.createDataFrame(
+            [Row(supplier_key=k, supplier_code=c, supplier_name=n,
+                 supplier_state=s) for k, c, n, s in rows], schemas.SUPPLIER)
+
+    def dim():
+        return {r["supplier_code"]:
+                (r["supplier_state"], r["prev_supplier_state"],
+                 r["supplier_name"])
+                for r in store.read(spark, "dim").collect()}
+
+    # load 1: pure inserts, prev NULL everywhere
+    scd3_upsert(store, spark, "dim",
+                load([(1, "A1", "n1", "CA"), (2, "A2", "n2", "NY"),
+                      (3, "A3", "n3", "TX")]), key, cmp_cols, track)
+    assert dim() == {"A1": ("CA", None, "n1"), "A2": ("NY", None, "n2"),
+                     "A3": ("TX", None, "n3")}
+
+    # load 2: A1 state change (prev set), A2 name-only change (prev
+    # stays NULL), A3 absent (no delete propagation), A4 insert
+    scd3_upsert(store, spark, "dim",
+                load([(1, "A1", "n1", "WA"), (2, "A2", "n2b", "NY"),
+                      (4, "A4", "n4", "OR")]), key, cmp_cols, track)
+    assert dim() == {"A1": ("WA", "CA", "n1"), "A2": ("NY", None, "n2b"),
+                     "A3": ("TX", None, "n3"), "A4": ("OR", None, "n4")}
+
+    # load 3: A1 changes again — prev OVERWRITES (Type-3 keeps exactly
+    # one prior value); A4 NULL state comparand → J3 no-op, prev kept
+    scd3_upsert(store, spark, "dim",
+                load([(1, "A1", "n1", "AZ"), (4, "A4", "n4", None)]),
+                key, cmp_cols, track)
+    assert dim() == {"A1": ("AZ", "WA", "n1"), "A2": ("NY", None, "n2b"),
+                     "A3": ("TX", None, "n3"), "A4": ("OR", None, "n4")}
+
+    # CDC of load 3: one update pair for A1 only (the no-op emitted
+    # nothing), pre-image carries the pre-load prev column
+    ch = store.read_changes(spark, "dim", store.version("dim") - 1)
+    rows = {(r["METADATA$ACTION"], r["METADATA$ISUPDATE"],
+             r["supplier_code"], r["supplier_state"],
+             r["prev_supplier_state"]) for r in ch.collect()}
+    assert rows == {("DELETE", True, "A1", "WA", "CA"),
+                    ("INSERT", True, "A1", "AZ", "WA")}
+
+    # bucketed pruning: the load-3 commit rewrote only A1/A4's buckets
+    meta = store._read_meta("dim")
+    v = meta["latest"]
+    assert len([b for b, bv in meta["buckets"].items() if bv == v]) <= 2

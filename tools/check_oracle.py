@@ -41,7 +41,11 @@ def canon_rows(cols, rows):
 def loose_equal(a, b):
     if len(a) != len(b):
         return False
-    for ra, rb in zip(sorted(a), sorted(b)):
+    # sort by canonical string form: raw tuples may mix None with
+    # non-None values, which Python's default tuple sort rejects
+    def key(r):
+        return tuple(canon_cell(x) for x in r)
+    for ra, rb in zip(sorted(a, key=key), sorted(b, key=key)):
         if len(ra) != len(rb):
             return False
         for x, y in zip(ra, rb):

@@ -69,6 +69,9 @@ PIPELINE_QUERIES = {
     "streaming_trained_scores",
     "deletion_cascade_audit",
     "deletion_neardup_expansion",
+    "scd1_landing_current",
+    "scd3_supplier_prev_state",
+    "chunk_retrieval_topk",
 }
 
 
