@@ -72,6 +72,18 @@ def connected_components(pairs: DataFrame, src: str = "d1", dst: str = "d2",
     edges = stabilize(
         e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .filter("u != v").distinct())
+    # The pair graph is SMALL relative to the corpus that produced it
+    # (2 longs per edge), but every propagation step is 3 shuffles — at
+    # the session's corpus-sized shuffle-partition count that is pure
+    # empty-task overhead (measured: 800-node graph, 64 partitions,
+    # 22s; sized, 1 partition, seconds). Scope the partition count to
+    # the graph for the duration of the loop: the edge count is free
+    # (it materializes the barrier we want anyway), and the setting
+    # only ever LOWERS the session value.
+    spark = pairs.sparkSession
+    n_edges = edges.count()
+    cur_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    parts = max(1, min(n_edges // 100_000 + 1, cur_parts))
     labels = edges.select(F.col("u").alias("node")).distinct() \
                   .select("node", F.col("node").alias("comp"))
 
@@ -83,24 +95,53 @@ def connected_components(pairs: DataFrame, src: str = "d1", dst: str = "d2",
             .select(F.col("u").alias("node"), "nbr_comp")
         )
         # least() skips nulls, so nodes whose neighbors carry no smaller
-        # label keep their component unchanged; _ch marks rows this step
-        # improved (cheaper than re-joining old vs new labels).
-        return (lab.join(nbr_min, "node", "left")
-                .select("node", F.least("comp", "nbr_comp").alias("comp"),
-                        F.coalesce(F.col("nbr_comp") < F.col("comp"),
-                                   F.lit(False)).alias("_ch")))
+        # label keep their component unchanged. The propagated frame is
+        # stabilized because the jump below consumes it TWICE (as rows
+        # and as the parent map): an RDD barrier makes both references
+        # share one evaluation, keeping a lazily chained multi-step
+        # batch LINEAR — an unbarriered double reference re-evaluates
+        # the whole previous chain per consumer, 3^steps blow-up.
+        prop = stabilize(
+            lab.join(nbr_min, "node", "left")
+            .select("node", F.col("comp").alias("_old"),
+                    F.least("comp", "nbr_comp").alias("comp")))
+        # Pointer jumping (path halving): comp <- label(comp). One extra
+        # join of the SMALL label frame per step, and the propagation
+        # distance SQUARES each round, so chain-shaped clusters converge
+        # in O(log diameter) instead of O(diameter) steps — profile-
+        # space near-dup graphs (multimodal_near_dup_summary) form long
+        # gradual chains that overran the plain-propagation cap at
+        # sf0.1. Correctness: every comp value is the id of a node
+        # reachable from `node`, and label(comp) is a min over nodes
+        # reachable from comp, so the jump never leaves the component
+        # and the monotone-min fixpoint (every node at its cluster
+        # minimum, which labels itself) is unchanged. _ch compares
+        # against the pre-step label so a jump-only improvement still
+        # defers the convergence verdict.
+        parent = prop.select(F.col("node").alias("comp"),
+                             F.col("comp").alias("_pc"))
+        return (prop.join(parent, "comp", "left")
+                .select("node",
+                        F.least("comp", F.coalesce("_pc", "comp"))
+                        .alias("comp"),
+                        (F.least("comp", F.coalesce("_pc", "comp"))
+                         < F.col("_old")).alias("_ch")))
 
     steps_done = 0
-    while steps_done < max_iter:
-        cur = labels
-        for _ in range(min(steps_per_action, max_iter - steps_done)):
-            cur = step(cur.select("node", "comp"))
-            steps_done += 1
-        new_labels = stabilize(cur)
-        changed = new_labels.filter("_ch").count()
-        labels = new_labels.select("node", "comp")
-        if changed == 0:
-            return labels
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        while steps_done < max_iter:
+            cur = labels
+            for _ in range(min(steps_per_action, max_iter - steps_done)):
+                cur = step(cur.select("node", "comp"))
+                steps_done += 1
+            new_labels = stabilize(cur)
+            changed = new_labels.filter("_ch").count()
+            labels = new_labels.select("node", "comp")
+            if changed == 0:
+                return labels
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", str(cur_parts))
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} steps — "
         "cluster diameter exceeds max_iter; raise max_iter or switch to "

@@ -2508,10 +2508,11 @@ def semantic_dedup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Media near-dup oracle: restates the FAKE1 frame-mean featurization
-#: (exact — frame sums are small integers, /16 is a power of two, so
-#: the centered profiles are bit-equal across engines), the lowid-
-#: centroid blocking (the embedding_near_dup_pairs convention), and the
-#: recursive-CTE reachability of _SEMANTIC_CC_ORACLE.
+#: (exact — frame sums are small integers, /4 and /64 are powers of
+#: two, so the centered profiles are bit-equal across engines), the
+#: scaled lowid-centroid blocking (the embedding_near_dup_pairs
+#: convention), and the recursive-CTE reachability of
+#: _SEMANTIC_CC_ORACLE.
 _MULTIMODAL_CC_ORACLE = """
 WITH RECURSIVE d AS (
   SELECT doc_id, substr(text, 1, 256) AS s FROM documents
@@ -2519,22 +2520,28 @@ WITH RECURSIVE d AS (
 fm AS (
   SELECT doc_id, i,
          COALESCE(list_sum(list_transform(
-             range(1, len(substr(s, 1 + i*16, 16)) + 1),
-             j -> CAST(ord(substr(substr(s, 1 + i*16, 16), j, 1)) AS DOUBLE))),
-           0.0) / 16.0 AS fmean
-  FROM d, range(0, 16) t(i)
+             range(1, len(substr(s, 1 + i*4, 4)) + 1),
+             j -> CAST(ord(substr(substr(s, 1 + i*4, 4), j, 1)) AS DOUBLE))),
+           0.0) / 4.0 AS fmean
+  FROM d, range(0, 64) t(i)
 ),
 vec AS (SELECT doc_id, list(fmean ORDER BY i) AS v FROM fm GROUP BY doc_id),
 cvec AS (
-  SELECT doc_id, list_transform(v, x -> x - list_sum(v) / 16.0) AS cv
+  SELECT doc_id, list_transform(v, x -> x - list_sum(v) / 64.0) AS cv
   FROM vec
 ),
-cents AS (SELECT doc_id AS cid, cv AS ce FROM cvec ORDER BY doc_id LIMIT 8),
+kk AS (SELECT greatest(8, count(*) // 250) AS k FROM d),
+cents AS (
+  SELECT doc_id AS cid, cv AS ce
+  FROM (SELECT doc_id, cv, row_number() OVER (ORDER BY doc_id) AS rn
+        FROM cvec), kk
+  WHERE rn <= k
+),
 scored AS (
   SELECT cvec.doc_id, cents.cid,
          round(list_dot_product(
-             list_transform(range(1, 17), i -> cv[i] - ce[i]),
-             list_transform(range(1, 17), i -> cv[i] - ce[i])), 9) AS dist
+             list_transform(range(1, 65), i -> cv[i] - ce[i]),
+             list_transform(range(1, 65), i -> cv[i] - ce[i])), 9) AS dist
   FROM cvec, cents
 ),
 assign AS (
@@ -2548,7 +2555,7 @@ pairs AS (
        JOIN cvec b ON b.doc_id = cb.doc_id AND a.doc_id < b.doc_id
   WHERE round(list_dot_product(a.cv, b.cv) /
               (sqrt(list_dot_product(a.cv, a.cv))
-               * sqrt(list_dot_product(b.cv, b.cv))), 9) >= 0.95
+               * sqrt(list_dot_product(b.cv, b.cv))), 9) >= 0.99
 ),
 edges AS (SELECT v1 AS u, v2 AS v FROM pairs
           UNION SELECT v2 AS u, v1 AS v FROM pairs),
@@ -2578,34 +2585,46 @@ def multimodal_near_dup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding_near_dup_pairs machinery, never all-pairs) → connected
     components → keep-canonical budget summary with the exact kept-set
     pinned by kept_id_sum. The media corpus is documents text packed
-    into 16×1×16-frame FAKE1 containers (the deterministic codec), so
+    into 4×1×64-frame FAKE1 containers (the deterministic codec), so
     the oracle restates the feature math bit-for-bit — frame sums are
-    small exact integers and /16 is a power of two.
+    small exact integers and /4, /64 are powers of two.
 
     Scale shape: featurization is one Arrow pass over the corpus;
-    candidate pairs come only from within centroid cells (the
-    embedding_near_dup_pairs contract); CC shuffles the pair graph
-    only; the summary is pure aggregation."""
+    the centroid count scales max(8, n/250) so cell population — and
+    with it the candidate-pair count — stays LINEAR in corpus size
+    (the _IVF_CELL_ROWS convention; a fixed k would be O(n²/k));
+    64 fine frames rather than 16 coarse ones because profile
+    granularity controls the false-candidate tail (measured at sf0.1:
+    208k pairs ≥0.95 at 16 frames vs 1.1k ≥0.99 at 64 — a
+    template-vocabulary corpus correlates heavily under coarse
+    profiles). CC shuffles the pair graph only; the summary is pure
+    aggregation."""
     import struct as _struct
 
     from .operators.graph import connected_components
     from .operators.multimodal import MAGIC, frame_mean_features
     from .operators.similarity import embedding_near_dup_pairs
+    from .session import stabilize
 
     d = _t(spark, sf_dir, "documents")["documents"]
-    header = MAGIC + _struct.pack(">III", 16, 1, 16)  # w=16, h=1, 16 frames
+    header = MAGIC + _struct.pack(">III", 4, 1, 64)  # w=4, h=1, 64 frames
     media = d.select(
         F.col("doc_id").alias("media_id"),
         F.concat(F.lit(header),
                  F.encode(F.rpad(F.substring("text", 1, 256), 256, "\x00"),
                           "UTF-8")).alias("content"))
-    feats = frame_mean_features(media).select("media_id", "features")
-    cents = (feats.orderBy("media_id").limit(8)
+    # the Arrow featurize pass feeds FOUR consumers (centroid take,
+    # assignment, both self-join sides) — materialize it once
+    feats = stabilize(frame_mean_features(media)
+                      .select("media_id", "features"))
+    k = max(_IVF_N_CENTROIDS, media.count() // _IVF_CELL_ROWS)
+    cents = (feats.orderBy("media_id").limit(k)
              .select(F.col("media_id").alias("centroid_id"),
                      F.col("features").alias("embedding")))
-    pairs = embedding_near_dup_pairs(
+    # pair frame feeds CC's edge set AND the n_pairs aggregate
+    pairs = stabilize(embedding_near_dup_pairs(
         feats, centroids=cents, id_col="media_id", vec_col="features",
-        threshold=0.95)
+        threshold=0.99))
     labels = connected_components(pairs, src="v1", dst="v2")
     stats = labels.agg(
         F.countDistinct("comp").alias("n_dup_clusters"),
