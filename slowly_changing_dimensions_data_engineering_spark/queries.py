@@ -2673,8 +2673,13 @@ def _chunk_rag_index(spark: SparkSession, sf_dir: str):
     import os
 
     from .operators.similarity import ivf_build_index
+    from .session import stabilize
 
-    feats = _chunk_feats(spark, sf_dir)
+    # ONE Arrow featurize pass: the frame feeds the count, the centroid
+    # take, the index build's both sides, the query rows AND the exact
+    # brute-force arm — unbarriered, each consumer re-ran the
+    # mapInPandas over the full chunk corpus (27× at the 30× soak).
+    feats = stabilize(_chunk_feats(spark, sf_dir))
     cached = _CHUNK_RAG_CACHE.get(sf_dir)
     if cached and os.path.exists(cached[0]):
         path, k = cached
