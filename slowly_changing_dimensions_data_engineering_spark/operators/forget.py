@@ -111,7 +111,10 @@ def forget_partitions(spark: SparkSession, path: str, kill: DataFrame,
     spark.conf.set(_OVERWRITE_MODE, "dynamic")
     try:
         if rewritten:
-            (survivors.write.mode("overwrite")
+            # one survivor file per rewritten partition dir, not one per
+            # upstream task per dir (the ivf_build_index write rule)
+            (survivors.repartition(F.col(partition_col))
+             .write.mode("overwrite")
              .partitionBy(partition_col).parquet(path))
     finally:
         spark.conf.set(_OVERWRITE_MODE, prev)

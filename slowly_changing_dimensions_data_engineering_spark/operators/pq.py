@@ -243,7 +243,9 @@ def ivfpq_build_index(vectors: DataFrame, centroids: DataFrame,
     assign = ivf_assign(vectors, centroids, id_col, vec_col, **assign_opts)
     codes = pq_encode(vectors, codebooks, m, dim, id_col=id_col,
                       vec_col=vec_col, keep=keep)
-    (codes.join(assign, id_col)
+    # cells-per-task clustering before the partitioned write (one file
+    # per cell dir, not per upstream task — see similarity.ivf_build_index)
+    (codes.join(assign, id_col).repartition(F.col("centroid_id"))
      .write.mode("overwrite").partitionBy("centroid_id").parquet(path))
 
 
@@ -348,7 +350,7 @@ def ivfpq_index_append(new_vectors: DataFrame, centroids: DataFrame,
                         **assign_opts)
     codes = pq_encode(new_vectors, codebooks, m, dim, id_col=id_col,
                       vec_col=vec_col, keep=keep)
-    (codes.join(assign, id_col)
+    (codes.join(assign, id_col).repartition(F.col("centroid_id"))
      .write.mode("append").partitionBy("centroid_id").parquet(path))
 
 
@@ -410,7 +412,8 @@ def ivfpq_build_index_residual(vectors: DataFrame, centroids: DataFrame,
     ``ivfpq_search_residual`` is the matching read path."""
     codes = _residual_codes(vectors, centroids, codebooks, m, dim,
                             id_col, vec_col, keep, assign_opts)
-    codes.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+    (codes.repartition(F.col("centroid_id"))
+     .write.mode("overwrite").partitionBy("centroid_id").parquet(path))
 
 
 def ivfpq_index_append_residual(new_vectors: DataFrame,
@@ -428,7 +431,8 @@ def ivfpq_index_append_residual(new_vectors: DataFrame,
     corpus is never re-read; retrain = rebuild)."""
     codes = _residual_codes(new_vectors, centroids, codebooks, m, dim,
                             id_col, vec_col, keep, assign_opts)
-    codes.write.mode("append").partitionBy("centroid_id").parquet(path)
+    (codes.repartition(F.col("centroid_id"))
+     .write.mode("append").partitionBy("centroid_id").parquet(path))
 
 
 def ivfpq_search_residual(spark, path: str, codebooks: DataFrame,

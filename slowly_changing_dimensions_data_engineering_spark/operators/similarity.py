@@ -411,7 +411,13 @@ def ivf_build_index(vectors: DataFrame, centroids: DataFrame, path: str,
     ``assign_opts`` forward to ``ivf_assign`` (``flat_max_centroids``,
     ``coarse_probe`` — the cost/fidelity knobs of the two-level path)."""
     assign = ivf_assign(vectors, centroids, id_col, vec_col, **assign_opts)
-    (vectors.join(assign, id_col)
+    # Repartition ON the partition column before the partitioned write:
+    # without it every upstream task writes a file into every cell dir
+    # it holds rows for — tasks × cells files (measured: the 4.4k-cell
+    # chunk index at the 100× soak exploded to ~280k four-row files and
+    # a 143× read cost). Hash-clustering first puts each cell wholly in
+    # one task, so the tree has exactly one file per cell directory.
+    (vectors.join(assign, id_col).repartition(F.col("centroid_id"))
      .write.mode("overwrite").partitionBy("centroid_id").parquet(path))
 
 
@@ -430,7 +436,9 @@ def ivf_index_append(new_vectors: DataFrame, centroids: DataFrame, path: str,
     be assigned under different coarse geometry than the stored rows."""
     assign = ivf_assign(new_vectors, centroids, id_col, vec_col,
                         **assign_opts)
-    (new_vectors.join(assign, id_col)
+    # same cells-per-task clustering as ivf_build_index: one new file
+    # per touched cell per batch, not per upstream task
+    (new_vectors.join(assign, id_col).repartition(F.col("centroid_id"))
      .write.mode("append").partitionBy("centroid_id").parquet(path))
 
 
