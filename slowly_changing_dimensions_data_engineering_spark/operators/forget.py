@@ -53,6 +53,31 @@ from ..session import stabilize
 #: whole table (static, the default).
 _OVERWRITE_MODE = "spark.sql.sources.partitionOverwriteMode"
 
+#: Directory name Spark/Hive write for a NULL partition value.
+_NULL_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _partition_dirs(path: str, partition_col: str) -> dict[str, str]:
+    """Map UNESCAPED partition value → actual directory path, by
+    listing ``path`` and decoding Spark's partition-path escaping
+    (``%XX`` per ``ExternalCatalogUtils.escapePathName``; a null value
+    is the literal ``__HIVE_DEFAULT_PARTITION__`` name, surfaced here
+    under that key). Listing-then-matching — instead of formatting the
+    expected name from the value — is what keeps erasure correct for
+    values containing ``=``, ``/``, ``%`` or other escaped characters."""
+    from urllib.parse import unquote
+
+    prefix = f"{partition_col}="
+    out: dict[str, str] = {}
+    for entry in os.listdir(path):
+        full = os.path.join(path, entry)
+        if not (os.path.isdir(full) and entry.startswith(prefix)):
+            continue
+        raw = entry[len(prefix):]
+        key = raw if raw == _NULL_PARTITION else unquote(raw)
+        out[key] = full
+    return out
+
 
 def forget_partitions(spark: SparkSession, path: str, kill: DataFrame,
                       id_col: str, partition_col: str) -> dict:
@@ -120,9 +145,22 @@ def forget_partitions(spark: SparkSession, path: str, kill: DataFrame,
         spark.conf.set(_OVERWRITE_MODE, prev)
     # fail LOUDLY if a kill-list partition cannot be removed — a silent
     # no-op here would leave erased rows live, the opposite of the
-    # erasure guarantee
-    for v in dropped:
-        shutil.rmtree(os.path.join(path, f"{partition_col}={v}"))
+    # erasure guarantee. Directory names are resolved by LISTING the
+    # tree and unescaping Spark's partition-path encoding (%XX for
+    # special characters, __HIVE_DEFAULT_PARTITION__ for null) rather
+    # than string-formatting f"{col}={v}" — a formatted guess misses
+    # escaped values and would abort the audit on a phantom
+    # FileNotFoundError instead of a real erasure gap.
+    if dropped:
+        by_value = _partition_dirs(path, partition_col)
+        for v in dropped:
+            key = _NULL_PARTITION if v is None else str(v)
+            if key not in by_value:
+                raise FileNotFoundError(
+                    f"erasure gap: partition {partition_col}={key!r} holds "
+                    f"killed rows but no matching directory exists under "
+                    f"{path!r} (found: {sorted(by_value)})")
+            shutil.rmtree(by_value[key])
 
     # an erasure that emptied every partition leaves no parquet files;
     # reading the bare dir would raise schema-inference instead of 0

@@ -10,20 +10,34 @@ every document its canonical cluster id (the minimum reachable doc id),
 which is what corpus curation pipelines log, sample from, and use for
 per-cluster quality voting.
 
-Algorithm: iterative min-label propagation over the symmetrized edge
-set — each round, every node takes the minimum component id among
-itself and its neighbors. Spark-first shape per round: ONE shuffle join
-(edges ⋈ labels on the neighbor id) + ONE groupBy-min on uniformly
-distributed node ids, so no skew and no driver materialization; the
-per-round convergence probe is a COUNT aggregate (a scalar, not a
-collect). Rounds needed = the largest cluster's DIAMETER, which for
-near-dup clusters (dense cliques around a template) is almost always
-1-3; the ``max_iter`` guard fails loudly rather than looping forever.
-For adversarial million-hop chains the alternating large-star/small-star
-formulation (Kiveris et al., "Connected Components in MapReduce and
-Beyond", SoCC'14) drops rounds to O(log² n) at the cost of emitting
-reshaped edges each round — the propagation loop below is the right
-trade for dedup-shaped graphs.
+Two regimes, selected by the edge count (the same dictionary-vs-corpus
+split ``ivf_assign`` draws):
+
+- **edge set fits the driver** (≤ ``spark.sds.cc.local_max_edges``,
+  default 5M edges = ~80 MB of long pairs): collect the deduplicated
+  edges and run union-find with path compression + union-by-min-root
+  locally, returning the labels as an Arrow-built frame. The pair graph
+  is the OUTPUT of near-dup detection — it is corpus-SMALL (dup pairs,
+  not documents), and a bounded union-find is milliseconds where the
+  distributed loop pays seconds of fixed per-iteration job overhead for
+  chain-shaped graphs (measured: 2,110-edge diameter-~18 profile-space
+  graph, 18.7s iterative vs 0.3s local; identical labels). This is the
+  same bounded-model-on-the-driver class as the k-means centroid
+  collect — the threshold, not hope, is what keeps it safe.
+- **larger graphs**: iterative min-label propagation over the
+  symmetrized edge set — each round, every node takes the minimum
+  component id among itself and its neighbors, plus pointer jumping.
+  Spark-first shape per round: ONE shuffle join (edges ⋈ labels on the
+  neighbor id) + ONE groupBy-min on uniformly distributed node ids, so
+  no skew and no driver materialization; the per-round convergence
+  probe is a COUNT aggregate (a scalar, not a collect). Rounds needed =
+  O(log diameter) with the jump, and the ``max_iter`` guard fails
+  loudly rather than looping forever. For adversarial million-hop
+  chains the alternating large-star/small-star formulation (Kiveris et
+  al., "Connected Components in MapReduce and Beyond", SoCC'14) drops
+  rounds to O(log² n) at the cost of emitting reshaped edges each
+  round — the propagation loop below is the right trade for dedup-
+  shaped graphs.
 
 Each round ``stabilize``s the new label frame: iterative
 self-referential plans otherwise grow lineage exponentially (analysis
@@ -46,9 +60,46 @@ from pyspark.sql import DataFrame, functions as F
 from ..session import stabilize
 
 
+#: Conf key: edge-count ceiling for the driver-local union-find path.
+#: 5M symmetrized edges = ~80 MB of long pairs — well under the
+#: session's 4g maxResultSize, and the label result (≤ 2·edges nodes)
+#: rebuilds through Arrow in well under a second.
+LOCAL_MAX_EDGES_CONF = "spark.sds.cc.local_max_edges"
+_LOCAL_MAX_EDGES_DEFAULT = 5_000_000
+
+
+def _union_find_labels(rows) -> list[tuple[int, int]]:
+    """Union-find with path halving + union-by-min-root over (u, v)
+    pairs. Because every union links the LARGER root under the smaller,
+    the final root of each tree is the component's minimum node id —
+    exactly the iterative path's fixpoint, so the two regimes are
+    bit-interchangeable."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = parent.setdefault(x, x)
+        while r != parent[r]:
+            parent[r] = parent[parent[r]]  # path halving
+            r = parent[r]
+        # compress the queried node too
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in rows:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if ru < rv:
+                parent[rv] = ru
+            else:
+                parent[ru] = rv
+    return sorted((n, find(n)) for n in parent)
+
+
 def connected_components(pairs: DataFrame, src: str = "d1", dst: str = "d2",
                          max_iter: int = 30,
-                         steps_per_action: int = 3) -> DataFrame:
+                         steps_per_action: int = 3,
+                         local_max_edges: int | None = None) -> DataFrame:
     """(node, comp) for every node appearing in ``pairs``; ``comp`` is
     the minimum node id reachable through the pair graph (the canonical
     cluster id — stable across runs and engines).
@@ -56,6 +107,11 @@ def connected_components(pairs: DataFrame, src: str = "d1", dst: str = "d2",
     ``pairs`` is treated as undirected; duplicate and self edges are
     tolerated. Raises RuntimeError if labels haven't converged after
     ``max_iter`` propagation steps (steps needed = max cluster diameter).
+
+    ``local_max_edges`` (default: the ``spark.sds.cc.local_max_edges``
+    conf, 5M) selects the driver-local union-find for graphs at or
+    under that many symmetrized edges; 0 forces the distributed loop.
+    Both regimes produce identical labels (pinned by test).
 
     ``steps_per_action`` chains that many propagation steps LAZILY into
     one Spark job before the convergence probe: on tiny label frames the
@@ -72,18 +128,27 @@ def connected_components(pairs: DataFrame, src: str = "d1", dst: str = "d2",
     edges = stabilize(
         e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .filter("u != v").distinct())
-    # The pair graph is SMALL relative to the corpus that produced it
-    # (2 longs per edge), but every propagation step is 3 shuffles — at
-    # the session's corpus-sized shuffle-partition count that is pure
-    # empty-task overhead (measured: 800-node graph, 64 partitions,
-    # 22s; sized, 1 partition, seconds). Scope the partition count to
-    # the graph for the duration of the loop: the edge count is free
-    # (it materializes the barrier we want anyway), and the setting
-    # only ever LOWERS the session value.
     spark = pairs.sparkSession
     n_edges = edges.count()
-    cur_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    parts = max(1, min(n_edges // 100_000 + 1, cur_parts))
+    if local_max_edges is None:
+        local_max_edges = int(spark.conf.get(
+            LOCAL_MAX_EDGES_CONF, str(_LOCAL_MAX_EDGES_DEFAULT)))
+    if n_edges <= local_max_edges:
+        # Driver-local regime: the collect is BOUNDED by the threshold
+        # just checked. Arrow both ways (toPandas / createDataFrame on
+        # a pandas frame) keeps the transfer columnar.
+        import pandas as pd
+
+        pdf = edges.filter("u < v").toPandas()  # one direction suffices
+        labels = _union_find_labels(
+            zip(pdf["u"].tolist(), pdf["v"].tolist()))
+        out = pd.DataFrame(labels, columns=["node", "comp"])
+        return spark.createDataFrame(out, schema="node long, comp long")
+    # Distributed regime: ≥ millions of edges, so the session's
+    # shuffle-partition count is the right parallelism — no conf
+    # scoping (an earlier revision lowered the SESSION conf for the
+    # loop's benefit, which leaked to concurrent queries; small graphs
+    # where empty-task overhead dominated now take the local path).
     labels = edges.select(F.col("u").alias("node")).distinct() \
                   .select("node", F.col("node").alias("comp"))
 
@@ -128,20 +193,16 @@ def connected_components(pairs: DataFrame, src: str = "d1", dst: str = "d2",
                          < F.col("_old")).alias("_ch")))
 
     steps_done = 0
-    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-    try:
-        while steps_done < max_iter:
-            cur = labels
-            for _ in range(min(steps_per_action, max_iter - steps_done)):
-                cur = step(cur.select("node", "comp"))
-                steps_done += 1
-            new_labels = stabilize(cur)
-            changed = new_labels.filter("_ch").count()
-            labels = new_labels.select("node", "comp")
-            if changed == 0:
-                return labels
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", str(cur_parts))
+    while steps_done < max_iter:
+        cur = labels
+        for _ in range(min(steps_per_action, max_iter - steps_done)):
+            cur = step(cur.select("node", "comp"))
+            steps_done += 1
+        new_labels = stabilize(cur)
+        changed = new_labels.filter("_ch").count()
+        labels = new_labels.select("node", "comp")
+        if changed == 0:
+            return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} steps — "
         "cluster diameter exceeds max_iter; raise max_iter or switch to "

@@ -262,7 +262,15 @@ def plan_scd3(target: DataFrame, source: DataFrame, key: list[str],
       ``CASE WHEN t.c != s.c THEN t.c ELSE t.p END`` — null-sensitive
       ``!=`` (the J3 convention, Setup.sql:102-109): a NULL comparand
       keeps the old prev value, and a load that changes OTHER compare
-      columns but not ``c`` leaves ``p`` untouched;
+      columns but not ``c`` leaves ``p`` untouched. The null-sensitivity
+      is symmetric: when the TARGET value of ``c`` is NULL (a prior
+      update — triggered by another compare column — wrote a source
+      NULL into it), a later NULL→value transition also keeps the old
+      prev, so ``p`` records the last NON-NULL prior state across NULL
+      gaps, never NULL-as-prior. That is the deliberate Type-3 reading
+      of the J3 rule ("NULL is the absence of a comparable state, not a
+      state"); use a null-safe guard (``NOT t.c <=> s.c``) instead if a
+      deployment wants NULL surfaced as a recordable prior;
     - not matched → INSERT with NULL prev columns (no prior value);
     - unchanged matched rows and rows absent from the load carry over
       (no delete propagation, SURVEY.md edge case 5).

@@ -582,7 +582,8 @@ def ivf_search_index_inplan(spark, path: str, query_df: DataFrame,
 def embedding_near_dup_pairs(vectors: DataFrame, block_col: str | None = None,
                              threshold: float = 0.3, id_col: str = "vec_id",
                              vec_col: str = "embedding",
-                             centroids: DataFrame | None = None) -> DataFrame:
+                             centroids: DataFrame | None = None,
+                             salt: int = 1) -> DataFrame:
     """Pairs (v1 < v2) within a block with cosine >= threshold.
 
     Blocking defaults to **IVF clusters** (``centroids`` required):
@@ -599,7 +600,17 @@ def embedding_near_dup_pairs(vectors: DataFrame, block_col: str | None = None,
     ``cosine()`` would re-evaluate dot(a,a)/dot(b,b) per candidate —
     3× the array passes). ``sqrt(dot(x,x))`` is the identical IEEE
     expression either way, so results are bit-equal to the naive form.
-    """
+
+    ``salt`` > 1 splits each block's candidate grid across that many
+    tasks: the left side hashes into ``salt`` buckets, the right side
+    replicates into every bucket, and the equi-key becomes
+    (block, bucket) — the standard skew-salting shape. Use it when the
+    BLOCK COUNT, not the row count, caps parallelism (a small corpus in
+    few cells: per-pair scoring is interpreted HOF work at ~µs/pair, so
+    one 1k-row block is seconds on one core). At scale the cell count
+    n/250 already exceeds the cluster's cores — callers there leave
+    salt=1 and pay zero replication. Pair output is identical for any
+    salt (each (a,b) meets in exactly one bucket — a's)."""
     computed_assign = False
     if block_col is None:
         if centroids is None:
@@ -621,12 +632,24 @@ def embedding_near_dup_pairs(vectors: DataFrame, block_col: str | None = None,
         # recomputable on executor loss). Strategy per
         # spark.sds.stabilize.mode (session.stabilize).
         v = stabilize(v)
-    a, b = v.alias("a"), v.alias("b")
+    if salt > 1:
+        buckets = vectors.sparkSession.range(salt).select(
+            F.col("id").cast("int").alias("_bkt"))
+        a = v.withColumn(
+            "_bkt", F.pmod(F.hash(F.col(id_col)), F.lit(salt)).cast("int")
+        ).alias("a")
+        b = v.crossJoin(F.broadcast(buckets)).alias("b")
+        on = ((F.col("a._blk") == F.col("b._blk")) &
+              (F.col("a._bkt") == F.col("b._bkt")) &
+              (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+    else:
+        a, b = v.alias("a"), v.alias("b")
+        on = ((F.col("a._blk") == F.col("b._blk")) &
+              (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
     cos = F.round(dot(F.col("a._v"), F.col("b._v"))
                   / (F.col("a._n") * F.col("b._n")), 9)
     return (
-        a.join(b, (F.col("a._blk") == F.col("b._blk")) &
-               (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        a.join(b, on)
         .select(F.col(f"a.{id_col}").alias("v1"), F.col(f"b.{id_col}").alias("v2"),
                 cos.alias("cosine"))
         .filter(F.col("cosine") >= threshold)

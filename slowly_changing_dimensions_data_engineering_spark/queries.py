@@ -80,17 +80,26 @@ def register(name: str, oracle: str | None):
 # demote list so it backfilled the filler slots after r7's kmeans seed
 # change to their shared module.
 _BOARD_DEMOTE = [
-    # -- r13 rotation: CORRECTNESS_r12 was 50/50 green; the 13 r11-new
-    #    queries banked their second green and move to the "demoted
-    #    r13" section below. Non-demoted (leading the board): the 4
-    #    r13-new queries (scd1/scd3, multimodal near-dup, chunk RAG —
-    #    zero greens, auto-promoted by registration order) and the 9
-    #    one-green r12 cohort (classifier mini-batch pair +
-    #    calibration, unigram family, deletion family) banking their
-    #    second green. Touched-module backfill (r7 protocol) leads the
-    #    demote list: r13 rewrites the C3 offset path (store.py /
-    #    pipeline.py / scd2.py / incremental.py / merge.py) and
-    #    multimodal.py, so their queries re-earn driver greens first. --
+    # -- r14 rotation: CORRECTNESS_r13 was 50/50 green; the 9 r12
+    #    cohort queries (classifier mini-batch family, unigram family,
+    #    deletion family) banked their second green and move to the
+    #    "demoted r14" section below. Non-demoted (leading the board):
+    #    the 4 r13-new queries banking their SECOND green (the only
+    #    single-green rows in the registry — VERDICT r13 #4) plus any
+    #    r14-new registrations (zero greens, auto-promoted). Touched-
+    #    module backfill leads the demote list: r14 rewrites
+    #    connected_components (graph.py driver-local union-find),
+    #    embedding_near_dup_pairs (similarity.py salted self-join),
+    #    forget.py partition-dir resolution and store.py get_offset
+    #    scoping — their consumers re-earn driver greens first. --
+    "dedup_clusters_cc",
+    "semantic_dedup_summary",
+    "leakage_safe_splits",
+    "deletion_neardup_expansion",
+    "deletion_cascade_audit",
+    "embedding_near_dup_pairs",
+    # -- r13 rotation (kept next: store.py offset path touched again
+    #    this round via get_offset table-scoping) --
     "scd2_supplier_history",
     "scd2_master_current",
     "scd2_orders_history_bucketed",
@@ -122,9 +131,7 @@ _BOARD_DEMOTE = [
     "ivf_recall_at10",
     "ivf_recall_nprobe",
     "ann_batch_topk",
-    "embedding_near_dup_pairs",
     "array_functions_embeddings",
-    "semantic_dedup_summary",
     "ann_filtered_topk",
     "ann_filtered_topk_index",
     "embedding_quantization_recall",
@@ -133,7 +140,6 @@ _BOARD_DEMOTE = [
     "approx_topk_contract_orders",
     "classifier_quality_scores",
     "decontamination_overlap",
-    "dedup_clusters_cc",
     "dedup_corpus_minhash",
     "doc_chunks",
     "domain_mix_quotas",
@@ -165,7 +171,6 @@ _BOARD_DEMOTE = [
     "bpe_corpus_tokens",
     "bpe_train_merges",
     "bpe_vocab_segmentation",
-    "leakage_safe_splits",
     "lm_bigram_perplexity_docs",
     "substring_dedup_cut",
     "substring_dedup_spans",
@@ -226,6 +231,15 @@ _BOARD_DEMOTE = [
     "quality_rank_fusion",
     "streaming_click_attribution_outer",
     "streaming_trained_scores",
+    # -- demoted r14 (r12-new cohort; green r12 + r13; alphabetical).
+    #    deletion_* stay in the touched-module head section above. --
+    "classifier_calibration_bins",
+    "classifier_minibatch_weights",
+    "classifier_train_minibatch",
+    "unigram_corpus_tokens",
+    "unigram_fertility_vs_bpe",
+    "unigram_lm_segmentation",
+    "unigram_lm_train",
 ]
 
 
@@ -2606,7 +2620,11 @@ def multimodal_near_dup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import embedding_near_dup_pairs
     from .session import stabilize
 
-    d = _t(spark, sf_dir, "documents")["documents"]
+    # _spread: the small-sf documents file arrives as ONE split, which
+    # would serialize the Arrow featurize pass AND every pre-shuffle
+    # stage downstream of the stabilized features (measured r14: the
+    # whole query 40s single-threaded-bound → 12s spread+salted)
+    d = _spread(spark, _t(spark, sf_dir, "documents")["documents"])
     header = MAGIC + _struct.pack(">III", 4, 1, 64)  # w=4, h=1, 64 frames
     media = d.select(
         F.col("doc_id").alias("media_id"),
@@ -2621,10 +2639,15 @@ def multimodal_near_dup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = (feats.orderBy("media_id").limit(k)
              .select(F.col("media_id").alias("centroid_id"),
                      F.col("features").alias("embedding")))
-    # pair frame feeds CC's edge set AND the n_pairs aggregate
+    # pair frame feeds CC's edge set AND the n_pairs aggregate.
+    # salt=16: at driver sf the corpus lands in ~k cells with one
+    # 975-row template cell — ~475k interpreted cosine evals serialized
+    # in ONE task without the salt (the block count, not the row count,
+    # caps parallelism here; at scale k = n/250 cells >> cores → the
+    # production path leaves salt=1)
     pairs = stabilize(embedding_near_dup_pairs(
         feats, centroids=cents, id_col="media_id", vec_col="features",
-        threshold=0.99))
+        threshold=0.99, salt=16))
     labels = connected_components(pairs, src="v1", dst="v2")
     stats = labels.agg(
         F.countDistinct("comp").alias("n_dup_clusters"),
@@ -2655,7 +2678,7 @@ def _chunk_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.multimodal import MAGIC, frame_mean_features
     from .operators.text import chunk_documents
 
-    d = _t(spark, sf_dir, "documents")["documents"]
+    d = _spread(spark, _t(spark, sf_dir, "documents")["documents"])
     ch = chunk_documents(d, chunk_chars=200, overlap=50)
     header = MAGIC + _struct.pack(">III", 16, 1, 16)
     media = ch.select(

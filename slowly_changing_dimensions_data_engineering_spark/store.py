@@ -857,19 +857,24 @@ class TableStore:
         """Last consumed source version for ``consumer``.
 
         ``table`` names the table whose commits CARRY this consumer's
-        offset (``commit(..., offsets=...)``): the authoritative value is
-        then the max of the global offset file and the meta-carried
-        watermark, so a crash between a consuming commit and the
-        post-commit ``set_offset`` mirror can never replay the batch —
-        the commit itself already recorded consumption atomically."""
+        offset (``commit(..., offsets=...)``): the meta-carried
+        watermark is then AUTHORITATIVE and the global offset file is
+        ignored — the consuming commit recorded consumption atomically,
+        and a crash between that commit and the post-commit
+        ``set_offset`` mirror can never replay the batch. The mirror is
+        deliberately NOT folded in (an earlier revision took the max of
+        the two): the mirror file is keyed by consumer name alone, so
+        if one name were ever reused across two carrier tables, the
+        other table's consumption would silently skip this table's
+        pending batches. Without ``table`` the mirror file is all there
+        is (retention/observability reads)."""
+        if table is not None and self.exists(table):
+            return self._read_meta(table).get("consumed", {}).get(consumer, -1)
         p = self._offset_path(consumer)
-        v = -1
         if os.path.exists(p):
             with open(p) as f:
-                v = json.load(f)["version"]
-        if table is not None and self.exists(table):
-            v = max(v, self._read_meta(table).get("consumed", {}).get(consumer, -1))
-        return v
+                return json.load(f)["version"]
+        return -1
 
     def set_offset(self, consumer: str, version: int) -> None:
         """Global offset mirror (observability + change retention). NOT

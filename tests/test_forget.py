@@ -108,6 +108,25 @@ def test_forget_partitions_drops_emptied_partition(tmp_path, spark):
     assert left.filter(F.col("vec_id").isin(kill_ids)).count() == 0
 
 
+def test_forget_partitions_escaped_string_partition_values(tmp_path, spark):
+    """Dropped-partition cleanup must resolve the ACTUAL escaped
+    directory names Spark writes (%XX encoding for characters like
+    ':' or ' '), not a formatted f"{col}={value}" guess — an unescaped
+    guess raises FileNotFoundError mid-cleanup and aborts the audit
+    after some partitions were already dropped."""
+    rows = [(1, "plain"), (2, "has space"), (3, "a:b=c"), (4, "pct%20")]
+    df = spark.createDataFrame(rows, ["doc_id", "shard"])
+    path = str(tmp_path / "sharded")
+    df.repartition(F.col("shard")).write.partitionBy("shard").parquet(path)
+    # every value except "plain" needs escaping in its directory name
+    kill = spark.createDataFrame([(2,), (3,), (4,)], ["doc_id"])
+    rep = forget_partitions(spark, path, kill, "doc_id", "shard")
+    assert sorted(rep["partitions_dropped"]) == ["a:b=c", "has space", "pct%20"]
+    assert rep["n_after"] == 1
+    left = spark.read.parquet(path)
+    assert [r["shard"] for r in left.collect()] == ["plain"]
+
+
 def test_forget_partitions_total_erasure_returns_zero(tmp_path, spark):
     """Killing EVERY row leaves a parquet tree with no data files; the
     audit must report n_after=0 instead of raising schema inference on

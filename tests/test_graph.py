@@ -17,34 +17,49 @@ def _pairs(spark, edges):
     return spark.createDataFrame(edges, ["d1", "d2"])
 
 
-def test_transitive_chain_clusters_together(spark):
+# Both regimes of connected_components must agree everywhere: the
+# driver-local union-find (default for graphs under the edge ceiling)
+# and the distributed min-label loop (forced via local_max_edges=0).
+REGIMES = pytest.mark.parametrize("local_max", [None, 0],
+                                  ids=["local-uf", "distributed"])
+
+
+@REGIMES
+def test_transitive_chain_clusters_together(spark, local_max):
     # a~b, b~c but never a~c: pairwise logic can't name the cluster;
     # components must put all three under min id 1.
     labels = {r["node"]: r["comp"] for r in connected_components(
-        _pairs(spark, [(1, 2), (2, 3), (7, 8)])).collect()}
+        _pairs(spark, [(1, 2), (2, 3), (7, 8)]),
+        local_max_edges=local_max).collect()}
     assert labels == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
 
 
-def test_direction_and_duplicates_ignored(spark):
+@REGIMES
+def test_direction_and_duplicates_ignored(spark, local_max):
     labels = {r["node"]: r["comp"] for r in connected_components(
-        _pairs(spark, [(5, 4), (4, 5), (5, 4), (4, 6)])).collect()}
+        _pairs(spark, [(5, 4), (4, 5), (5, 4), (4, 6)]),
+        local_max_edges=local_max).collect()}
     assert labels == {4: 4, 5: 4, 6: 4}
 
 
-def test_long_chain_converges_past_one_round(spark):
+@REGIMES
+def test_long_chain_converges_past_one_round(spark, local_max):
     # A 12-node path has diameter 11 — label propagation needs several
     # rounds; the min label must still flood the whole chain.
     chain = [(i, i + 1) for i in range(11)]
     labels = {r["node"]: r["comp"] for r in connected_components(
-        _pairs(spark, chain)).collect()}
+        _pairs(spark, chain), local_max_edges=local_max).collect()}
     assert set(labels.values()) == {0}
     assert len(labels) == 12
 
 
 def test_max_iter_guard_raises(spark):
+    # the guard belongs to the distributed loop; the union-find path
+    # has no iteration count to cap
     chain = [(i, i + 1) for i in range(11)]
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(_pairs(spark, chain), max_iter=1)
+        connected_components(_pairs(spark, chain), max_iter=1,
+                             local_max_edges=0)
 
 
 def test_cluster_sizes(spark):
@@ -53,9 +68,10 @@ def test_cluster_sizes(spark):
     assert by_doc == {1: (1, 3), 2: (1, 3), 3: (1, 3), 7: (7, 2), 8: (7, 2)}
 
 
-def test_empty_pairs_yield_empty_labels(spark):
+@REGIMES
+def test_empty_pairs_yield_empty_labels(spark, local_max):
     empty = spark.createDataFrame([], "d1 long, d2 long")
-    assert connected_components(empty).count() == 0
+    assert connected_components(empty, local_max_edges=local_max).count() == 0
     assert dedup_clusters(empty).count() == 0
 
 
@@ -99,5 +115,9 @@ def test_random_graphs_match_union_find(spark):
                                   if find(m) == find(x))
 
         got = {r["node"]: r["comp"] for r in connected_components(
-            _pairs(spark, edges)).collect()}
+            _pairs(spark, edges), local_max_edges=0).collect()}
         assert got == expected, f"trial {trial}"
+        # and the default (driver-local union-find) regime agrees
+        got_local = {r["node"]: r["comp"] for r in connected_components(
+            _pairs(spark, edges)).collect()}
+        assert got_local == expected, f"trial {trial} (local regime)"

@@ -229,6 +229,31 @@ def test_crash_between_commit_and_offset_mv_no_double_apply(spark, tmp_path):
     assert store.version("mv") == v_after_crash
 
 
+def test_get_offset_table_scope_ignores_global_mirror(spark, tmp_path):
+    """Reusing one consumer NAME across two carrier tables must not let
+    the shared global mirror (keyed by name alone) skip a table's
+    pending batches: get_offset(consumer, table=) reads ONLY that
+    carrier's meta-carried watermark."""
+    store = TableStore(str(tmp_path))
+    store.create("base", schemas.SUPPLIER)
+    merge_upsert(store, spark, "base",
+                 _rows(spark, [(1, "CA"), (2, "TX")]), KEY, CMP)
+    refresh_aggregate(store, spark, "mv", "base", "mv", GROUP, SUMS)
+    consumed = store.get_offset("mv", table="mv")
+    assert consumed == store.version("base")
+
+    # another pipeline (wrongly) reuses the name and advances the
+    # global mirror far past this carrier's consumption
+    store.set_offset("mv", 99)
+    assert store.get_offset("mv", table="mv") == consumed  # unmoved
+    # a fresh carrier with no consumption on record sees everything
+    # as pending regardless of the mirror
+    store.create("mv2", schemas.SUPPLIER)
+    assert store.get_offset("mv", table="mv2") == -1
+    # without table= the mirror IS the (retention-only) answer
+    assert store.get_offset("mv") == 99
+
+
 def test_crash_between_commit_and_offset_scd2_pipeline(spark, tmp_path):
     """The same drill for the SCD2 task chain (pipeline.task4): a crash
     after the staging merge commit but before the global offset mirror
