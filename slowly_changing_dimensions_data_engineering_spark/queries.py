@@ -2858,6 +2858,239 @@ def chunk_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("recall_ok")))
 
 
+#: Shared BM25 constants (k1, b are the classic Robertson defaults; the
+#: 2.2 / 1.2 / 0.25 / 0.75 literals are spelled identically in the Spark
+#: expressions and the DuckDB oracles so the IEEE evaluation matches).
+_BM25_CTES = f"""
+ch0 AS (
+  SELECT doc_id, text,
+         unnest(range(0, CAST(greatest(1,
+             ceil((length(text) - 50) / 150.0)) AS BIGINT))) AS chunk_id
+  FROM documents
+),
+ch AS (
+  SELECT doc_id * 100 + chunk_id AS cid,
+         substr(text, CAST(chunk_id * 150 + 1 AS INT), 200) AS s
+  FROM ch0
+),
+tok AS (
+  SELECT cid, unnest(string_split(s, ' ')) AS token FROM ch
+),
+tf AS (
+  SELECT cid, token, COUNT(*) AS tf
+  FROM tok WHERE token != '' GROUP BY cid, token
+),
+dl AS (SELECT cid, SUM(tf) AS dl FROM tf GROUP BY cid),
+st AS (SELECT COUNT(*) AS nc, SUM(dl) AS tot FROM dl),
+dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+qterms AS (SELECT cid AS qid, token FROM tf
+           WHERE cid IN {_CHUNK_QUERY_IDS}),
+sc AS (
+  SELECT qterms.qid, d.cid,
+         SUM(CAST(round(
+             round(ln(1.0 + (nc - df + 0.5) / (df + 0.5)), 9)
+             * (d.tf * 2.2)
+             / (d.tf + 1.2 * (0.25 + 0.75 * dl.dl / (tot / nc))), 9)
+           AS DECIMAL(38,15))) AS s
+  FROM qterms JOIN tf d USING (token)
+       JOIN dl ON d.cid = dl.cid
+       JOIN dfq USING (token), st
+  WHERE d.cid != qterms.qid
+  GROUP BY qterms.qid, d.cid
+),
+bmr AS (
+  SELECT qid, cid, round(CAST(s AS DOUBLE), 6) AS bm25,
+         row_number() OVER (PARTITION BY qid ORDER BY s DESC, cid)
+           AS rank_bm
+  FROM sc
+  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY s DESC, cid) <= 10
+)"""
+
+_BM25_ORACLE = f"""
+WITH {_BM25_CTES}
+SELECT qid AS query_id, cid, bm25, rank_bm AS rank FROM bmr
+"""
+
+
+def _bm25_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
+    """Top-``k`` chunks per query chunk under BM25 (k1=1.2, b=0.75) —
+    the lexical arm of hybrid retrieval. Shape: ONE (cid, token)
+    aggregate over the chunked corpus (the tfidf_top_terms convention),
+    per-chunk lengths and document frequencies as aggregates of THAT
+    frame (no corpus re-scan), and the bounded query-term frame
+    (|queries| × terms) broadcast into the tf table — the inverted-
+    index probe. Per-(query, chunk) scores sum 9-dp-rounded per-term
+    contributions through the decimal(38,15) accumulator, so the sum is
+    associative and the ranking replays bit-for-bit in the oracle.
+
+    Scale: candidates = Σ df(t) over query terms ≈ |q| × n/|V| rows —
+    linear in the corpus with the query length as the constant; at
+    100 TB the tf aggregate is the only corpus-sized shuffle (a real
+    deployment adds WAND/max-score pruning to skip low-idf postings —
+    an optimization, not a semantic change)."""
+    from .operators.text import chunk_documents
+    from .session import stabilize
+
+    d = _spread(spark, _t(spark, sf_dir, "documents")["documents"])
+    ch = chunk_documents(d, chunk_chars=200, overlap=50)
+    tok = (ch.select((F.col("doc_id") * 100 + F.col("chunk_id")).alias("cid"),
+                     F.explode(F.split("chunk", " ")).alias("token"))
+           .filter(F.col("token") != ""))
+    # tf feeds FOUR consumers (dl, df, query terms, candidate probe)
+    tf = stabilize(tok.groupBy("cid", "token").agg(F.count("*").alias("tf")))
+    dl = tf.groupBy("cid").agg(F.sum("tf").alias("dl"))
+    st = dl.agg(F.count("*").alias("nc"), F.sum("dl").alias("tot"))
+    dfq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    qterms = (tf.filter(F.col("cid").isin(*_CHUNK_QUERY_IDS))
+              .select(F.col("cid").alias("qid"), "token"))
+    idf = F.round(F.log(F.lit(1.0) + (F.col("nc") - F.col("df") + 0.5)
+                        / (F.col("df") + 0.5)), 9)
+    tfnorm = ((F.col("tf") * 2.2)
+              / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl")
+                                      / (F.col("tot") / F.col("nc")))))
+    contrib = F.round(idf * tfnorm, 9).cast("decimal(38,15)")
+    sc = (F.broadcast(qterms).join(tf, "token")
+          .filter(F.col("cid") != F.col("qid"))
+          .join(dl, "cid").join(dfq, "token")
+          .crossJoin(F.broadcast(st))
+          .groupBy("qid", "cid").agg(F.sum(contrib).alias("_s")))
+    wq = W.partitionBy("qid").orderBy(F.desc("_s"), F.asc("cid"))
+    return (sc.withColumn("rank", F.row_number().over(wq))
+            .filter(F.col("rank") <= k)
+            .select(F.col("qid").alias("query_id"), "cid",
+                    F.round(F.col("_s").cast("double"), 6).alias("bm25"),
+                    "rank"))
+
+
+@register("bm25_chunk_topk", _BM25_ORACLE)
+def bm25_chunk_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval over the RAG chunk corpus — the keyword
+    arm every production retrieval stack runs NEXT TO the embedding
+    index (chunk_retrieval_topk): same 200/50 chunk windows, same three
+    query chunks, top-10 per query by the Robertson k1=1.2 / b=0.75
+    scoring. See _bm25_topk for the plan shape and the decimal-exact
+    cross-engine contract."""
+    return _bm25_topk(spark, sf_dir, k=10)
+
+
+_HYBRID_ORACLE = f"""
+WITH {_BM25_CTES},
+fm AS (
+  SELECT cid, i,
+         COALESCE(list_sum(list_transform(
+             range(1, len(substr(s, 1 + i*16, 16)) + 1),
+             j -> CAST(ord(substr(substr(s, 1 + i*16, 16), j, 1)) AS DOUBLE))),
+           0.0) / 16.0 AS fmean
+  FROM ch, range(0, 16) t(i)
+),
+vec AS (SELECT cid, list(fmean ORDER BY i) AS v FROM fm GROUP BY cid),
+cvec AS (
+  SELECT cid, list_transform(v, x -> x - list_sum(v) / 16.0) AS cv FROM vec
+),
+kk AS (SELECT greatest(8, count(*) // 250) AS k FROM ch),
+cents AS (
+  SELECT cid AS ccid, cv AS ce
+  FROM (SELECT cid, cv, row_number() OVER (ORDER BY cid) AS rn FROM cvec), kk
+  WHERE rn <= k
+),
+scored AS (
+  SELECT cvec.cid, ccid,
+         round(list_dot_product(
+             list_transform(range(1, 17), i -> cv[i] - ce[i]),
+             list_transform(range(1, 17), i -> cv[i] - ce[i])), 9) AS dist
+  FROM cvec, cents
+),
+assign AS (
+  SELECT cid, ccid FROM scored
+  QUALIFY row_number() OVER (PARTITION BY cid ORDER BY dist, ccid) = 1
+),
+qv AS (SELECT cid AS qid, cv AS qv FROM cvec
+       WHERE cid IN {_CHUNK_QUERY_IDS}),
+probes AS (
+  SELECT qid, ccid FROM cents, qv
+  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY
+      round(list_dot_product(
+          list_transform(range(1, 17), i -> ce[i] - qv[i]),
+          list_transform(range(1, 17), i -> ce[i] - qv[i])), 9), ccid) <= 4
+),
+annr AS (
+  SELECT p.qid, v.cid,
+         row_number() OVER (PARTITION BY p.qid ORDER BY
+             round(list_dot_product(v.cv, qv.qv) /
+               (sqrt(list_dot_product(v.cv, v.cv))
+                * sqrt(list_dot_product(qv.qv, qv.qv))), 9) DESC, v.cid)
+           AS rank_ann
+  FROM cvec v JOIN assign a ON v.cid = a.cid
+       JOIN probes p ON a.ccid = p.ccid
+       JOIN qv ON qv.qid = p.qid
+  WHERE v.cid != qv.qid
+  QUALIFY row_number() OVER (PARTITION BY p.qid ORDER BY
+      round(list_dot_product(v.cv, qv.qv) /
+        (sqrt(list_dot_product(v.cv, v.cv))
+         * sqrt(list_dot_product(qv.qv, qv.qv))), 9) DESC, v.cid) <= 10
+),
+fused AS (
+  SELECT COALESCE(b.qid, a.qid) AS qid, COALESCE(b.cid, a.cid) AS cid,
+         b.rank_bm, a.rank_ann
+  FROM bmr b FULL JOIN annr a ON b.qid = a.qid AND b.cid = a.cid
+)
+SELECT qid AS query_id, cid,
+       round(COALESCE(1.0 / (60.0 + rank_bm), 0.0)
+             + COALESCE(1.0 / (60.0 + rank_ann), 0.0), 9) AS rrf,
+       CASE WHEN rank_bm IS NOT NULL AND rank_ann IS NOT NULL THEN 'both'
+            WHEN rank_bm IS NOT NULL THEN 'bm25' ELSE 'ann' END AS source
+FROM fused
+QUALIFY row_number() OVER (PARTITION BY qid ORDER BY
+    round(COALESCE(1.0 / (60.0 + rank_bm), 0.0)
+          + COALESCE(1.0 / (60.0 + rank_ann), 0.0), 9) DESC, cid) <= 5
+"""
+
+
+@register("hybrid_rag_fusion", _HYBRID_ORACLE)
+def hybrid_rag_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — the production RAG pattern: fuse the LEXICAL
+    arm (BM25 top-10, _bm25_topk) with the EMBEDDING arm (IVF ANN
+    top-10 over the cached chunk index, DPP-pruned —
+    chunk_retrieval_topk's machinery) via reciprocal-rank fusion
+    (1/(60+rank), the Cormack et al. constant), keeping the top-5 fused
+    chunks per query with their source attribution. The two ranked
+    lists meet in ONE full-outer join on (query, chunk) and the RRF sum
+    is a single fixed-order expression — no float-sum order ambiguity —
+    so the fused ranking replays exactly in the oracle.
+
+    Scale: both arms are already linear-class (inverted-index probe;
+    partition-pruned ANN); fusion operates on 2 × k × |queries| rows —
+    driver-bounded never, corpus-sized never."""
+    from .operators.similarity import ivf_search_index_inplan
+
+    bm = _bm25_topk(spark, sf_dir, k=10)
+    path, cents, feats = _chunk_rag_index(spark, sf_dir)
+    qrows = (feats.filter(F.col("cid").isin(*_CHUNK_QUERY_IDS))
+             .select("cid", "features"))
+    ann = ivf_search_index_inplan(
+        spark, path, qrows, cents, k=10, nprobe=4, id_col="cid",
+        vec_col="features", single_query=False)
+    wk = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cid"))
+    annr = (ann.select("query_id", "cid", "cosine")
+            .withColumn("rank_ann", F.row_number().over(wk))
+            .select("query_id", "cid", "rank_ann"))
+    bmr = bm.select("query_id", "cid", F.col("rank").alias("rank_bm"))
+    fused = bmr.join(annr, ["query_id", "cid"], "full")
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(60.0) + F.col("rank_bm")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(60.0) + F.col("rank_ann")),
+                     F.lit(0.0)), 9)
+    src = (F.when(F.col("rank_bm").isNotNull()
+                  & F.col("rank_ann").isNotNull(), F.lit("both"))
+           .when(F.col("rank_bm").isNotNull(), F.lit("bm25"))
+           .otherwise(F.lit("ann")))
+    wf = W.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("cid"))
+    return (fused.withColumn("rrf", rrf)
+            .withColumn("_r", F.row_number().over(wf))
+            .filter(F.col("_r") <= 5)
+            .select("query_id", "cid", "rrf", src.alias("source")))
+
+
 @register("quantile_sketch_prices", """
 SELECT o_orderstatus,
        round(quantile_cont(o_totalprice, 0.5), 4) AS p50_exact,

@@ -68,7 +68,13 @@ NESTED_LOOP_ALLOWED = {"embed_topk_cosine", "ann_filtered_topk",
                        # 3-row query-vector broadcast into the exact
                        # (brute-force contract) arm + the bounded
                        # centroid-dictionary probe ranking
-                       "chunk_retrieval_topk"}
+                       "chunk_retrieval_topk",
+                       # 1-row corpus-stats (nc, tot) broadcast into the
+                       # BM25 normalizer projection
+                       "bm25_chunk_topk",
+                       # inherits the BM25 1-row stats broadcast + the
+                       # ANN arm's bounded probe ranking
+                       "hybrid_rag_fusion"}
 
 
 def _plan(spark, name: str) -> str:
