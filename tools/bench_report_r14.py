@@ -49,10 +49,14 @@ FAMILIES = {
         "classifier_trained_scores", "classifier_calibration_bins"],
     "classifier_minibatch": [
         "classifier_train_minibatch", "classifier_minibatch_weights"],
-    "bpe_train": [
+    # ONE pool for both tokenizer trainings: unigram_fertility_vs_bpe
+    # consumes BOTH caches, so board order can shift the BPE build cost
+    # between the two sub-families (r13->r14 flip: bpe 2.2->6.8 while
+    # unigram 14.0->9.2, jointly 16.2->16.0) — only the joint sum is
+    # order-invariant.
+    "tokenizer_train": [
         "bpe_train_merges", "bpe_vocab_segmentation", "bpe_corpus_tokens",
-        "bpe_fertility_by_source"],
-    "unigram_train": [
+        "bpe_fertility_by_source", "bpe_token_stats",
         "unigram_lm_train", "unigram_lm_segmentation",
         "unigram_corpus_tokens", "unigram_fertility_vs_bpe"],
     "ivf_index": [
