@@ -592,6 +592,69 @@ def scd3_supplier_prev_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read(store)
 
 
+@register("scd2_point_in_time_lineitems", _SCD2_CTES + """
+, hist AS (
+  SELECT l.supplier_code, l.supplier_state,
+         '2024-01-01 00:00:00' AS version_start,
+         CASE WHEN c.supplier_code IS NOT NULL
+              THEN '2024-02-01 00:00:00' END AS version_end
+  FROM load1 l LEFT JOIN changed c ON l.supplier_code = c.supplier_code
+  UNION ALL
+  SELECT supplier_code, supplier_state,
+         '2024-02-01 00:00:00', NULL FROM changed
+  UNION ALL
+  SELECT supplier_code, supplier_state,
+         '2024-02-01 00:00:00', NULL FROM newrows
+), fact AS (
+  SELECT 'S' || CAST(l_suppkey AS VARCHAR) AS supplier_code,
+         CAST(l_quantity AS BIGINT) AS qty,
+         TIMESTAMP '2024-01-01 00:00:00'
+           + ((l_orderkey * 4 + l_linenumber) % 60) * INTERVAL 1 DAY AS ts
+  FROM lineitem
+)
+SELECT h.supplier_state, h.version_start,
+       COUNT(*) AS n_items,
+       CAST(SUM(f.qty) AS BIGINT) AS sum_qty
+FROM fact f JOIN hist h
+  ON f.supplier_code = h.supplier_code
+ AND f.ts >= CAST(h.version_start AS TIMESTAMP)
+ AND (h.version_end IS NULL OR f.ts < CAST(h.version_end AS TIMESTAMP))
+GROUP BY h.supplier_state, h.version_start
+""")
+def scd2_point_in_time_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time SCD2 consumption — the canonical downstream query
+    of the reference's STAGING table (Setup.sql:143-153): each fact row
+    joins the dimension VERSION whose [start_date, end_date) interval
+    covers the fact's event time, so measures aggregate under the
+    supplier state that was true WHEN the fact happened, not today's.
+    Facts are lineitems stamped with a deterministic event day spread
+    across both load windows; the join is a key equi-join (the versioned
+    dimension shuffles/broadcasts on supplier_code — at 100 TB the
+    dimension stays millions of rows vs billions of facts, so Catalyst
+    broadcasts it; each key carries ≤ a handful of versions so the
+    equi-join + interval filter explodes ≤ versions× before filtering,
+    never |fact|×|dim|). Oracle restates the two-load history
+    reconstruction and the same interval join."""
+    store = _scd2_store(spark, sf_dir)
+    dim = store.read(spark, "staging").select(
+        "supplier_code", "supplier_state", "start_date", "end_date")
+    li = _t(spark, sf_dir, "lineitem")["lineitem"]
+    fact = li.select(
+        F.concat(F.lit("S"), F.col("l_suppkey").cast("string"))
+         .alias("supplier_code"),
+        F.col("l_quantity").cast("long").alias("qty"),
+        F.date_add(F.lit("2024-01-01").cast("date"),
+                   ((F.col("l_orderkey") * 4 + F.col("l_linenumber")) % 60)
+                   .cast("int")).cast("timestamp").alias("ts"))
+    joined = fact.join(dim, "supplier_code").where(
+        (F.col("ts") >= F.col("start_date"))
+        & (F.col("end_date").isNull() | (F.col("ts") < F.col("end_date"))))
+    return joined.groupBy(
+        "supplier_state", _fmt("start_date").alias("version_start")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("qty").alias("sum_qty"))
+
+
 # =====================================================================
 # TPC-H-style analytics (§2.2: joins, aggregations, top-k)
 # =====================================================================
@@ -8437,6 +8500,59 @@ def deletion_neardup_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(kleft).cast("long").alias("kill_rows_left"))
         out = out.unionByName(row)
     return out
+
+
+@register("ann_post_erasure_topk", f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
+c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings
+      WHERE vec_id < {_IVF_K_SQL}),
+scored AS (
+  SELECT v.vec_id, c.cid,
+         round(list_dot_product(
+                 list_transform(range(1, len(ve)+1), i -> ve[i] - ce[i]),
+                 list_transform(range(1, len(ve)+1), i -> ve[i] - ce[i])), 9) AS d
+  FROM v, c
+),
+assign AS (
+  SELECT vec_id, cid FROM scored
+  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1
+),
+q AS (SELECT ve AS qv FROM v WHERE vec_id = {_IVF_QUERY_ID}),
+qc AS (SELECT cid AS qcid FROM assign WHERE vec_id = {_IVF_QUERY_ID})
+SELECT v.vec_id, CAST(a.cid AS BIGINT) AS centroid_id,
+       round(list_dot_product(ve, qv) /
+             (sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(qv, qv))), 9) AS cosine
+FROM v JOIN assign a USING (vec_id), q, qc
+WHERE a.cid = qcid AND v.vec_id != {_IVF_QUERY_ID}
+  AND v.vec_id % {_FORGET_MOD} <> 0
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+""")
+def ann_post_erasure_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN search CONSISTENCY after erasure — the query-level guarantee
+    the deletion cascade's row counts alone don't pin: a top-k probe of
+    the POST-CASCADE IVF index must rank exactly the surviving
+    neighbors, with no tombstone filter at read time (erased rows are
+    physically gone from the index partitions, so the search plan is
+    the unmodified ivf_search_index_inplan — DPP-pruned single-cell
+    scan). Index geometry stays frozen (centroids are model-parameter
+    state; see deletion_cascade_audit), so the oracle is the standard
+    IVF probe restatement over the same frozen assignment with the
+    kill predicate applied to index MEMBERSHIP only. Any killed id
+    still reachable in the probed cell — or any ranking shift from a
+    corrupted partition rewrite — hash-mismatches. Shares the cascaded
+    store clone (_FORGET_CACHE); the only extra cost is one probe."""
+    from .operators.similarity import ivf_search_index_inplan
+
+    st = _forget_pipeline(spark, sf_dir)
+    e = _t(spark, sf_dir, "embeddings")["embeddings"]
+    k = max(_IVF_N_CENTROIDS, e.count() // _IVF_CELL_ROWS)
+    cents = (e.filter(F.col("vec_id") < k)
+             .select(F.col("vec_id").alias("centroid_id"), "embedding"))
+    qrow = (e.filter(F.col("vec_id") == _IVF_QUERY_ID)
+            .select("vec_id", "embedding"))
+    out = ivf_search_index_inplan(spark, st["ivf"], qrow, cents, k=10)
+    return out.withColumn("centroid_id", F.col("centroid_id").cast("long"))
 
 
 @register("unigram_corpus_tokens",
