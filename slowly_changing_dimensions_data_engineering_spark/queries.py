@@ -2703,11 +2703,16 @@ def multimodal_near_dup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select(F.col("media_id").alias("centroid_id"),
                      F.col("features").alias("embedding")))
     # pair frame feeds CC's edge set AND the n_pairs aggregate.
-    # salt=16: at driver sf the corpus lands in ~k cells with one
-    # 975-row template cell — ~475k interpreted cosine evals serialized
-    # in ONE task without the salt (the block count, not the row count,
-    # caps parallelism here; at scale k = n/250 cells >> cores → the
-    # production path leaves salt=1)
+    # salt=16 UNCONDITIONALLY for this corpus: the text-derived media
+    # features are SKEWED across cells (one template mega-cell holds
+    # ~20% of assets at every sf), so the salt is load-balancing the
+    # biggest cell's quadratic candidate grid, not just padding task
+    # counts — a block-count-based adaptive salt (16 below 4×cores,
+    # else 1) was measured in r14 and REJECTED: it wins ~16% at sf3
+    # (92.9→77.8s isolated) but the unsalted mega-cell grid at sf10
+    # (~100k rows → 5G candidate pairs in one task) blows past 900s
+    # vs 408s salted. Isotropic production embeddings with balanced
+    # cells are the case the operator's salt=1 default serves.
     pairs = stabilize(embedding_near_dup_pairs(
         feats, centroids=cents, id_col="media_id", vec_col="features",
         threshold=0.99, salt=16))
