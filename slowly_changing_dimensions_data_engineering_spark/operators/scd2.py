@@ -169,3 +169,158 @@ def plan_master(staging: DataFrame, cols: list[str]) -> DataFrame:
 def refresh_master(store, spark, master_name: str, staging_name: str) -> int:
     staging = store.read(spark, staging_name)
     return store.commit(master_name, plan_master(staging, store.schema(master_name).fieldNames()))
+
+
+def plan_scd2_backdate(staging: DataFrame, corrections: DataFrame,
+                       business_key: list[str], cmp_cols: list[str],
+                       eff_col: str = "effective_ts") -> DataFrame:
+    """Late-arriving SCD2 correction SPLICE (lazy plan) — the dimension
+    capability the reference's forward-only merge cannot express: a
+    correction whose effective time E lies in the PAST is spliced into
+    the existing version chain so point-in-time queries as of t >= E see
+    the corrected state, without disturbing versions after the next
+    known change.
+
+    ``corrections`` carries the base (non-SCD2) payload columns plus
+    ``eff_col``; ``business_key`` is the BUSINESS key (the reference's
+    ``supplier_code``), NOT the (code, state) composite — the covering
+    version is located by interval, not by state equality. One
+    correction per key per call: the latest ``eff_col`` wins
+    (deterministic row_number dedupe).
+
+    Semantics per correction (key K, payload P, effective E):
+
+    - **covering version exists** (start <= E < end, end NULL = +inf):
+      - state unchanged (every ``cmp_cols`` value null-SAFE equal —
+        unlike the merge path's deliberately null-sensitive J3 guard,
+        a re-assertion of NULL must be a no-op here, not a splice):
+        correction dropped (idempotent re-assertion);
+      - state differs and start < E: the covering version is CLOSED at
+        E (its flag becomes 'N' — it is no longer the latest knowledge
+        for any instant >= E) and a spliced version [E, old end) with
+        payload P inherits the old end/current_flag;
+      - state differs and start == E: full RESTATEMENT of that version
+        — it is replaced by [E, old end) with payload P (no degenerate
+        empty [start, start) stub is emitted).
+    - **no covering version** (E in a gap, E before the first version,
+      E after a fully-closed chain, or unknown key): a version
+      [E, next start after E) is inserted, closed 'N' when a later
+      version exists, open 'Y' otherwise (unknown keys therefore insert
+      an open version — the correction IS the current knowledge).
+
+    Scale shape: corrections are delta-sized; staging is scanned exactly
+    TWICE — once by the main pass (one left join against the deduped
+    correction frame, AQE-broadcast like plan_scd2's no-hint policy,
+    emitting 1-2 output rows per staging row via a single explode —
+    never one scan per case arm) and once by the orphan aggregate,
+    whose shuffle payload is only the corrected keys' (key, start)
+    pairs. Staging itself is never shuffled.
+    """
+    from pyspark.sql import Window
+
+    base_cols = [c for c in staging.columns if c not in SCD2_COLS]
+    w = Window.partitionBy(*business_key).orderBy(
+        F.desc(eff_col), *[F.desc(c) for c in cmp_cols])
+    corr = (corrections
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(*[F.col(c).alias(f"_c_{c}") for c in base_cols],
+                    F.col(eff_col).cast("timestamp_ntz").alias("_eff")))
+    corr = stabilize(corr)  # feeds the main join, the orphan arm and
+    # the key probe — one evaluation (delta-sized frame)
+
+    on = [staging[k].eqNullSafe(F.col(f"_c_{k}")) for k in business_key]
+    j = staging.join(corr, _and_all(on), "left")
+    covers = (F.col("_eff").isNotNull()
+              & (F.col("_eff") >= F.col("start_date"))
+              & (F.col("end_date").isNull()
+                 | (F.col("_eff") < F.col("end_date"))))
+    same = _and_all([F.col(c).eqNullSafe(F.col(f"_c_{c}"))
+                     for c in cmp_cols])
+    split = covers & ~same
+
+    # One output struct per case, fields in staging column order; the
+    # per-row case picks which structs to emit and ONE explode yields
+    # them — the whole main pass is a single staging scan.
+    def mk(fields: dict) -> F.Column:
+        return F.struct(*[fields[c].alias(c) for c in staging.columns])
+
+    orig = mk({c: F.col(c) for c in staging.columns})
+    closed_head = mk({**{c: F.col(c) for c in base_cols},
+                      "start_date": F.col("start_date"),
+                      "end_date": F.col("_eff"),
+                      "current_flag": F.lit("N")})
+    spliced = mk({**{c: F.col(f"_c_{c}") for c in base_cols},
+                  "start_date": F.col("_eff"),
+                  "end_date": F.col("end_date"),
+                  "current_flag": F.col("current_flag")})
+    emit = (F.when(split & (F.col("start_date") < F.col("_eff")),
+                   F.array(closed_head, spliced))
+            .when(split, F.array(spliced))      # restatement at E==start
+            .otherwise(F.array(orig)))
+    main = j.select(F.explode(emit).alias("_r")).select("_r.*")
+
+    # Orphan arm: corrections whose key+E no version covers get a
+    # [E, next start after E) row. One aggregate over the JOINED frame
+    # (matched rows only) yields per-key coverage AND the next start;
+    # unknown keys never match, fall out of the aggregate, and take the
+    # open-row branch through the left join's NULLs. Conditional agg,
+    # NOT filter-then-agg: a correction after a fully-CLOSED chain
+    # (every start <= E) must still produce its open row.
+    stats = (j.filter(F.col("_eff").isNotNull())
+             .groupBy(*[F.col(f"_c_{k}").alias(k) for k in business_key])
+             .agg(F.min(F.when(F.col("start_date") > F.col("_eff"),
+                               F.col("start_date"))).alias("_next"),
+                  F.max(covers.cast("int")).alias("_cov")))
+    corr_plain = corr.select(
+        *[F.col(f"_c_{k}").alias(k) for k in business_key],
+        *[F.col(f"_c_{c}") for c in base_cols if c not in business_key],
+        "_eff")
+    orphan_rows = (
+        corr_plain.join(stats, business_key, "left")
+        .filter(F.coalesce(F.col("_cov"), F.lit(0)) == 0)
+        .select(*business_key,
+                *[F.col(f"_c_{c}").alias(c) for c in base_cols
+                  if c not in business_key],
+                F.col("_eff").alias("start_date"),
+                F.col("_next").alias("end_date"),
+                F.when(F.col("_next").isNull(), F.lit("Y"))
+                 .otherwise(F.lit("N")).alias("current_flag"))
+        .select(*staging.columns))
+
+    return main.unionByName(orphan_rows)
+
+
+def _and_all(conds):
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
+def scd2_backdate_splice(store, spark, staging_name: str,
+                         corrections: DataFrame, business_key: list[str],
+                         cmp_cols: list[str], eff_col: str = "effective_ts",
+                         offsets: dict[str, int] | None = None) -> int:
+    """Execute the late-arriving splice against the store (one atomic
+    commit; bucket-PRUNED when the staging table is bucketed on a subset
+    of the business key — only buckets holding corrected keys rewrite,
+    the merge_upsert convention)."""
+    corrections = stabilize(corrections)
+    spec = store.bucket_spec(staging_name)
+    if spec is not None and set(spec[0]) <= set(business_key):
+        from .merge import touched_buckets
+        bcols, n = spec
+        ids = touched_buckets(corrections, bcols, n)
+        staging = store.read_buckets(spark, staging_name, ids)
+        return store.commit_buckets(
+            staging_name,
+            plan_scd2_backdate(staging, corrections, business_key,
+                               cmp_cols, eff_col),
+            ids, offsets=offsets)
+    staging = store.read(spark, staging_name)
+    return store.commit(
+        staging_name,
+        plan_scd2_backdate(staging, corrections, business_key, cmp_cols,
+                           eff_col),
+        offsets=offsets)

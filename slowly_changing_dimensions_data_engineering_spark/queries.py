@@ -267,6 +267,7 @@ _PIPELINE_CACHE_NAMES = (
     "_STREAM_JOIN_OUTER_CACHE", "_STREAM_SCORE_CACHE", "_CLS_MB_CACHE",
     "_UNIGRAM_CACHE", "_FORGET_CACHE", "_SCD3_STORE_CACHE",
     "_FORGET_BASE_CACHE", "_FORGET_EXP_CACHE", "_CHUNK_RAG_CACHE",
+    "_SCD2_BD_CACHE",
 )
 
 
@@ -653,6 +654,204 @@ def scd2_point_in_time_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
         "supplier_state", _fmt("start_date").alias("version_start")).agg(
         F.count(F.lit(1)).alias("n_items"),
         F.sum("qty").alias("sum_qty"))
+
+
+#: sf_dir -> store root of the backdate-splice run (a hardlink clone of
+#: the shared two-load store — the splice MUTATES staging, so the shared
+#: _SCD2_STORE_CACHE tree must never be touched).
+_SCD2_BD_CACHE: dict[str, str] = {}
+
+
+@register("scd2_backdated_correction_history", _SCD2_CTES + """
+, corrected AS (
+  SELECT s_suppkey AS supplier_key,
+         'S' || CAST(s_suppkey AS VARCHAR) AS supplier_code,
+         s_name AS supplier_name, n2.n_name AS supplier_state
+  FROM supplier JOIN nation n2 ON n2.n_nationkey = (s_nationkey + 13) % 25
+  WHERE s_suppkey % 7 = 1 AND s_suppkey % 2 = 1
+)
+SELECT l.supplier_key, l.supplier_code, l.supplier_name, l.supplier_state,
+       '2024-01-01 00:00:00' AS start_date,
+       CASE WHEN co.supplier_code IS NOT NULL THEN '2024-01-15 00:00:00'
+            WHEN c.supplier_code IS NOT NULL THEN '2024-02-01 00:00:00'
+       END AS end_date,
+       CASE WHEN co.supplier_code IS NOT NULL
+              OR c.supplier_code IS NOT NULL THEN 'N' ELSE 'Y'
+       END AS current_flag
+FROM load1 l
+LEFT JOIN changed c ON l.supplier_code = c.supplier_code
+LEFT JOIN corrected co ON l.supplier_code = co.supplier_code
+UNION ALL
+SELECT co.supplier_key, co.supplier_code, co.supplier_name,
+       co.supplier_state,
+       '2024-01-15 00:00:00',
+       CASE WHEN c.supplier_code IS NOT NULL
+            THEN '2024-02-01 00:00:00' END,
+       CASE WHEN c.supplier_code IS NOT NULL THEN 'N' ELSE 'Y' END
+FROM corrected co LEFT JOIN changed c ON co.supplier_code = c.supplier_code
+UNION ALL
+SELECT supplier_key, supplier_code, supplier_name, supplier_state,
+       '2024-02-01 00:00:00', NULL, 'Y' FROM changed
+UNION ALL
+SELECT supplier_key, supplier_code, supplier_name, supplier_state,
+       '2024-02-01 00:00:00', NULL, 'Y' FROM newrows
+""")
+def scd2_backdated_correction_history(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """Late-arriving SCD2 correction (operators/scd2.py::
+    scd2_backdate_splice) — the capability the reference's forward-only
+    MERGE cannot express: a correction batch effective 2024-01-15
+    (INSIDE the load-1 intervals) arrives AFTER both loads ran. Every
+    7th supplier is corrected; the odd-keyed half carries a genuinely
+    different state (splice: the covering version closes at E, the
+    spliced segment inherits its end/current_flag — 'N'+end Feb 1 for
+    suppliers load 2 changed, open 'Y' otherwise), the even-keyed half
+    re-asserts the state already true at E (no-op arm, exercised but
+    invisible in the output). Runs on a hardlink CLONE of the shared
+    two-load store (the splice mutates staging); bucket-pruned rewrite.
+    Oracle restates the two-load reconstruction with the corrected
+    segments spliced in."""
+    import os
+
+    from .operators.scd2 import scd2_backdate_splice
+    from .store import TableStore
+
+    def read(store):
+        return store.read(spark, "staging").select(
+            "supplier_key", "supplier_code", "supplier_name",
+            "supplier_state",
+            _fmt("start_date").alias("start_date"),
+            _fmt("end_date").alias("end_date"),
+            "current_flag")
+
+    root = _SCD2_BD_CACHE.get(sf_dir)
+    if root and os.path.exists(os.path.join(root, "_meta", "staging.json")):
+        return read(TableStore(root))
+
+    base = _scd2_store(spark, sf_dir)
+    root = _pipeline_tmpdir("sds_scd2_bd_")
+    _hardlink_tree(base.root, root)
+    store = TableStore(root)
+
+    t = _t(spark, sf_dir, "supplier", "nation")
+    s, n = t["supplier"], t["nation"]
+    n1 = n.select(F.col("n_nationkey").alias("_nk1"),
+                  F.col("n_name").alias("_state_orig"))
+    n2 = n.select(F.col("n_nationkey").alias("_nk2"),
+                  F.col("n_name").alias("_state_new"))
+    corrections = (
+        s.filter(F.col("s_suppkey") % 7 == 1)
+        .join(n1, F.col("_nk1") == F.col("s_nationkey"))
+        .join(n2, F.col("_nk2") == (F.col("s_nationkey") + 13) % 25)
+        .select(
+            F.col("s_suppkey").alias("supplier_key"),
+            F.concat(F.lit("S"), F.col("s_suppkey").cast("string"))
+             .alias("supplier_code"),
+            F.col("s_name").alias("supplier_name"),
+            F.when(F.col("s_suppkey") % 2 == 0, F.col("_state_orig"))
+             .otherwise(F.col("_state_new")).alias("supplier_state"),
+            F.lit(dt.datetime(2024, 1, 15)).alias("effective_ts")))
+    scd2_backdate_splice(store, spark, "staging", corrections,
+                         ["supplier_code"], ["supplier_state"])
+    _SCD2_BD_CACHE[sf_dir] = root
+    return read(store)
+
+
+@register("scd4_current_with_history", _SCD2_CTES + """
+, vstarts AS (
+  SELECT supplier_code, '2024-01-01 00:00:00' AS start_date FROM load1
+  UNION ALL
+  SELECT supplier_code, '2024-02-01 00:00:00' FROM changed
+  UNION ALL
+  SELECT supplier_code, '2024-02-01 00:00:00' FROM newrows
+), hist AS (
+  SELECT supplier_code, CAST(COUNT(*) AS BIGINT) AS n_versions,
+         MIN(start_date) AS first_seen
+  FROM vstarts GROUP BY supplier_code
+), cur AS (
+  SELECT l.supplier_key, l.supplier_code, l.supplier_name,
+         COALESCE(c.supplier_state, l.supplier_state) AS supplier_state
+  FROM load1 l LEFT JOIN changed c ON l.supplier_code = c.supplier_code
+  UNION ALL
+  SELECT supplier_key, supplier_code, supplier_name, supplier_state
+  FROM newrows
+)
+SELECT cur.supplier_key, cur.supplier_code, cur.supplier_name,
+       cur.supplier_state, h.n_versions, h.first_seen
+FROM cur JOIN hist h USING (supplier_code)
+""")
+def scd4_current_with_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-4 — current dimension and history SPLIT into two tables,
+    consumed together: the reference pipeline materializes exactly this
+    pair (LANDING = the Type-1 current table, STAGING = the history
+    table), so Type-4 is its consumption pattern — current rows enriched
+    with per-key history depth (version count, first-seen start). One
+    history aggregate keyed by the business key joins the current table
+    (both shuffle/broadcast on the key; the aggregate is dim-sized).
+    Completes the dimension-type family: Type 1/2/3 land as merges,
+    Type 4 as the split-pair read, Type 6 as the hybrid projection."""
+    store = _scd2_store(spark, sf_dir)
+    hist = (store.read(spark, "staging")
+            .groupBy("supplier_code")
+            .agg(F.count("*").cast("long").alias("n_versions"),
+                 _fmt(F.min("start_date")).alias("first_seen")))
+    cur = store.read(spark, "landing")
+    return cur.join(hist, "supplier_code").select(
+        "supplier_key", "supplier_code", "supplier_name", "supplier_state",
+        "n_versions", "first_seen")
+
+
+@register("scd6_supplier_hybrid", _SCD2_CTES + """
+, hist AS (
+  SELECT l.supplier_key, l.supplier_code, l.supplier_name,
+         l.supplier_state,
+         '2024-01-01 00:00:00' AS start_date,
+         CASE WHEN c.supplier_code IS NOT NULL
+              THEN '2024-02-01 00:00:00' END AS end_date,
+         CASE WHEN c.supplier_code IS NOT NULL THEN 'N' ELSE 'Y'
+         END AS current_flag
+  FROM load1 l LEFT JOIN changed c ON l.supplier_code = c.supplier_code
+  UNION ALL
+  SELECT supplier_key, supplier_code, supplier_name, supplier_state,
+         '2024-02-01 00:00:00', NULL, 'Y' FROM changed
+  UNION ALL
+  SELECT supplier_key, supplier_code, supplier_name, supplier_state,
+         '2024-02-01 00:00:00', NULL, 'Y' FROM newrows
+)
+SELECT supplier_key, supplier_code, supplier_name, supplier_state,
+       start_date, end_date, current_flag,
+       last_value(supplier_state) OVER w AS current_state,
+       lag(supplier_state) OVER w AS prev_state
+FROM hist
+WINDOW w AS (PARTITION BY supplier_code
+             ORDER BY start_date, supplier_state
+             ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND UNBOUNDED FOLLOWING)
+""")
+def scd6_supplier_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-6 (hybrid 1+2+3) — the Type-2 history rows each ALSO
+    carry the Type-1 current value of the tracked attribute
+    (overwritten on every change) and the Type-3 prior value (lag), so
+    one row answers 'state then', 'state now' and 'state before' at
+    once. Pure windowed projection over the history table: ONE shuffle
+    on the business key serves both window functions (same partition +
+    order, deterministic (start, state) tiebreak for the dual-open
+    collision key). Oracle restates the reconstruction with the same
+    window."""
+    from pyspark.sql import Window
+
+    store = _scd2_store(spark, sf_dir)
+    w = (Window.partitionBy("supplier_code")
+         .orderBy("start_date", "supplier_state"))
+    wfull = w.rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing)
+    return store.read(spark, "staging").select(
+        "supplier_key", "supplier_code", "supplier_name", "supplier_state",
+        _fmt("start_date").alias("start_date"),
+        _fmt("end_date").alias("end_date"),
+        "current_flag",
+        F.last("supplier_state").over(wfull).alias("current_state"),
+        F.lag("supplier_state").over(w).alias("prev_state"))
 
 
 # =====================================================================

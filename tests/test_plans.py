@@ -21,6 +21,8 @@ SF = "/root/testdata/sf0.001"
 # inherently n×k centroid scoring — k≤8 here; the big side streams once).
 NESTED_LOOP_ALLOWED = {"embed_topk_cosine", "ann_filtered_topk",
                        "ivf_search_ann",
+                       # same 1-row query broadcast, post-cascade index
+                       "ann_post_erasure_topk",
                        "ivf_recall_at10", "ann_batch_topk",
                        # same 1-row query/centroid broadcast shapes
                        "ivf_recall_nprobe", "ann_filtered_topk_index",
@@ -106,6 +108,10 @@ def test_no_cartesian_or_nested_loop_anywhere(spark):
 #: data grows, explicit ones do not.
 EXPLICIT_FACT_BCAST_ALLOWED = {
     "ivf_search_ann", "ivf_recall_at10", "ivf_recall_nprobe",
+    # ivf_search_ann's exact shape over the post-cascade index: the
+    # broadcast subtrees are the vec_id==42 query row and the k-row
+    # filter-selected centroid frame, both bounded by construction
+    "ann_post_erasure_topk",
     "ann_batch_topk", "ann_filtered_topk_index",
     "embedding_quantization_recall",
     # same centroid-frame shape: the probe ranking broadcasts a frame

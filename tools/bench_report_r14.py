@@ -35,7 +35,9 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 HIST = os.path.join(ROOT, "bench_history")
 
 NEW_R14 = ["bm25_chunk_topk", "hybrid_rag_fusion",
-           "scd2_point_in_time_lineitems", "ann_post_erasure_topk"]
+           "scd2_point_in_time_lineitems", "ann_post_erasure_topk",
+           "scd2_backdated_correction_history",
+           "scd4_current_with_history", "scd6_supplier_hybrid"]
 
 #: VERDICT r13 #1: queries whose sf10 ratios the r14 soak must prove
 #: recovered after the repartition(centroid_id) clustered-write fix.
@@ -69,7 +71,9 @@ FAMILIES = {
         "ivfpq_residual_search_embeddings", "streaming_ivfpq_index_state"],
     "scd2_store": [
         "scd2_supplier_history", "scd2_master_current",
-        "scd1_landing_current", "scd2_point_in_time_lineitems"],
+        "scd1_landing_current", "scd2_point_in_time_lineitems",
+        "scd2_backdated_correction_history",
+        "scd4_current_with_history", "scd6_supplier_hybrid"],
     "forget_fixture": [
         "deletion_cascade_audit", "deletion_neardup_expansion",
         "ann_post_erasure_topk"],

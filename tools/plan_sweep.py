@@ -72,6 +72,7 @@ PIPELINE_QUERIES = {
     "scd1_landing_current",
     "scd3_supplier_prev_state",
     "chunk_retrieval_topk",
+    "scd2_backdated_correction_history",
 }
 
 
