@@ -98,8 +98,13 @@ def _family_sums(q: dict[str, float]) -> dict[str, float]:
 def main() -> None:
     with open(os.path.join(HIST, "bench_runs.jsonl")) as f:
         runs = [json.loads(line) for line in f if line.strip()]
-    n_reg = max(r["n_queries"] for r in runs)
-    r14 = [r for r in runs if r["n_queries"] == n_reg]
+    # r14-generation records: the registry grew 142 -> 144 -> 147 within
+    # the round (post-soak additions are covered by targeted
+    # bench_queries datapoints, BENCH_NOTES «r14 additions»); latest
+    # record per sf wins, so the 147-query sf0.1 freeze coexists with
+    # the 144-query sf3/sf10 soak records (key intersection below
+    # handles the width difference).
+    r14 = [r for r in runs if r["n_queries"] >= 142]
     by_sf: dict[float, dict] = {}
     for r in r14:
         by_sf[r["sf"]] = r  # last record per sf wins
