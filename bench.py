@@ -133,6 +133,11 @@ def main():
         "sf": sf, "sf_dir": sf_dir, "cpus": cpus, "calib_sec": calib,
         "n_queries": len(timings),
         "total_sec": round(sum(timings.values()), 3),
+        # Generation tag so report scripts select records by round
+        # instead of guessing from registry width (ADVICE r14 #3 — the
+        # width heuristic silently swept future rounds' records in).
+        "round": os.environ.get("SPARK_GRAFT_ROUND", "r15"),
+        "ts": round(time.time(), 1),
         "per_query_seconds": timings,
     }
     out_path = os.environ.get(

@@ -219,13 +219,26 @@ def plan_scd2_backdate(staging: DataFrame, corrections: DataFrame,
     from pyspark.sql import Window
 
     base_cols = [c for c in staging.columns if c not in SCD2_COLS]
+    # Tie-break over ALL payload columns, not just cmp_cols: two
+    # corrections tying on eff_col and every compared column but
+    # differing in a non-compared payload column must pick ONE
+    # deterministic survivor, or the spliced row's payload would vary
+    # across runs (ADVICE r14 #2). Key columns are partition-constant
+    # and drop out naturally.
+    tie_cols = cmp_cols + [c for c in base_cols
+                           if c not in cmp_cols and c not in business_key]
     w = Window.partitionBy(*business_key).orderBy(
-        F.desc(eff_col), *[F.desc(c) for c in cmp_cols])
+        F.desc(eff_col), *[F.desc(c) for c in tie_cols])
     corr = (corrections
             .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .select(*[F.col(c).alias(f"_c_{c}") for c in base_cols],
-                    F.col(eff_col).cast("timestamp_ntz").alias("_eff")))
+                    F.col(eff_col).cast("timestamp_ntz").alias("_eff"))
+            # A NULL effective time is garbage input, not a correction:
+            # it can cover no interval, and letting it through to the
+            # orphan arm would emit an open row with a NULL start_date
+            # next to an existing current version (ADVICE r14 #1).
+            .filter(F.col("_eff").isNotNull()))
     corr = stabilize(corr)  # feeds the main join, the orphan arm and
     # the key probe — one evaluation (delta-sized frame)
 

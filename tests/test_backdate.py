@@ -145,6 +145,38 @@ def test_store_splice_is_bucket_pruned(spark, tmp_path):
     assert ("B", "NY", T("2024-01-01"), None, "Y") in rows
 
 
+def test_null_effective_ts_correction_is_dropped(spark):
+    # ADVICE r14 #1: a NULL effective_ts covers no interval — it must be
+    # rejected outright, not fall through the orphan arm as an open row
+    # with NULL start_date beside the existing current version.
+    out = _run(spark,
+               [("A", "CA", T("2024-01-01"), None, "Y")],
+               [("A", "OR", None)])
+    assert out == [("A", "CA", T("2024-01-01"), None, "Y")]
+
+
+def test_dedupe_tie_break_covers_noncompared_payload(spark):
+    # ADVICE r14 #2: two corrections tying on eff AND every cmp column
+    # but differing in a non-compared payload column must pick ONE
+    # deterministic survivor (desc order over the remaining payload).
+    schema = ("code string, state string, name string, "
+              "start_date timestamp_ntz, end_date timestamp_ntz, "
+              "current_flag string")
+    stg = spark.createDataFrame(
+        [("A", "CA", "old", T("2024-01-01"), None, "Y")], schema)
+    corr = spark.createDataFrame(
+        [("A", "OR", "alpha", T("2024-01-15")),
+         ("A", "OR", "zeta", T("2024-01-15"))],
+        "code string, state string, name string, effective_ts timestamp")
+    outs = set()
+    for _ in range(3):
+        out = plan_scd2_backdate(stg, corr, ["code"], ["state"])
+        outs.add(tuple(sorted(tuple(r) for r in out.collect())))
+    assert len(outs) == 1
+    spliced = [r for r in next(iter(outs)) if r[1] == "OR"]
+    assert spliced[0][2] == "zeta"  # desc tie-break on the payload col
+
+
 def test_idempotent_reapply(spark):
     # applying the same correction to the already-spliced table is a
     # no-op (the spliced version now covers E with the corrected state)

@@ -104,12 +104,17 @@ def main() -> None:
     # record per sf wins, so the 147-query sf0.1 freeze coexists with
     # the 144-query sf3/sf10 soak records (key intersection below
     # handles the width difference).
-    r14 = [r for r in runs if r["n_queries"] >= 142]
+    # r14-generation records carry no "round" tag (bench.py only began
+    # tagging in r15) and sit in the 142..147 registry-width window —
+    # both bounds, so r15+ records (tagged, and/or wider) are excluded
+    # (ADVICE r14 #3).
+    r14 = [r for r in runs
+           if "round" not in r and 142 <= r["n_queries"] <= 147]
     by_sf: dict[float, dict] = {}
     for r in r14:
         by_sf[r["sf"]] = r  # last record per sf wins
     sf01, sf3, sf10 = by_sf.get(0.1), by_sf.get(3.0), by_sf.get(10.0)
-    assert sf01, f"no {n_reg}-query sf0.1 record"
+    assert sf01, "no r14-generation sf0.1 record"
 
     out = {}
     for label, rec in (("r14_sf01", sf01), ("r14_sf3", sf3),
