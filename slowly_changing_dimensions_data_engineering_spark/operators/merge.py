@@ -189,7 +189,7 @@ def touched_buckets(source: DataFrame, bucket_cols: list[str], n: int) -> list[i
 
 def merge_upsert(store, spark, target_name: str, source: DataFrame,
                  key: list[str], compare_cols: list[str],
-                 delete_match=None) -> int:
+                 delete_match=None, occ_retries: int = 3) -> int:
     """Execute M1 against the store: one atomic commit carrying both the
     new snapshot and the CDC batch (Snowflake per-statement txn).
 
@@ -201,10 +201,38 @@ def merge_upsert(store, spark, target_name: str, source: DataFrame,
     (Delta-merge file pruning; VERDICT r1 #4).
 
     ``delete_match`` forwards the WHEN MATCHED DELETE clause of
-    ``plan_upsert`` — source rows satisfying it are tombstones."""
+    ``plan_upsert`` — source rows satisfying it are tombstones.
+
+    Concurrency: two merges into DISJOINT bucket sets interleave
+    freely (the store rebases their pointer maps — no retry, no
+    conflict). A true conflict (same bucket, or a full-table merge
+    racing any commit) re-READS the new current state and re-derives
+    the whole merge, up to ``occ_retries`` times — re-deriving against
+    the winner's state is exactly the Delta/Snowflake retry semantics,
+    and the merge result is then as if the two loads had been applied
+    serially. The stabilized source is reused across attempts."""
+    from ..store import ConcurrentCommitError
+
     # Evaluate the (delta-sized) source once; every consumer — bucket
-    # probe, join, CDC branches — reuses the materialization.
+    # probe, join, CDC branches, every retry — reuses the
+    # materialization.
     source = store.stabilize(source)
+    for attempt in range(occ_retries + 1):
+        try:
+            return _merge_upsert_once(store, spark, target_name, source,
+                                      key, compare_cols, delete_match)
+        except ConcurrentCommitError:
+            if attempt == occ_retries:
+                raise
+    raise AssertionError("unreachable")
+
+
+def _merge_upsert_once(store, spark, target_name: str, source: DataFrame,
+                       key: list[str], compare_cols: list[str],
+                       delete_match=None) -> int:
+    """One optimistic attempt of ``merge_upsert`` (source already
+    stabilized): snapshot-read, derive, commit — raising
+    ``ConcurrentCommitError`` from the store on a lost race."""
     if store.version(target_name) < 0:
         # First load into an empty table: every surviving row is an
         # insert — skip the categorize join entirely (pure append; same
@@ -241,6 +269,80 @@ def merge_upsert(store, spark, target_name: str, source: DataFrame,
     # outputs would also work — for pipeline loads the source is a small
     # batch, so recomputation is cheaper than a cache of the big side.
     return store.commit(target_name, new_target, changes=changes)
+
+
+def plan_scd0(target: DataFrame, source: DataFrame,
+              key: list[str]) -> tuple[DataFrame, DataFrame]:
+    """SCD Type-0 merge plan — FIXED attributes: a matched key is never
+    updated, whatever the source says; only never-seen keys insert. This
+    is the reference's "no delete propagation" rule (SURVEY.md edge case
+    5) taken to its retain-original limit: where Type-1 overwrites and
+    Type-2 versions, Type-0 declares the first-seen row immutable
+    (original hire date / first-touch attribution dimensions).
+
+    Returns ``(new_target, cdc_changes)``; the change batch carries only
+    INSERT rows (ISUPDATE=false) with the same key-hash ROW_ID as the
+    rest of the DML family — a Type-0 merge can never emit an update
+    pair by construction.
+
+    Physical shape: ONE left-anti join of the delta-sized source against
+    the target key set (AQE broadcasts the source; the target is only
+    ever the probe side), then a union — no categorize pass, no change
+    comparison, the cheapest member of the merge family."""
+    cols = target.columns
+    src = source.select(*cols)
+    ins = src.join(target.select(*key), key, "left_anti")
+    rid = F.md5(F.concat_ws(
+        "\x1f", *[F.col(k).cast("string") for k in key]))
+    changes = ins.select(
+        *cols, F.lit("INSERT").alias(CDC_ACTION),
+        F.lit(False).alias(CDC_ISUPDATE), rid.alias(CDC_ROW_ID))
+    return target.unionByName(ins), changes
+
+
+def scd0_insert(store, spark, target_name: str, source: DataFrame,
+                key: list[str]) -> int:
+    """Execute the SCD Type-0 merge against the store (one atomic
+    commit, CDC batch included).
+
+    Plain tables take the TRUE-APPEND path (``commit_append``): the
+    surviving insert rows are the commit's entire write cost — an
+    insert-only merge must never rewrite the 100 TB current state it
+    by definition does not change. Bucketed targets append via the
+    pruned ``commit_buckets`` path (only buckets receiving inserts
+    rewrite), under the same bucket-cols ⊆ key condition as
+    merge_upsert."""
+    source = store.stabilize(source)
+    cols = store.schema(target_name).fieldNames()
+    if store.version(target_name) < 0:
+        src = source.select(*cols)
+        rid = F.md5(F.concat_ws(
+            "\x1f", *[F.col(k).cast("string") for k in key]))
+        changes = src.select(
+            *cols, F.lit("INSERT").alias(CDC_ACTION),
+            F.lit(False).alias(CDC_ISUPDATE), rid.alias(CDC_ROW_ID))
+        if store.bucket_spec(target_name) is not None:
+            return store.commit(target_name, src, changes=changes)
+        return store.commit_append(target_name, src, changes=changes)
+    spec = store.bucket_spec(target_name)
+    if spec is not None and set(spec[0]) <= set(key):
+        bcols, n = spec
+        ids = touched_buckets(source, bcols, n)
+        target = store.read_buckets(spark, target_name, ids)
+        new_target, changes = plan_scd0(target, source, key)
+        return store.commit_buckets(target_name, new_target, ids,
+                                    changes=changes)
+    target = store.read(spark, target_name)
+    # Append-only storage shape: anti-join yields just the new rows;
+    # commit_append writes ONLY them as a new segment (the current
+    # snapshot is immutable under Type-0, so it is never rewritten).
+    ins = source.select(*cols).join(target.select(*key), key, "left_anti")
+    rid = F.md5(F.concat_ws(
+        "\x1f", *[F.col(k).cast("string") for k in key]))
+    changes = ins.select(
+        *cols, F.lit("INSERT").alias(CDC_ACTION),
+        F.lit(False).alias(CDC_ISUPDATE), rid.alias(CDC_ROW_ID))
+    return store.commit_append(target_name, ins, changes=changes)
 
 
 def plan_scd3(target: DataFrame, source: DataFrame, key: list[str],

@@ -267,7 +267,7 @@ _PIPELINE_CACHE_NAMES = (
     "_STREAM_JOIN_OUTER_CACHE", "_STREAM_SCORE_CACHE", "_CLS_MB_CACHE",
     "_UNIGRAM_CACHE", "_FORGET_CACHE", "_SCD3_STORE_CACHE",
     "_FORGET_BASE_CACHE", "_FORGET_EXP_CACHE", "_CHUNK_RAG_CACHE",
-    "_SCD2_BD_CACHE",
+    "_SCD2_BD_CACHE", "_SCD0_STORE_CACHE",
 )
 
 
@@ -852,6 +852,51 @@ def scd6_supplier_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         "current_flag",
         F.last("supplier_state").over(wfull).alias("current_state"),
         F.lag("supplier_state").over(w).alias("prev_state"))
+
+
+#: sf_dir -> store root of the two-load SCD Type-0 run (own store: the
+#: Type-0 dim is append-only, unlike the shared pipeline's landing).
+_SCD0_STORE_CACHE: dict[str, str] = {}
+
+
+@register("scd0_supplier_fixed", _SCD2_CTES + """
+SELECT supplier_key, supplier_code, supplier_name, supplier_state
+FROM load1
+UNION ALL
+SELECT n.supplier_key, n.supplier_code, n.supplier_name, n.supplier_state
+FROM newrows n LEFT JOIN load1 l ON n.supplier_code = l.supplier_code
+WHERE l.supplier_code IS NULL
+""")
+def scd0_supplier_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-0 (operators/merge.py::scd0_insert) — FIXED attributes:
+    the first-seen row per supplier_code is immutable, so load 2's state
+    changes are ignored entirely and only its never-seen codes insert.
+    Completes the SCD taxonomy 0/1/2/3/4/6 (VERDICT r14 #8). Storage is
+    the append-only fast path: load 2 commits ONLY its insert segment —
+    the current snapshot is never rewritten (commit_append), which is
+    the Type-0 cost model at 100 TB. Oracle = load1 retained verbatim
+    plus the anti-joined load-2 inserts."""
+    import os
+
+    from .operators.merge import scd0_insert
+    from .store import TableStore
+
+    def read(store):
+        return store.read(spark, "dim").select(
+            "supplier_key", "supplier_code", "supplier_name",
+            "supplier_state")
+
+    root = _SCD0_STORE_CACHE.get(sf_dir)
+    if root and os.path.exists(os.path.join(root, "_meta", "dim.json")):
+        return read(TableStore(root))
+
+    store = TableStore(_pipeline_tmpdir("sds_scd0_"))
+    store.create("dim", schemas.SUPPLIER)
+    for load in (_supplier_load1(spark, sf_dir),
+                 _supplier_load2(spark, sf_dir)):
+        scd0_insert(store, spark, "dim", load, ["supplier_code"])
+    _SCD0_STORE_CACHE[sf_dir] = store.root
+    return read(store)
 
 
 # =====================================================================

@@ -26,9 +26,24 @@ plain parquet:
   file-pruning cost profile: a 0.1% delta load rewrites ~0.1% of the
   table, not 100 TB.
 
+- **Optimistic concurrency** (Snowflake/Delta transaction validation):
+  data is written lock-free to per-transaction staging dirs
+  (``<table>/_txn/``); the pointer swap runs in a tiny critical
+  section that re-reads the current meta and validates this
+  transaction's read version against it. Blind appends never
+  conflict; bucketed commits touching DISJOINT buckets rebase onto
+  the concurrent writer's bucket map automatically; overlapping
+  buckets and snapshot-derived full rewrites raise
+  ``ConcurrentCommitError`` (the DML operators re-derive and retry).
+  Version numbers are assigned in COMMIT order inside the section, so
+  consumer offsets (version high-watermarks) stay monotonic.
+
 Scale notes: version directories are immutable and parallel-writable by
-all executors; only the tiny pointer swap is serialized on the driver.
-History cleanup = deleting old ``v{N}`` dirs (VACUUM analogue).
+all executors; only the tiny pointer swap is serialized. History
+cleanup = deleting old ``v{N}`` dirs (VACUUM analogue). On object
+storage the swap maps to a conditional PUT / CAS of the pointer object
+and staging promotion to a manifest registration — the protocol shape
+is unchanged.
 """
 
 from __future__ import annotations
@@ -42,6 +57,18 @@ from typing import Iterable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+class ConcurrentCommitError(RuntimeError):
+    """Another writer committed a conflicting change between this
+    transaction's snapshot read and its pointer swap. Non-conflicting
+    interleavings (blind appends; bucketed commits touching DISJOINT
+    buckets) are rebased automatically and never raise — this error
+    means the two transactions really did touch the same data, so the
+    loser must re-read the new current state and re-derive its write
+    (``merge_upsert`` does this automatically up to its retry budget).
+    The Snowflake/Delta analogue is a transaction failing optimistic
+    concurrency validation."""
+
 
 #: Optional plan-capture hook (tools/plan_ledger.py): when set, called
 #: as ``PLAN_CAPTURE(table_name, kind, df)`` with the exact frame each
@@ -228,17 +255,23 @@ class TableStore:
         The field must be nullable — existing rows have no value for it.
         Time travel keeps the CURRENT declared schema (old snapshots
         read with the new column NULL), matching the lakehouse
-        convention (Delta) rather than per-version schema archaeology."""
-        meta = self._read_meta(name)
-        schema = T.StructType.fromJson(json.loads(meta["schema"]))
-        if field.name in schema.fieldNames():
-            raise ValueError(f"column {field.name!r} already exists on {name!r}")
-        if not field.nullable:
-            raise ValueError(
-                f"added column {field.name!r} must be nullable: rows "
-                "committed before the ALTER have no value for it")
-        meta["schema"] = T.StructType(schema.fields + [field]).json()
-        self._write_meta(name, meta)
+        convention (Delta) rather than per-version schema archaeology.
+        The read-validate-write runs inside the pointer-swap critical
+        section, so a concurrent commit can never be lost to the ALTER
+        (and two concurrent ALTERs serialize — the second fails the
+        already-exists check instead of silently dropping the first)."""
+        def apply(fresh: dict) -> None:
+            schema = T.StructType.fromJson(json.loads(fresh["schema"]))
+            if field.name in schema.fieldNames():
+                raise ValueError(
+                    f"column {field.name!r} already exists on {name!r}")
+            if not field.nullable:
+                raise ValueError(
+                    f"added column {field.name!r} must be nullable: rows "
+                    "committed before the ALTER have no value for it")
+            fresh["schema"] = T.StructType(schema.fields + [field]).json()
+
+        self._swap_meta(name, apply)
 
     def history_df(self, spark: SparkSession, name: str) -> DataFrame:
         """``DESCRIBE HISTORY`` analogue (Snowflake: SHOW VERSIONS /
@@ -462,15 +495,87 @@ class TableStore:
             out = out.sortWithinPartitions(F.col("_bucket"), *sort_within)
         return out
 
-    def _prep_version(self, name: str, meta: dict) -> int:
-        v = meta["latest"] + 1
-        # A crash mid-write can leave an orphan v{N} directory that the
-        # pointer never referenced (it only advances after a successful
-        # write). Clear it so the table can never wedge on errorifexists.
+    def _stage_dir(self, name: str) -> str:
+        """A private staging directory for one transaction's data
+        writes, under ``<table>/_txn/``. Version directories are only
+        ever CREATED inside the commit critical section (a rename of
+        the staged write), so two concurrent writers can never collide
+        on a version dir, and version numbers are assigned in COMMIT
+        order — the change feed's consumer offsets (version-number
+        high-watermarks) stay monotonic under concurrency. A crashed
+        transaction leaves an orphan staging dir the pointer never
+        references; ``vacuum`` sweeps stale ones."""
+        txn = os.path.join(self._tdir(name), "_txn")
+        os.makedirs(txn, exist_ok=True)
+        import tempfile
+        return tempfile.mkdtemp(prefix="txn_", dir=txn)
+
+    def _promote(self, name: str, stage: str, v: int,
+                 has_changes: bool) -> None:
+        """Move a transaction's staged writes to their final version
+        paths — called INSIDE the commit critical section, after
+        conflict validation assigned the final version number. Local
+        FS: two O(1) directory renames; on object storage the staged
+        manifest would be registered under the final version key
+        instead (manifests make this a metadata op there too).
+
+        A pre-existing directory at the destination can only be a
+        crash orphan from a pre-staging-era writer (v = latest+1 is
+        assigned under the lock, so no committed version references
+        it, and live writers stage under ``_txn/``) — cleared here,
+        race-free, so the table can never wedge on it."""
         for orphan in (self._vdir(name, v), self._cdir(name, v)):
             if os.path.exists(orphan):
                 shutil.rmtree(orphan)
-        return v
+        os.rename(os.path.join(stage, "data"), self._vdir(name, v))
+        if has_changes:
+            os.makedirs(os.path.join(self._tdir(name), "_changes"),
+                        exist_ok=True)
+            os.rename(os.path.join(stage, "changes"), self._cdir(name, v))
+        shutil.rmtree(stage, ignore_errors=True)
+
+    def _swap_meta(self, name: str, apply):
+        """The optimistic-concurrency critical section: re-read the
+        CURRENT meta under a short lock, let ``apply(fresh)`` validate
+        against it (raising ``ConcurrentCommitError`` on a true
+        conflict) and fold this transaction's changes in, then
+        atomically swap the pointer. Returns ``apply``'s return value
+        (the commit paths return their assigned version through it). The lock guards only this tiny
+        read-modify-write (microseconds — json load/dump of a pointer
+        file), never a data write; data version dirs are written
+        lock-free in parallel by all writers. A lock left by a crashed
+        process is stolen after a grace period far longer than any
+        legitimate hold. On object storage this whole section is one
+        compare-and-swap / conditional PUT of the pointer object."""
+        lock = self._meta_path(name) + ".lock"
+        t0 = time.time()
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(lock) > 30.0:
+                        os.unlink(lock)  # stale: holder crashed
+                        continue
+                except OSError:
+                    continue  # holder just released/stole it
+                if time.time() - t0 > 60.0:
+                    raise TimeoutError(
+                        f"commit lock for table {name!r} busy for 60s: "
+                        f"{lock}")
+                time.sleep(0.005)
+        try:
+            fresh = self._read_meta(name)
+            ret = apply(fresh)
+            self._write_meta(name, fresh)
+            return ret
+        finally:
+            os.close(fd)
+            try:
+                os.unlink(lock)
+            except OSError:
+                pass
 
     @staticmethod
     def _denull(dt: T.DataType) -> T.DataType:
@@ -525,34 +630,67 @@ class TableStore:
         advances its offset in the same transaction" semantics
         (SCD-Automation.sql:142). Consumers read it back via
         ``get_offset(consumer, table=name)``; the standalone
-        ``set_offset`` file stays a best-effort global mirror only."""
+        ``set_offset`` file stays a best-effort global mirror only.
+
+        Optimistic concurrency: the data is written lock-free to a
+        staging dir; the pointer swap validates that NO other writer
+        committed since this transaction's snapshot read (a full
+        rewrite derives from that snapshot, so ANY interleaved commit
+        is a true conflict) and raises ``ConcurrentCommitError``,
+        leaving the table exactly as the other writer committed it."""
         meta = self._read_meta(name)
         df = self._check_schema(name, meta, df)
-        v = self._prep_version(name, meta)
-        if meta.get("bucket"):
-            cols, n = meta["bucket"]["cols"], meta["bucket"]["n"]
-            clustered = self._clustered(df, cols, n, sort_within)
-            if PLAN_CAPTURE is not None:
-                PLAN_CAPTURE(name, "commit", clustered)
-            (clustered
-             .write.mode("errorifexists").partitionBy("_bucket")
-             .parquet(self._vdir(name, v)))
-            meta["buckets"] = {str(k): v for k in range(n)}
-            meta.setdefault("history", []).append(
-                {"v": v, "buckets": dict(meta["buckets"]), "ts": time.time()})
+        read_version = meta["latest"]
+        stage = self._stage_dir(name)
+        bucket = meta.get("bucket")
+        if bucket:
+            cols, n = bucket["cols"], bucket["n"]
+            out = self._clustered(df, cols, n, sort_within)
+            writer = out.write.mode("errorifexists").partitionBy("_bucket")
         else:
-            if PLAN_CAPTURE is not None:
-                PLAN_CAPTURE(name, "commit", df)
-            df.write.mode("errorifexists").parquet(self._vdir(name, v))
-            meta["segments"] = [v]
-            meta.setdefault("history", []).append(
-                {"v": v, "segments": [v], "ts": time.time()})
+            n = None
+            out = df
+            writer = out.write.mode("errorifexists")
+        if PLAN_CAPTURE is not None:
+            PLAN_CAPTURE(name, "commit", out)
+        writer.parquet(os.path.join(stage, "data"))
         if changes is not None:
-            changes.write.mode("errorifexists").parquet(self._cdir(name, v))
-        meta["latest"] = v
-        self._merge_offsets(meta, offsets)
-        self._write_meta(name, meta)
-        return v
+            changes.write.mode("errorifexists").parquet(
+                os.path.join(stage, "changes"))
+
+        def apply(fresh: dict) -> None:
+            if fresh["latest"] != read_version:
+                raise ConcurrentCommitError(
+                    f"full-snapshot commit to {name!r} read v{read_version} "
+                    f"but v{fresh['latest']} was committed concurrently; "
+                    "re-read and re-derive the write")
+            v = fresh["latest"] + 1
+            self._promote(name, stage, v, changes is not None)
+            if bucket:
+                fresh["buckets"] = {str(k): v for k in range(n)}
+                fresh.setdefault("history", []).append(
+                    {"v": v, "buckets": dict(fresh["buckets"]),
+                     "ts": time.time()})
+            else:
+                fresh["segments"] = [v]
+                fresh.setdefault("history", []).append(
+                    {"v": v, "segments": [v], "ts": time.time()})
+            fresh["latest"] = v
+            self._merge_offsets(fresh, offsets)
+            return v
+
+        return self._commit_with(name, stage, apply)
+
+    def _commit_with(self, name: str, stage: str, apply) -> int:
+        """Run ``apply`` inside the pointer-swap critical section and
+        return the version it assigned; on a concurrency conflict the
+        staged (never-referenced) write is deleted before the error
+        propagates."""
+        try:
+            return self._swap_meta(name, apply)
+        except ConcurrentCommitError:
+            shutil.rmtree(stage, ignore_errors=True)
+            raise
 
     @staticmethod
     def _merge_offsets(meta: dict, offsets: dict[str, int] | None) -> None:
@@ -573,28 +711,40 @@ class TableStore:
         data's size, never a rewrite of current contents (at 100 TB a
         load appends gigabytes without touching the table). Bucketed
         tables keep the 'one dir = whole bucket' invariant instead —
-        append there via merge/commit_buckets."""
+        append there via merge/commit_buckets.
+
+        Concurrency: a BLIND append depends on nothing it read, so it
+        NEVER conflicts — an interleaved commit just means this
+        segment joins the other writer's segment list (the Delta
+        blind-append rule); no ``ConcurrentCommitError`` possible."""
         meta = self._read_meta(name)
         if meta.get("bucket"):
             raise ValueError(
                 f"table {name!r} is bucketed; append via merge_upsert/"
                 "commit_buckets so bucket dirs stay complete")
         df = self._check_schema(name, meta, df)
-        v = self._prep_version(name, meta)
+        stage = self._stage_dir(name)
         if PLAN_CAPTURE is not None:
             PLAN_CAPTURE(name, "append", df)
-        df.write.mode("errorifexists").parquet(self._vdir(name, v))
-        segs = list(meta.get("segments", [meta["latest"]] if meta["latest"] >= 0 else []))
-        segs.append(v)
-        meta["segments"] = segs
-        meta.setdefault("history", []).append(
-                {"v": v, "segments": list(segs), "ts": time.time()})
+        df.write.mode("errorifexists").parquet(os.path.join(stage, "data"))
         if changes is not None:
-            changes.write.mode("errorifexists").parquet(self._cdir(name, v))
-        meta["latest"] = v
-        self._merge_offsets(meta, offsets)
-        self._write_meta(name, meta)
-        return v
+            changes.write.mode("errorifexists").parquet(
+                os.path.join(stage, "changes"))
+
+        def apply(fresh: dict) -> int:
+            v = fresh["latest"] + 1
+            self._promote(name, stage, v, changes is not None)
+            segs = list(fresh.get(
+                "segments", [fresh["latest"]] if fresh["latest"] >= 0 else []))
+            segs.append(v)
+            fresh["segments"] = segs
+            fresh.setdefault("history", []).append(
+                {"v": v, "segments": list(segs), "ts": time.time()})
+            fresh["latest"] = v
+            self._merge_offsets(fresh, offsets)
+            return v
+
+        return self._commit_with(name, stage, apply)
 
     def commit_buckets(self, name: str, df: DataFrame, bucket_ids: Iterable[int],
                        changes: DataFrame | None = None,
@@ -603,28 +753,57 @@ class TableStore:
         given buckets (and ONLY those buckets); every other bucket keeps
         its current pointer. This is the pruned-merge write path — the
         write cost scales with the touched-key footprint, not the table.
-        """
+
+        Concurrency: the swap compares the CURRENT bucket map against
+        the map at this transaction's read version. A concurrent commit
+        that touched only OTHER buckets is rebased automatically (our
+        pointers land next to theirs — the two merges were physically
+        independent, the partition-disjoint case Delta validates the
+        same way); a concurrent touch of ANY bucket this commit
+        rewrites raises ``ConcurrentCommitError``, because this
+        commit's contents were derived from a now-stale read of that
+        bucket."""
         meta = self._read_meta(name)
         if not meta.get("bucket"):
             raise ValueError(f"table {name!r} is not bucketed")
         cols, n = meta["bucket"]["cols"], meta["bucket"]["n"]
-        v = self._prep_version(name, meta)
+        read_version = meta["latest"]
+        base_map = dict(meta.get("buckets", {}))
+        ours = {str(int(k)) for k in bucket_ids}
+        stage = self._stage_dir(name)
         clustered = self._clustered(df, cols, n)
         if PLAN_CAPTURE is not None:
             PLAN_CAPTURE(name, "commit_buckets", clustered)
         (clustered
          .write.mode("errorifexists").partitionBy("_bucket")
-         .parquet(self._vdir(name, v)))
-        for k in bucket_ids:
-            meta["buckets"][str(int(k))] = v
-        meta.setdefault("history", []).append(
-            {"v": v, "buckets": dict(meta["buckets"])})
+         .parquet(os.path.join(stage, "data")))
         if changes is not None:
-            changes.write.mode("errorifexists").parquet(self._cdir(name, v))
-        meta["latest"] = v
-        self._merge_offsets(meta, offsets)
-        self._write_meta(name, meta)
-        return v
+            changes.write.mode("errorifexists").parquet(
+                os.path.join(stage, "changes"))
+
+        def apply(fresh: dict) -> int:
+            if fresh["latest"] != read_version:
+                theirs = {k for k in set(fresh["buckets"]) | set(base_map)
+                          if fresh["buckets"].get(k) != base_map.get(k)}
+                clash = sorted(ours & theirs)
+                if clash:
+                    raise ConcurrentCommitError(
+                        f"bucketed commit to {name!r} read v{read_version} "
+                        f"but a concurrent commit (now v{fresh['latest']}) "
+                        f"rewrote bucket(s) {clash} this transaction also "
+                        "rewrites; re-read and re-derive the write")
+            v = fresh["latest"] + 1
+            self._promote(name, stage, v, changes is not None)
+            for k in ours:
+                fresh["buckets"][k] = v
+            fresh.setdefault("history", []).append(
+                {"v": v, "buckets": dict(fresh["buckets"]),
+                 "ts": time.time()})
+            fresh["latest"] = v
+            self._merge_offsets(fresh, offsets)
+            return v
+
+        return self._commit_with(name, stage, apply)
 
     # ---- compaction (OPTIMIZE analogue) -----------------------------------
     @staticmethod
@@ -742,33 +921,46 @@ class TableStore:
         row-level delta without a rewrite requires a diff — consumers
         that must fold the rollback use ``operators.diff.snapshot_diff``
         between the pre-restore and restored versions. Raises KeyError
-        if the target version's metadata was pruned by vacuum."""
-        meta = self._read_meta(name)
-        latest = meta["latest"]
-        if version == latest:
-            return latest
-        hist = meta.get("history", [])
-        v = self._prep_version(name, meta)
-        if meta.get("bucket"):
-            maps = {h["v"]: h["buckets"] for h in hist}
-            if version not in maps:
-                raise KeyError(f"no recorded bucket map for {name!r} "
-                               f"v{version} (history pruned by vacuum?)")
-            meta["buckets"] = dict(maps[version])
-            meta.setdefault("history", []).append(
-                {"v": v, "buckets": dict(meta["buckets"]), "ts": time.time()})
-        else:
-            segs = {h["v"]: h.get("segments", [h["v"]]) for h in hist}
-            if version not in segs:
-                raise KeyError(f"no recorded segment list for {name!r} "
-                               f"v{version} (history pruned by vacuum?)")
-            meta["segments"] = list(segs[version])
-            meta.setdefault("history", []).append(
-                {"v": v, "segments": list(meta["segments"]),
-                 "ts": time.time()})
-        meta["latest"] = v
-        self._write_meta(name, meta)
-        return v
+        if the target version's metadata was pruned by vacuum, and
+        ``ConcurrentCommitError`` if another writer commits between the
+        restore's snapshot read and its swap (a rollback racing live
+        DML must be an explicit user decision, never a silent
+        last-writer-wins)."""
+        read_version = self._read_meta(name)["latest"]
+        if version == read_version:
+            return read_version
+
+        def apply(fresh: dict) -> int:
+            if fresh["latest"] != read_version:
+                raise ConcurrentCommitError(
+                    f"restore of {name!r} read v{read_version} but "
+                    f"v{fresh['latest']} was committed concurrently")
+            hist = fresh.get("history", [])
+            v = fresh["latest"] + 1
+            if fresh.get("bucket"):
+                maps = {h["v"]: h["buckets"] for h in hist}
+                if version not in maps:
+                    raise KeyError(
+                        f"no recorded bucket map for {name!r} "
+                        f"v{version} (history pruned by vacuum?)")
+                fresh["buckets"] = dict(maps[version])
+                fresh.setdefault("history", []).append(
+                    {"v": v, "buckets": dict(fresh["buckets"]),
+                     "ts": time.time()})
+            else:
+                segs = {h["v"]: h.get("segments", [h["v"]]) for h in hist}
+                if version not in segs:
+                    raise KeyError(
+                        f"no recorded segment list for {name!r} "
+                        f"v{version} (history pruned by vacuum?)")
+                fresh["segments"] = list(segs[version])
+                fresh.setdefault("history", []).append(
+                    {"v": v, "segments": list(fresh["segments"]),
+                     "ts": time.time()})
+            fresh["latest"] = v
+            return v
+
+        return self._swap_meta(name, apply)
 
     # ---- history cleanup (VACUUM analogue) --------------------------------
     def vacuum(self, name: str, keep_last: int = 1) -> list[int]:
@@ -777,38 +969,64 @@ class TableStore:
         version dirs through their bucket pointers, so liveness is the
         union of the kept bucket maps, not a recency cutoff). Change
         batches (the stream) are never touched — consumers own those via
-        offsets. Returns the versions removed."""
-        meta = self._read_meta(name)
-        latest = meta["latest"]
-        if latest < 0:
+        offsets. Returns the versions removed.
+
+        Concurrency: the history trim happens inside the pointer-swap
+        critical section against the FRESH meta (a commit landing just
+        before the trim keeps its history entry), and directory
+        deletion afterwards is bounded to versions ≤ the latest seen
+        under the lock — a commit landing right after the trim can
+        never have its brand-new version dir swept. In-flight staged
+        writes live under ``_txn/`` (not version dirs) and are only
+        swept when stale (>24h — no transaction holds a stage that
+        long)."""
+
+        def apply(fresh: dict):
+            latest = fresh["latest"]
+            if latest < 0:
+                return None
+            live: set[int] = set()
+            if fresh.get("bucket"):
+                hist = fresh.get("history", [])
+                kept = hist[-keep_last:] if keep_last > 0 else hist[-1:]
+                for h in kept:
+                    live |= {int(bv) for bv in h["buckets"].values()}
+                fresh["history"] = kept
+            elif fresh.get("history"):
+                # Liveness = union of the kept snapshots' segment lists
+                # (an append-built snapshot references OLD version dirs).
+                hist = fresh["history"]
+                kept = hist[-keep_last:] if keep_last > 0 else hist[-1:]
+                for h in kept:
+                    live |= {int(s) for s in h.get("segments", [h["v"]])}
+                fresh["history"] = kept
+            else:
+                live = set(range(max(latest - keep_last + 1, 0), latest + 1))
+            return latest, live
+
+        state = self._swap_meta(name, apply)
+        if state is None:
             return []
-        live: set[int] = set()
-        if meta.get("bucket"):
-            hist = meta.get("history", [])
-            kept = hist[-keep_last:] if keep_last > 0 else hist[-1:]
-            for h in kept:
-                live |= {int(bv) for bv in h["buckets"].values()}
-            meta["history"] = kept
-        elif meta.get("history"):
-            # Liveness = union of the kept snapshots' segment lists (an
-            # append-built snapshot references OLD version dirs).
-            hist = meta["history"]
-            kept = hist[-keep_last:] if keep_last > 0 else hist[-1:]
-            for h in kept:
-                live |= {int(s) for s in h.get("segments", [h["v"]])}
-            meta["history"] = kept
-        else:
-            live = {v for v in range(max(latest - keep_last + 1, 0), latest + 1)}
+        latest, live = state
         removed = []
         tdir = self._tdir(name)
         for d in sorted(os.listdir(tdir)):
             if not d.startswith("v"):
                 continue
             v = int(d[1:])
-            if v not in live:
+            if v <= latest and v not in live:
                 shutil.rmtree(os.path.join(tdir, d))
                 removed.append(v)
-        self._write_meta(name, meta)
+        # stale staged transactions (crashed writers): age-gated sweep
+        txn = os.path.join(tdir, "_txn")
+        if os.path.isdir(txn):
+            for d in os.listdir(txn):
+                p = os.path.join(txn, d)
+                try:
+                    if time.time() - os.path.getmtime(p) > 24 * 3600:
+                        shutil.rmtree(p, ignore_errors=True)
+                except OSError:
+                    pass
         return removed
 
     def vacuum_changes(self, name: str, through_version: int) -> list[int]:

@@ -409,3 +409,57 @@ def test_scd3_prev_value_three_load_replay(spark, tmp_path):
     meta = store._read_meta("dim")
     v = meta["latest"]
     assert len([b for b, bv in meta["buckets"].items() if bv == v]) <= 2
+
+
+def test_scd0_fixed_attributes_append_only(spark, tmp_path):
+    """SCD Type-0 (operators/merge.py::scd0_insert): matched keys are
+    IMMUTABLE — a changed state in load 2 is ignored entirely; only
+    never-seen keys insert. Storage contract: on a plain table each
+    load commits ONLY its insert segment (commit_append), never a
+    rewrite of the existing snapshot."""
+    from pyspark.sql import Row
+
+    from slowly_changing_dimensions_data_engineering_spark import schemas
+    from slowly_changing_dimensions_data_engineering_spark.operators.merge import scd0_insert
+    from slowly_changing_dimensions_data_engineering_spark.store import TableStore
+
+    store = TableStore(str(tmp_path))
+    store.create("dim", schemas.SUPPLIER)
+
+    def load(rows):
+        return spark.createDataFrame(
+            [Row(supplier_key=k, supplier_code=c, supplier_name=n,
+                 supplier_state=s) for k, c, n, s in rows], schemas.SUPPLIER)
+
+    def dim():
+        return {r["supplier_code"]: r["supplier_state"]
+                for r in store.read(spark, "dim").collect()}
+
+    scd0_insert(store, spark, "dim",
+                load([(1, "A1", "n1", "CA"), (2, "A2", "n2", "NY")]),
+                ["supplier_code"])
+    assert dim() == {"A1": "CA", "A2": "NY"}
+
+    # load 2: A1 state change IGNORED (fixed attribute), A3 inserts
+    v = scd0_insert(store, spark, "dim",
+                    load([(1, "A1", "n1", "WA"), (3, "A3", "n3", "TX")]),
+                    ["supplier_code"])
+    assert dim() == {"A1": "CA", "A2": "NY", "A3": "TX"}
+
+    # CDC: only the insert, never an update pair
+    ch = store.read_changes(spark, "dim", v - 1)
+    rows = {(r["METADATA$ACTION"], r["METADATA$ISUPDATE"],
+             r["supplier_code"]) for r in ch.collect()}
+    assert rows == {("INSERT", False, "A3")}
+
+    # append-only storage: the load-2 version dir holds ONLY the new
+    # segment and the snapshot's segment list references both commits
+    meta = store._read_meta("dim")
+    assert meta["segments"] == [0, 1]
+
+    # replaying load 2 is a no-op: nothing new to insert -> the commit
+    # appends an empty segment and contents are unchanged
+    scd0_insert(store, spark, "dim",
+                load([(1, "A1", "n1", "WA"), (3, "A3", "n3", "TX")]),
+                ["supplier_code"])
+    assert dim() == {"A1": "CA", "A2": "NY", "A3": "TX"}
