@@ -187,9 +187,44 @@ def touched_buckets(source: DataFrame, bucket_cols: list[str], n: int) -> list[i
             source.select(bucket_id(bucket_cols, n).alias("_b")).distinct().collect()]
 
 
+def evolve_schema_for(store, target_name: str, source: DataFrame) -> list[str]:
+    """Merge-time schema evolution (Delta ``mergeSchema`` analogue):
+    every source column absent from the target's declared schema is
+    added via the store's metadata-only ``ALTER TABLE ADD COLUMN`` —
+    no history rewrite; pre-evolution rows read back NULL for the new
+    columns (store.add_column contract). Returns the added names.
+
+    Only WIDENING is supported: a source column whose name exists with
+    a different type still fails the commit's schema check (silent
+    type coercion is accidental corruption at 100 TB), and source
+    columns can only be added, never dropped — a source MISSING target
+    columns keeps failing loudly too (the merge writes whole rows, so
+    absent payload would null out history).
+
+    Concurrent evolution of the same column is benign: ``add_column``
+    is serialized under the commit lock, and the loser's already-exists
+    error is swallowed here exactly when the column now matches."""
+    from pyspark.sql import types as T
+
+    added = []
+    declared = set(store.schema(target_name).fieldNames())
+    for f in source.schema.fields:
+        if f.name in declared:
+            continue
+        try:
+            store.add_column(
+                target_name, T.StructField(f.name, f.dataType, True))
+        except ValueError:
+            if f.name not in store.schema(target_name).fieldNames():
+                raise
+        added.append(f.name)
+    return added
+
+
 def merge_upsert(store, spark, target_name: str, source: DataFrame,
                  key: list[str], compare_cols: list[str],
-                 delete_match=None, occ_retries: int = 3) -> int:
+                 delete_match=None, occ_retries: int = 3,
+                 evolve_schema: bool = False) -> int:
     """Execute M1 against the store: one atomic commit carrying both the
     new snapshot and the CDC batch (Snowflake per-statement txn).
 
@@ -210,9 +245,21 @@ def merge_upsert(store, spark, target_name: str, source: DataFrame,
     the whole merge, up to ``occ_retries`` times — re-deriving against
     the winner's state is exactly the Delta/Snowflake retry semantics,
     and the merge result is then as if the two loads had been applied
-    serially. The stabilized source is reused across attempts."""
+    serially. The stabilized source is reused across attempts.
+
+    ``evolve_schema=True`` first folds NEW source columns into the
+    target's declared schema (``evolve_schema_for`` — metadata-only ADD
+    COLUMN, history null-filled on read); the merge and its CDC batch
+    then carry the widened schema. The J3 null-sensitive change guard
+    applies unchanged: if a new column is in ``compare_cols``, a
+    matched row differing ONLY there does NOT update (target reads
+    NULL for it, and NULL != x is no-change by the reference's rule) —
+    the widened value lands on rows another compare column touches, or
+    via a backfill ``update_where``."""
     from ..store import ConcurrentCommitError
 
+    if evolve_schema:
+        evolve_schema_for(store, target_name, source)
     # Evaluate the (delta-sized) source once; every consumer — bucket
     # probe, join, CDC branches, every retry — reuses the
     # materialization.

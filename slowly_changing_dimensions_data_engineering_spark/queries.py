@@ -267,7 +267,7 @@ _PIPELINE_CACHE_NAMES = (
     "_STREAM_JOIN_OUTER_CACHE", "_STREAM_SCORE_CACHE", "_CLS_MB_CACHE",
     "_UNIGRAM_CACHE", "_FORGET_CACHE", "_SCD3_STORE_CACHE",
     "_FORGET_BASE_CACHE", "_FORGET_EXP_CACHE", "_CHUNK_RAG_CACHE",
-    "_SCD2_BD_CACHE", "_SCD0_STORE_CACHE",
+    "_SCD2_BD_CACHE", "_SCD0_STORE_CACHE", "_SCD1E_STORE_CACHE",
 )
 
 
@@ -532,6 +532,60 @@ def scd1_landing_current(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = _scd2_store(spark, sf_dir)
     return store.read(spark, "landing").select(
         "supplier_key", "supplier_code", "supplier_name", "supplier_state")
+
+
+#: sf_dir -> store root of the schema-evolution two-load run (own
+#: store: load 2 widens the landing schema in place).
+_SCD1E_STORE_CACHE: dict[str, str] = {}
+
+
+@register("scd1_evolved_landing", _SCD2_CTES + """
+SELECT l.supplier_key, l.supplier_code, l.supplier_name,
+       COALESCE(c.supplier_state, l.supplier_state) AS supplier_state,
+       CASE WHEN c.supplier_code IS NOT NULL
+            THEN SUBSTR(c.supplier_state, 1, 3) END AS supplier_region
+FROM load1 l LEFT JOIN changed c ON l.supplier_code = c.supplier_code
+UNION ALL
+SELECT supplier_key, supplier_code, supplier_name, supplier_state,
+       SUBSTR(supplier_state, 1, 3) AS supplier_region
+FROM newrows
+""")
+def scd1_evolved_landing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-time schema evolution (operators/merge.py::merge_upsert
+    ``evolve_schema=True`` → store.add_column, VERDICT r14 #3): load 2
+    arrives with a NEW ``supplier_region`` column; the landing table's
+    declared schema widens metadata-only (zero history rewrite — the
+    ALTER a 100 TB table can afford), load-1 rows null-fill on read,
+    and the region value lands exactly on the rows load 2 updates
+    (state change) or inserts. Oracle restates the two-load Type-1
+    outcome with the evolved column NULL for untouched rows."""
+    import os
+
+    from .operators.merge import merge_upsert
+    from .store import TableStore
+
+    def read(store):
+        return store.read(spark, "landing").select(
+            "supplier_key", "supplier_code", "supplier_name",
+            "supplier_state", "supplier_region")
+
+    root = _SCD1E_STORE_CACHE.get(sf_dir)
+    if root and os.path.exists(os.path.join(root, "_meta", "landing.json")):
+        return read(TableStore(root))
+
+    store = TableStore(_pipeline_tmpdir("sds_scd1e_"))
+    store.create("landing", schemas.SUPPLIER,
+                 bucket_by=(["supplier_code"], 8))
+    key = ["supplier_code"]
+    cmp_cols = ["supplier_state", "supplier_name", "supplier_key"]
+    merge_upsert(store, spark, "landing", _supplier_load1(spark, sf_dir),
+                 key, cmp_cols)
+    load2 = _supplier_load2(spark, sf_dir).withColumn(
+        "supplier_region", F.substring("supplier_state", 1, 3))
+    merge_upsert(store, spark, "landing", load2, key, cmp_cols,
+                 evolve_schema=True)
+    _SCD1E_STORE_CACHE[sf_dir] = store.root
+    return read(store)
 
 
 #: sf_dir -> store root of the two-load SCD Type-3 run (shared with

@@ -463,3 +463,81 @@ def test_scd0_fixed_attributes_append_only(spark, tmp_path):
                 load([(1, "A1", "n1", "WA"), (3, "A3", "n3", "TX")]),
                 ["supplier_code"])
     assert dim() == {"A1": "CA", "A2": "NY", "A3": "TX"}
+
+
+def test_merge_schema_evolution_two_load_golden(spark, tmp_path):
+    """merge_upsert(..., evolve_schema=True) two-load replay where load
+    2 ADDS a column: the declared schema widens metadata-only, load-1
+    history null-fills on read (current AND time-travel reads), the CDC
+    batch carries the widened schema, bucket pruning still holds, and
+    the J3 rule governs the new column (a matched row differing ONLY in
+    the new column does not update)."""
+    from pyspark.sql import Row, functions as F
+
+    from slowly_changing_dimensions_data_engineering_spark import schemas
+    from slowly_changing_dimensions_data_engineering_spark.operators.merge import merge_upsert
+    from slowly_changing_dimensions_data_engineering_spark.store import TableStore
+
+    store = TableStore(str(tmp_path))
+    store.create("landing", schemas.SUPPLIER,
+                 bucket_by=(["supplier_code"], 4))
+    key, cmp_cols = ["supplier_code"], ["supplier_state"]
+
+    def load1(rows):
+        return spark.createDataFrame(
+            [Row(supplier_key=k, supplier_code=c, supplier_name=n,
+                 supplier_state=s) for k, c, n, s in rows], schemas.SUPPLIER)
+
+    merge_upsert(store, spark, "landing",
+                 load1([(1, "A1", "n1", "CA"), (2, "A2", "n2", "NY"),
+                        (3, "A3", "n3", "TX")]), key, cmp_cols)
+    v1 = store.version("landing")
+
+    # load 2 adds supplier_phone: A1 state change (update -> phone
+    # lands), A2 unchanged except phone (J3: NULL != x -> no update,
+    # phone does NOT land), A4 insert (phone lands)
+    load2 = spark.createDataFrame(
+        [Row(supplier_key=1, supplier_code="A1", supplier_name="n1",
+             supplier_state="WA", supplier_phone="555-1"),
+         Row(supplier_key=2, supplier_code="A2", supplier_name="n2",
+             supplier_state="NY", supplier_phone="555-2"),
+         Row(supplier_key=4, supplier_code="A4", supplier_name="n4",
+             supplier_state="OR", supplier_phone="555-4")],
+        "supplier_key long, supplier_code string, supplier_name string, "
+        "supplier_state string, supplier_phone string")
+    merge_upsert(store, spark, "landing", load2, key,
+                 cmp_cols + ["supplier_phone"], evolve_schema=True)
+
+    assert store.schema("landing").fieldNames() == [
+        "supplier_key", "supplier_code", "supplier_name",
+        "supplier_state", "supplier_phone"]
+    got = {r["supplier_code"]: (r["supplier_state"], r["supplier_phone"])
+           for r in store.read(spark, "landing").collect()}
+    assert got == {"A1": ("WA", "555-1"),
+                   "A2": ("NY", None),   # J3: new-column-only diff = no-op
+                   "A3": ("TX", None),   # untouched history, null-filled
+                   "A4": ("OR", "555-4")}
+
+    # CDC batch of load 2 carries the widened schema
+    ch = store.read_changes(spark, "landing", store.version("landing") - 1)
+    assert "supplier_phone" in ch.columns
+    rows = {(r["METADATA$ACTION"], r["METADATA$ISUPDATE"],
+             r["supplier_code"], r["supplier_phone"]) for r in ch.collect()}
+    assert rows == {("DELETE", True, "A1", None),
+                    ("INSERT", True, "A1", "555-1"),
+                    ("INSERT", False, "A4", "555-4")}
+
+    # time travel to the pre-evolution version reads the CURRENT
+    # declared schema with the column NULL (lakehouse convention)
+    old = store.read(spark, "landing", version=v1)
+    assert "supplier_phone" in old.columns
+    assert old.filter(F.col("supplier_phone").isNull()).count() == 3
+
+    # replaying load 2 is a no-op for A2: phone is now compared against
+    # a target NULL again (it never landed) -> J3 keeps it a no-op; A1
+    # and A4 match byte-identically -> no update either
+    v = store.version("landing")
+    merge_upsert(store, spark, "landing", load2, key,
+                 cmp_cols + ["supplier_phone"], evolve_schema=True)
+    ch2 = store.read_changes(spark, "landing", v)
+    assert ch2 is None or ch2.count() == 0
