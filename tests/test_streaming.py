@@ -844,3 +844,93 @@ def test_trained_scoring_stream_exactly_once_and_exact(spark, tmp_path):
     run()  # post-restart slice appends exactly once
     rows = spark.read.parquet(out).collect()
     assert sorted(r["vec_id"] for r in rows) == [1, 2, 3]
+
+
+# --------------------------------------------------------------------
+# streaming late-arriving SCD2 corrections (backdate_stream)
+# --------------------------------------------------------------------
+
+def test_streaming_backdate_restart_exactly_once_and_idempotent(
+        spark, tmp_path):
+    """streaming/backdate_stream.py restart drill: two correction files
+    consumed across two availableNow runs on ONE checkpoint — run 2
+    must splice ONLY the new file (file-level exactly-once), a third
+    run with no new files must commit nothing, and replaying a
+    correction (new file, same content) is the splice's documented
+    no-op arm."""
+    import datetime as dt
+
+    from slowly_changing_dimensions_data_engineering_spark.store import TableStore
+    from slowly_changing_dimensions_data_engineering_spark.streaming.backdate_stream import (
+        start_streaming_backdate,
+    )
+
+    T_ = dt.datetime.fromisoformat
+    store = TableStore(str(tmp_path / "store"))
+    schema_stg = T.StructType([
+        T.StructField("code", T.StringType()),
+        T.StructField("state", T.StringType()),
+        T.StructField("start_date", T.TimestampNTZType()),
+        T.StructField("end_date", T.TimestampNTZType()),
+        T.StructField("current_flag", T.StringType())])
+    store.create("staging", schema_stg, bucket_by=(["code"], 4))
+    store.commit_buckets("staging", spark.createDataFrame(
+        [("A", "CA", T_("2024-01-01"), T_("2024-02-01"), "N"),
+         ("A", "AZ", T_("2024-02-01"), None, "Y"),
+         ("B", "NY", T_("2024-01-01"), None, "Y")],
+        schema_stg), range(4))
+
+    in_dir = tmp_path / "in"
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(in_dir)
+    corr_schema = T.StructType([
+        T.StructField("code", T.StringType()),
+        T.StructField("state", T.StringType()),
+        T.StructField("effective_ts", T.StringType())])
+
+    def write_corr(name, rows):
+        with open(in_dir / name, "w") as f:
+            for code, state, eff in rows:
+                f.write(json.dumps({"code": code, "state": state,
+                                    "effective_ts": eff}) + "\n")
+
+    def run():
+        q = start_streaming_backdate(
+            spark, str(in_dir), store, "staging", corr_schema,
+            business_key=["code"], cmp_cols=["state"],
+            checkpoint=ckpt, available_now=True)
+        q.awaitTermination()
+
+    def chain():
+        return sorted(tuple(r) for r in
+                      store.read(spark, "staging").collect())
+
+    # run 1: A corrected mid-interval
+    write_corr("c0.json", [("A", "OR", "2024-01-15 00:00:00")])
+    run()
+    v1 = store.version("staging")
+    assert chain() == [
+        ("A", "AZ", T_("2024-02-01"), None, "Y"),
+        ("A", "CA", T_("2024-01-01"), T_("2024-01-15"), "N"),
+        ("A", "OR", T_("2024-01-15"), T_("2024-02-01"), "N"),
+        ("B", "NY", T_("2024-01-01"), None, "Y")]
+
+    # run 2 (RESTART): only the new file splices; c0 is not replayed
+    write_corr("c1.json", [("B", "WA", "2024-01-20 00:00:00")])
+    run()
+    assert store.version("staging") == v1 + 1
+    assert ("B", "WA", T_("2024-01-20"), None, "Y") in chain()
+    assert ("B", "NY", T_("2024-01-01"), T_("2024-01-20"), "N") in chain()
+
+    # run 3: nothing new -> no commit
+    v2 = store.version("staging")
+    run()
+    assert store.version("staging") == v2
+
+    # replayed correction content (new file, same rows as c0): the
+    # spliced version already covers E with that state -> no-op arm,
+    # chain unchanged (this is the crash-replay tolerance contract)
+    before = chain()
+    write_corr("c2.json", [("A", "OR", "2024-01-15 00:00:00")])
+    run()
+    assert chain() == before
