@@ -324,8 +324,16 @@ def minhash_build_index(docs: DataFrame, path: str, id_col: str = "doc_id",
     documents joins its own (small) band frame against these stored
     signatures — never re-reading, let alone re-shingling, the corpus
     text. Mirrors ``ivf_build_index`` for the embedding side. Readers
-    must use the same (num_hashes, bands, n) parameters."""
+    must use the same (num_hashes, bands, n) parameters.
+
+    The write is CLUSTERED by band before partitionBy (the same
+    repartition(centroid_id) fix the IVF index write got in r14's
+    soak): without it every shuffle task emits a file into every band
+    dir (tasks × bands small files — at sf0.1 that was 128 files for
+    16k rows, and the per-file open cost dominated the probe's read at
+    scale), with it each band is written by one task."""
     (minhash_band_frame(docs, id_col, text_col, num_hashes, bands, n)
+     .repartition("band")
      .write.mode("overwrite").partitionBy("band").parquet(path))
 
 
@@ -355,7 +363,13 @@ def minhash_near_dups_incremental(spark, new_docs: DataFrame, path: str,
         minhash_band_frame(new_docs, id_col, text_col, num_hashes, bands, n)
     idx = spark.read.parquet(path).select(id_col, "band", "bsig", "mh")
     both = idx.unionByName(new_bf.select(id_col, "band", "bsig", "mh"))
-    a, b = new_bf.alias("a"), both.alias("b")
+    # The NEW side is delta-sized by definition (that is the whole point
+    # of the incremental path); pin it as the broadcast build side so
+    # the corpus-sized stored index is only ever the streamed probe —
+    # never shuffled. AQE usually picks this anyway, but the stored
+    # side's size estimate is file-based and a 100 TB index must not
+    # ride a statistics guess into a sort-merge join.
+    a, b = F.broadcast(new_bf).alias("a"), both.alias("b")
     matches = F.size(F.filter(
         F.zip_with(F.col("a.mh"), F.col("b.mh"), lambda x, y: x == y),
         lambda eq: eq))

@@ -80,6 +80,21 @@ def register(name: str, oracle: str | None):
 # demote list so it backfilled the filler slots after r7's kmeans seed
 # change to their shared module.
 _BOARD_DEMOTE = [
+    # -- r15 rotation: CORRECTNESS_r14 was 50/50 green; the 4 r13-new
+    #    queries banked their second green and move to the "demoted
+    #    r15" section at the end. Non-demoted (leading the board): the
+    #    7 r14-new queries banking their SECOND green plus the r15-new
+    #    registrations (zero greens, auto-promoted by registration
+    #    order). Touched-module backfill leads the demote list: r15
+    #    rewrites the store COMMIT PROTOCOL itself (OCC staging dirs +
+    #    locked pointer swap — every store-backed pipeline query
+    #    re-earns its green under the new write path first) and the
+    #    minhash index write/probe (clustered band write + pinned
+    #    delta broadcast). --
+    "minhash_incremental_dedup",
+    "minhash_lsh_candidates",
+    "minhash_near_dups",
+    "dedup_corpus_minhash",
     # -- r14 rotation: CORRECTNESS_r13 was 50/50 green; the 9 r12
     #    cohort queries (classifier mini-batch family, unigram family,
     #    deletion family) banked their second green and move to the
@@ -140,7 +155,6 @@ _BOARD_DEMOTE = [
     "approx_topk_contract_orders",
     "classifier_quality_scores",
     "decontamination_overlap",
-    "dedup_corpus_minhash",
     "doc_chunks",
     "domain_mix_quotas",
     "dq_checks_orders",
@@ -150,7 +164,6 @@ _BOARD_DEMOTE = [
     "hll_sketch_region_customers",
     "lm_quality_scores",
     "map_functions_events",
-    "minhash_incremental_dedup",
     "nation_supplier_roster",
     "pii_scrub_customers",
     "pivot_status_revenue_by_year",
@@ -192,8 +205,6 @@ _BOARD_DEMOTE = [
     "full_outer_nation_activity",
     "grouping_sets_orders",
     "json_extract_events",
-    "minhash_lsh_candidates",
-    "minhash_near_dups",
     "ngram_jaccard_pairs",
     "pandas_udf_charge",
     "pandas_udf_grouped_price_range",
@@ -240,6 +251,11 @@ _BOARD_DEMOTE = [
     "unigram_fertility_vs_bpe",
     "unigram_lm_segmentation",
     "unigram_lm_train",
+    # -- demoted r15 (r13-new cohort; green r13 + r14; alphabetical) --
+    "chunk_retrieval_topk",
+    "multimodal_near_dup_summary",
+    "scd1_landing_current",
+    "scd3_supplier_prev_state",
 ]
 
 
@@ -3399,22 +3415,17 @@ SELECT qid AS query_id, cid, bm25, rank_bm AS rank FROM bmr
 """
 
 
-def _bm25_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
-    """Top-``k`` chunks per query chunk under BM25 (k1=1.2, b=0.75) —
-    the lexical arm of hybrid retrieval. Shape: ONE (cid, token)
-    aggregate over the chunked corpus (the tfidf_top_terms convention),
-    per-chunk lengths and document frequencies as aggregates of THAT
-    frame (no corpus re-scan), and the bounded query-term frame
-    (|queries| × terms) broadcast into the tf table — the inverted-
-    index probe. Per-(query, chunk) scores sum 9-dp-rounded per-term
-    contributions through the decimal(38,15) accumulator, so the sum is
-    associative and the ranking replays bit-for-bit in the oracle.
-
-    Scale: candidates = Σ df(t) over query terms ≈ |q| × n/|V| rows —
-    linear in the corpus with the query length as the constant; at
-    100 TB the tf aggregate is the only corpus-sized shuffle (a real
-    deployment adds WAND/max-score pruning to skip low-idf postings —
-    an optimization, not a semantic change)."""
+def _bm25_contrib_index(spark: SparkSession, sf_dir: str):
+    """The impact-scored inverted index BM25 retrieval probes: one
+    (cid, token, contrib) row per posting, where contrib is the
+    9-dp-rounded decimal(38,15) per-term BM25 contribution (k1=1.2,
+    b=0.75) — so any sum of postings is associative and replays
+    bit-for-bit cross-engine. Built from ONE (cid, token) aggregate
+    over the chunked corpus (per-chunk lengths, document frequencies
+    and corpus stats are aggregates of THAT frame — no corpus
+    re-scan); stabilized, because the pruned search probes it four
+    ways (term upper bounds, top-k impact heads, candidate discovery,
+    scoring). Returns (contrib_index, qterms)."""
     from .operators.text import chunk_documents
     from .session import stabilize
 
@@ -3423,7 +3434,6 @@ def _bm25_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     tok = (ch.select((F.col("doc_id") * 100 + F.col("chunk_id")).alias("cid"),
                      F.explode(F.split("chunk", " ")).alias("token"))
            .filter(F.col("token") != ""))
-    # tf feeds FOUR consumers (dl, df, query terms, candidate probe)
     tf = stabilize(tok.groupBy("cid", "token").agg(F.count("*").alias("tf")))
     dl = tf.groupBy("cid").agg(F.sum("tf").alias("dl"))
     st = dl.agg(F.count("*").alias("nc"), F.sum("dl").alias("tot"))
@@ -3435,12 +3445,93 @@ def _bm25_topk(spark: SparkSession, sf_dir: str, k: int = 10) -> DataFrame:
     tfnorm = ((F.col("tf") * 2.2)
               / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl")
                                       / (F.col("tot") / F.col("nc")))))
-    contrib = F.round(idf * tfnorm, 9).cast("decimal(38,15)")
-    sc = (F.broadcast(qterms).join(tf, "token")
+    contrib_idx = stabilize(
+        tf.join(dl, "cid").join(dfq, "token").crossJoin(F.broadcast(st))
+        .select("cid", "token",
+                F.round(idf * tfnorm, 9).cast("decimal(38,15)")
+                .alias("contrib")))
+    return contrib_idx, qterms
+
+
+def _bm25_prune_frames(contrib_idx: DataFrame, qterms: DataFrame,
+                       k: int = 10):
+    """Max-score pruning metadata (VERDICT r14 #5) — EXACT top-k, never
+    approximate. Per query:
+
+    - ``ub(t)``: each query term's maximum posting contribution (the
+      impact score a WAND index stores next to each posting list);
+    - ``theta``: a PROVEN lower bound on the final k-th score — the
+      k-th largest per-doc max-contribution among the per-term top-k
+      impact heads (each listed doc's full score ≥ its listed
+      contribution, so the k-th largest lower bound ≤ the k-th largest
+      full score);
+    - essential terms: the minimal ub-descending prefix whose excluded
+      suffix sums STRICTLY below theta. A doc containing no essential
+      term scores ≤ that suffix sum < theta ≤ final k-th score, so it
+      can be skipped without touching ties (strictness keeps the
+      (score DESC, cid) tie-break exact);
+    - candidates: docs appearing in ≥1 essential posting list — the
+      only docs the scoring aggregate processes. Non-essential lists
+      are probed by candidate LOOKUP, never scanned in full.
+
+    Returns (essential, candidates); both frames are query-bounded
+    (≤ |q| terms, ≤ Σ essential-df rows)."""
+    qtok = qterms.select("token").distinct()
+    # metadata is computed over QUERY-term postings only — on a stored
+    # index these are precomputed per-term stats, read not derived
+    qpost = contrib_idx.join(F.broadcast(qtok), "token")
+    ub = qpost.groupBy("token").agg(F.max("contrib").alias("_ub"),
+                                    F.count("*").alias("_postings"))
+    wtok = W.partitionBy("token").orderBy(F.desc("contrib"), F.asc("cid"))
+    toptok = (qpost.withColumn("_r", F.row_number().over(wtok))
+              .filter(F.col("_r") <= k).select("token", "cid", "contrib"))
+    lb = (F.broadcast(qterms).join(toptok, "token")
           .filter(F.col("cid") != F.col("qid"))
-          .join(dl, "cid").join(dfq, "token")
-          .crossJoin(F.broadcast(st))
-          .groupBy("qid", "cid").agg(F.sum(contrib).alias("_s")))
+          .groupBy("qid", "cid").agg(F.max("contrib").alias("_lb")))
+    wlb = W.partitionBy("qid").orderBy(F.desc("_lb"), F.asc("cid"))
+    theta = (lb.withColumn("_r", F.row_number().over(wlb))
+             .filter(F.col("_r") == k)
+             .select("qid", F.col("_lb").alias("_theta")))
+    qub = (F.broadcast(qterms).join(ub, "token")
+           .join(F.broadcast(theta), "qid", "left")
+           .withColumn("_theta", F.coalesce(
+               F.col("_theta"), F.lit(0).cast("decimal(38,15)"))))
+    wtail = (W.partitionBy("qid").orderBy(F.desc("_ub"), F.asc("token"))
+             .rowsBetween(W.currentRow, W.unboundedFollowing))
+    essential = (qub.withColumn("_tail", F.sum("_ub").over(wtail))
+                 .filter(F.col("_tail") >= F.col("_theta"))
+                 .select("qid", "token", "_postings"))
+    candidates = (F.broadcast(essential.select("qid", "token"))
+                  .join(contrib_idx, "token")
+                  .filter(F.col("cid") != F.col("qid"))
+                  .select("qid", "cid").distinct())
+    return essential, candidates
+
+
+def _bm25_topk(spark: SparkSession, sf_dir: str, k: int = 10,
+               prune: bool = True) -> DataFrame:
+    """Top-``k`` chunks per query chunk under BM25 (k1=1.2, b=0.75) —
+    the lexical arm of hybrid retrieval, served from the impact-scored
+    inverted index (``_bm25_contrib_index``).
+
+    ``prune=True`` (default): max-score pruned probe — the scoring
+    aggregate processes only docs holding ≥1 ESSENTIAL query term
+    (``_bm25_prune_frames``); low-impact posting lists are reduced to
+    candidate lookups. The result is bit-identical to the full probe
+    (same oracle), only the scanned-postings volume changes —
+    ``bm25_prune_stats`` reports the reduction per query.
+
+    Scale: unpruned candidates = Σ df(t) over query terms; pruning
+    caps the scoring work at Σ df(t in essential) + lookups, which is
+    the WAND/max-score cost model. The tf aggregate behind the index
+    stays the only corpus-sized shuffle."""
+    contrib_idx, qterms = _bm25_contrib_index(spark, sf_dir)
+    probe = (F.broadcast(qterms).join(contrib_idx, "token")
+             .filter(F.col("cid") != F.col("qid")))
+    if prune:
+        _ess, candidates = _bm25_prune_frames(contrib_idx, qterms, k)
+        probe = probe.join(candidates, ["qid", "cid"])
+    sc = probe.groupBy("qid", "cid").agg(F.sum("contrib").alias("_s"))
     wq = W.partitionBy("qid").orderBy(F.desc("_s"), F.asc("cid"))
     return (sc.withColumn("rank", F.row_number().over(wq))
             .filter(F.col("rank") <= k)
@@ -3460,8 +3551,95 @@ def bm25_chunk_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bm25_topk(spark, sf_dir, k=10)
 
 
-_HYBRID_ORACLE = f"""
+_BM25_PRUNE_ORACLE = f"""
 WITH {_BM25_CTES},
+contrib AS (
+  SELECT d.cid, d.token,
+         CAST(round(
+             round(ln(1.0 + (nc - df + 0.5) / (df + 0.5)), 9)
+             * (d.tf * 2.2)
+             / (d.tf + 1.2 * (0.25 + 0.75 * dl.dl / (tot / nc))), 9)
+           AS DECIMAL(38,15)) AS contrib
+  FROM tf d JOIN dl ON d.cid = dl.cid JOIN dfq USING (token), st
+),
+qtok AS (SELECT DISTINCT token FROM qterms),
+qpost AS (SELECT c.* FROM contrib c JOIN qtok USING (token)),
+ub AS (SELECT token, MAX(contrib) AS ub, COUNT(*) AS postings
+       FROM qpost GROUP BY token),
+toptok AS (
+  SELECT token, cid, contrib FROM qpost
+  QUALIFY row_number() OVER (PARTITION BY token
+                             ORDER BY contrib DESC, cid) <= 10
+),
+lb AS (
+  SELECT q.qid, t.cid, MAX(t.contrib) AS lb
+  FROM qterms q JOIN toptok t USING (token)
+  WHERE t.cid != q.qid
+  GROUP BY q.qid, t.cid
+),
+theta AS (
+  SELECT qid, lb AS theta FROM lb
+  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY lb DESC, cid) = 10
+),
+qub AS (
+  SELECT q.qid, q.token, u.ub, u.postings,
+         COALESCE(t.theta, CAST(0 AS DECIMAL(38,15))) AS theta
+  FROM qterms q JOIN ub u USING (token) LEFT JOIN theta t USING (qid)
+),
+tails AS (
+  SELECT *, SUM(ub) OVER (PARTITION BY qid ORDER BY ub DESC, token
+                          ROWS BETWEEN CURRENT ROW
+                               AND UNBOUNDED FOLLOWING) AS tail
+  FROM qub
+),
+ess AS (SELECT qid, token, postings FROM tails WHERE tail >= theta),
+cand AS (
+  SELECT DISTINCT e.qid, c.cid
+  FROM ess e JOIN contrib c USING (token)
+  WHERE c.cid != e.qid
+)
+SELECT t.query_id, t.n_terms, e.n_essential, t.postings_total,
+       c.n_candidates
+FROM (SELECT qid AS query_id, COUNT(*) AS n_terms,
+             CAST(SUM(postings) AS BIGINT) AS postings_total
+      FROM qub GROUP BY qid) t
+JOIN (SELECT qid AS query_id, COUNT(*) AS n_essential
+      FROM ess GROUP BY qid) e USING (query_id)
+JOIN (SELECT qid AS query_id, COUNT(*) AS n_candidates
+      FROM cand GROUP BY qid) c USING (query_id)
+"""
+
+
+@register("bm25_prune_stats", _BM25_PRUNE_ORACLE)
+def bm25_prune_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max-score pruning EVIDENCE (VERDICT r14 #5): per query chunk, the
+    term count, how many terms the minimal essential prefix keeps, the
+    unpruned probe volume (Σ posting-list lengths over all query terms)
+    and the pruned candidate count the scoring aggregate actually
+    processes. The oracle restates the whole decomposition — term upper
+    bounds, top-k impact heads, the k-th-largest lower bound theta, the
+    strict suffix-sum essential cut, candidate discovery — in SQL, so
+    the pruning METADATA is correctness-gated, not just the final
+    ranking (which bm25_chunk_topk pins separately on the same pruned
+    path)."""
+    contrib_idx, qterms = _bm25_contrib_index(spark, sf_dir)
+    essential, candidates = _bm25_prune_frames(contrib_idx, qterms, k=10)
+    qtok = qterms.select("token").distinct()
+    ub = (contrib_idx.join(F.broadcast(qtok), "token")
+          .groupBy("token").agg(F.count("*").alias("_postings")))
+    totals = (F.broadcast(qterms).join(ub, "token")
+              .groupBy("qid").agg(
+                  F.count("*").alias("n_terms"),
+                  F.sum("_postings").cast("long").alias("postings_total")))
+    n_ess = essential.groupBy("qid").agg(F.count("*").alias("n_essential"))
+    n_cand = candidates.groupBy("qid").agg(
+        F.count("*").alias("n_candidates"))
+    return (totals.join(n_ess, "qid").join(n_cand, "qid")
+            .select(F.col("qid").alias("query_id"), "n_terms",
+                    "n_essential", "postings_total", "n_candidates"))
+
+
+_HYBRID_CTES = f"""{_BM25_CTES},
 fm AS (
   SELECT cid, i,
          COALESCE(list_sum(list_transform(
@@ -3520,16 +3698,22 @@ fused AS (
   SELECT COALESCE(b.qid, a.qid) AS qid, COALESCE(b.cid, a.cid) AS cid,
          b.rank_bm, a.rank_ann
   FROM bmr b FULL JOIN annr a ON b.qid = a.qid AND b.cid = a.cid
-)
-SELECT qid AS query_id, cid,
-       round(COALESCE(1.0 / (60.0 + rank_bm), 0.0)
-             + COALESCE(1.0 / (60.0 + rank_ann), 0.0), 9) AS rrf,
-       CASE WHEN rank_bm IS NOT NULL AND rank_ann IS NOT NULL THEN 'both'
-            WHEN rank_bm IS NOT NULL THEN 'bm25' ELSE 'ann' END AS source
-FROM fused
-QUALIFY row_number() OVER (PARTITION BY qid ORDER BY
-    round(COALESCE(1.0 / (60.0 + rank_bm), 0.0)
-          + COALESCE(1.0 / (60.0 + rank_ann), 0.0), 9) DESC, cid) <= 5
+),
+rrf5 AS (
+  SELECT qid, cid,
+         round(COALESCE(1.0 / (60.0 + rank_bm), 0.0)
+               + COALESCE(1.0 / (60.0 + rank_ann), 0.0), 9) AS rrf,
+         CASE WHEN rank_bm IS NOT NULL AND rank_ann IS NOT NULL THEN 'both'
+              WHEN rank_bm IS NOT NULL THEN 'bm25' ELSE 'ann' END AS source
+  FROM fused
+  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY
+      round(COALESCE(1.0 / (60.0 + rank_bm), 0.0)
+            + COALESCE(1.0 / (60.0 + rank_ann), 0.0), 9) DESC, cid) <= 5
+)"""
+
+_HYBRID_ORACLE = f"""
+WITH {_HYBRID_CTES}
+SELECT qid AS query_id, cid, rrf, source FROM rrf5
 """
 
 
@@ -3576,6 +3760,98 @@ def hybrid_rag_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("_r", F.row_number().over(wf))
             .filter(F.col("_r") <= 5)
             .select("query_id", "cid", "rrf", src.alias("source")))
+
+
+_HYBRID_RECALL_ORACLE = f"""
+WITH {_HYBRID_CTES},
+bfr AS (
+  SELECT qv.qid, v.cid,
+         row_number() OVER (PARTITION BY qv.qid ORDER BY
+             round(list_dot_product(v.cv, qv.qv) /
+               (sqrt(list_dot_product(v.cv, v.cv))
+                * sqrt(list_dot_product(qv.qv, qv.qv))), 9) DESC, v.cid)
+           AS rank_bf
+  FROM cvec v, qv
+  WHERE v.cid != qv.qid
+  QUALIFY row_number() OVER (PARTITION BY qv.qid ORDER BY
+      round(list_dot_product(v.cv, qv.qv) /
+        (sqrt(list_dot_product(v.cv, v.cv))
+         * sqrt(list_dot_product(qv.qv, qv.qv))), 9) DESC, v.cid) <= 10
+),
+fusedE AS (
+  SELECT COALESCE(b.qid, a.qid) AS qid, COALESCE(b.cid, a.cid) AS cid,
+         b.rank_bm, a.rank_bf
+  FROM bmr b FULL JOIN bfr a ON b.qid = a.qid AND b.cid = a.cid
+),
+top5e AS (
+  SELECT qid, cid FROM fusedE
+  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY
+      round(COALESCE(1.0 / (60.0 + rank_bm), 0.0)
+            + COALESCE(1.0 / (60.0 + rank_bf), 0.0), 9) DESC, cid) <= 5
+),
+hits AS (
+  SELECT t.qid, COUNT(a.cid) AS h
+  FROM top5e t LEFT JOIN rrf5 a ON a.qid = t.qid AND a.cid = t.cid
+  GROUP BY t.qid
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       round(MIN(h) / 5.0, 3) AS min_recall_at5,
+       MIN(h) / 5.0 >= 0.8 AS recall_ok
+FROM hits
+"""
+
+
+@register("hybrid_fusion_recall", _HYBRID_RECALL_ORACLE)
+def hybrid_fusion_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid-fusion QUALITY contract (VERDICT r14 #7):
+    ``hybrid_rag_fusion`` pins that the RRF ranking is deterministic;
+    this pins that it is GOOD — the fused top-5 from the approximate
+    embedding arm (nprobe=4 IVF) must recall ≥ 0.8 of the fused top-5
+    built from the brute-force exact cosine arm (the ``ivf_recall_at10``
+    pattern applied to RRF; the BM25 arm is exact in both, so the
+    contract isolates what the ANN approximation costs the FUSED
+    ranking, not just the raw neighbor list). 1-row boolean contract;
+    the oracle recomputes both fusions from scratch."""
+    from .operators.similarity import as_double, cosine, ivf_search_index_inplan
+
+    # approximate fused top-5 (the registered query's own plan)
+    approx = hybrid_rag_fusion(spark, sf_dir).select("query_id", "cid")
+
+    # exact ground truth: BM25 arm (exact by construction) ⊕ brute-force
+    # cosine arm, fused with the same RRF constant
+    bm = _bm25_topk(spark, sf_dir, k=10)
+    _path, _cents, feats = _chunk_rag_index(spark, sf_dir)
+    qv = (feats.filter(F.col("cid").isin(*_CHUNK_QUERY_IDS))
+          .select(F.col("cid").alias("query_id"),
+                  as_double("features").alias("_qv")))
+    wbf = W.partitionBy("query_id").orderBy(F.desc("_cos"), F.asc("cid"))
+    bfr = (feats.crossJoin(F.broadcast(qv))
+           .filter(F.col("cid") != F.col("query_id"))
+           .select("query_id", "cid",
+                   cosine(as_double("features"), F.col("_qv")).alias("_cos"))
+           .withColumn("rank_bf", F.row_number().over(wbf))
+           .filter(F.col("rank_bf") <= 10)
+           .select("query_id", "cid", "rank_bf"))
+    bmr = bm.select("query_id", "cid", F.col("rank").alias("rank_bm"))
+    fused = bmr.join(bfr, ["query_id", "cid"], "full")
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(60.0) + F.col("rank_bm")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(60.0) + F.col("rank_bf")),
+                     F.lit(0.0)), 9)
+    wf = W.partitionBy("query_id").orderBy(F.desc("_rrf"), F.asc("cid"))
+    top5e = (fused.withColumn("_rrf", rrf)
+             .withColumn("_r", F.row_number().over(wf))
+             .filter(F.col("_r") <= 5).select("query_id", "cid"))
+
+    hits = (top5e.join(approx.withColumn("_hit", F.lit(1)),
+                       ["query_id", "cid"], "left")
+            .groupBy("query_id").agg(F.sum("_hit").alias("_h")))
+    return hits.agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.round(F.min(F.coalesce(F.col("_h"), F.lit(0))) / 5.0, 3)
+         .alias("min_recall_at5"),
+        (F.min(F.coalesce(F.col("_h"), F.lit(0))) / 5.0 >= 0.8)
+         .alias("recall_ok"))
 
 
 @register("quantile_sketch_prices", """

@@ -76,7 +76,12 @@ NESTED_LOOP_ALLOWED = {"embed_topk_cosine", "ann_filtered_topk",
                        "bm25_chunk_topk",
                        # inherits the BM25 1-row stats broadcast + the
                        # ANN arm's bounded probe ranking
-                       "hybrid_rag_fusion"}
+                       "hybrid_rag_fusion",
+                       # 3-row query-vector broadcast into the exact
+                       # brute-force GROUND-TRUTH arm of the fusion
+                       # recall contract (the chunk_retrieval_topk
+                       # contract shape)
+                       "hybrid_fusion_recall"}
 
 
 def _plan(spark, name: str) -> str:
