@@ -348,7 +348,7 @@ def plan_scd0(target: DataFrame, source: DataFrame,
 
 
 def scd0_insert(store, spark, target_name: str, source: DataFrame,
-                key: list[str]) -> int:
+                key: list[str], occ_retries: int = 3) -> int:
     """Execute the SCD Type-0 merge against the store (one atomic
     commit, CDC batch included).
 
@@ -358,8 +358,24 @@ def scd0_insert(store, spark, target_name: str, source: DataFrame,
     by definition does not change. Bucketed targets append via the
     pruned ``commit_buckets`` path (only buckets receiving inserts
     rewrite), under the same bucket-cols ⊆ key condition as
-    merge_upsert."""
+    merge_upsert. Lost OCC races re-derive against the winner's state
+    (``occ_retries``, the merge_upsert convention) — note the
+    plain-table path appends through an anti-join of the CURRENT
+    snapshot, so it is not a blind append and can conflict."""
+    from ..store import ConcurrentCommitError
+
     source = store.stabilize(source)
+    for attempt in range(occ_retries + 1):
+        try:
+            return _scd0_insert_once(store, spark, target_name, source, key)
+        except ConcurrentCommitError:
+            if attempt == occ_retries:
+                raise
+    raise AssertionError("unreachable")
+
+
+def _scd0_insert_once(store, spark, target_name: str, source: DataFrame,
+                      key: list[str]) -> int:
     cols = store.schema(target_name).fieldNames()
     if store.version(target_name) < 0:
         src = source.select(*cols)
@@ -370,7 +386,11 @@ def scd0_insert(store, spark, target_name: str, source: DataFrame,
             F.lit(False).alias(CDC_ISUPDATE), rid.alias(CDC_ROW_ID))
         if store.bucket_spec(target_name) is not None:
             return store.commit(target_name, src, changes=changes)
-        return store.commit_append(target_name, src, changes=changes)
+        # first load is also snapshot-derived ("the table was empty"):
+        # validate read_version=-1 so two racing first loads cannot
+        # both insert (the loser re-derives through the retry wrapper)
+        return store.commit_append(target_name, src, changes=changes,
+                                   read_version=-1)
     spec = store.bucket_spec(target_name)
     if spec is not None and set(spec[0]) <= set(key):
         bcols, n = spec
@@ -379,17 +399,22 @@ def scd0_insert(store, spark, target_name: str, source: DataFrame,
         new_target, changes = plan_scd0(target, source, key)
         return store.commit_buckets(target_name, new_target, ids,
                                     changes=changes)
+    read_version = store.version(target_name)
     target = store.read(spark, target_name)
     # Append-only storage shape: anti-join yields just the new rows;
     # commit_append writes ONLY them as a new segment (the current
     # snapshot is immutable under Type-0, so it is never rewritten).
+    # NOT a blind append — the anti-join read the snapshot, so the
+    # commit validates read_version (two racing loads of one key must
+    # not both insert it; the loser re-derives via the retry wrapper).
     ins = source.select(*cols).join(target.select(*key), key, "left_anti")
     rid = F.md5(F.concat_ws(
         "\x1f", *[F.col(k).cast("string") for k in key]))
     changes = ins.select(
         *cols, F.lit("INSERT").alias(CDC_ACTION),
         F.lit(False).alias(CDC_ISUPDATE), rid.alias(CDC_ROW_ID))
-    return store.commit_append(target_name, ins, changes=changes)
+    return store.commit_append(target_name, ins, changes=changes,
+                               read_version=read_version)
 
 
 def plan_scd3(target: DataFrame, source: DataFrame, key: list[str],
@@ -492,13 +517,29 @@ def plan_scd3(target: DataFrame, source: DataFrame, key: list[str],
 
 def scd3_upsert(store, spark, target_name: str, source: DataFrame,
                 key: list[str], compare_cols: list[str],
-                track: dict[str, str]) -> int:
+                track: dict[str, str], occ_retries: int = 3) -> int:
     """Execute the SCD Type-3 merge against the store (one atomic
     commit, CDC batch included). Bucketed targets take the pruned path
     under the same bucket-cols ⊆ merge-key condition as merge_upsert;
     the first load into an empty table is a pure append with NULL prev
-    columns."""
+    columns. Lost OCC races re-derive against the winner's state
+    (``occ_retries``, the merge_upsert convention)."""
+    from ..store import ConcurrentCommitError
+
     source = store.stabilize(source)
+    for attempt in range(occ_retries + 1):
+        try:
+            return _scd3_upsert_once(store, spark, target_name, source,
+                                     key, compare_cols, track)
+        except ConcurrentCommitError:
+            if attempt == occ_retries:
+                raise
+    raise AssertionError("unreachable")
+
+
+def _scd3_upsert_once(store, spark, target_name: str, source: DataFrame,
+                      key: list[str], compare_cols: list[str],
+                      track: dict[str, str]) -> int:
     cols = store.schema(target_name).fieldNames()
     prev_cols = set(track.values())
     base_cols = [c for c in cols if c not in prev_cols]

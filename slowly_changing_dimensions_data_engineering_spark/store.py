@@ -705,7 +705,8 @@ class TableStore:
 
     def commit_append(self, name: str, df: DataFrame,
                       changes: DataFrame | None = None,
-                      offsets: dict[str, int] | None = None) -> int:
+                      offsets: dict[str, int] | None = None,
+                      read_version: int | None = None) -> int:
         """True append: write ONLY the new rows as a segment dir and add
         it to the snapshot's segment list — the append cost is the new
         data's size, never a rewrite of current contents (at 100 TB a
@@ -716,7 +717,13 @@ class TableStore:
         Concurrency: a BLIND append depends on nothing it read, so it
         NEVER conflicts — an interleaved commit just means this
         segment joins the other writer's segment list (the Delta
-        blind-append rule); no ``ConcurrentCommitError`` possible."""
+        blind-append rule). An append whose CONTENT was derived from
+        a snapshot read (e.g. the SCD Type-0 anti-join: "insert keys
+        not already present") is NOT blind — it passes
+        ``read_version`` and the swap raises ``ConcurrentCommitError``
+        if any commit landed since, exactly like the rewrite paths
+        (otherwise two racing insert-only loads of one key would both
+        append it)."""
         meta = self._read_meta(name)
         if meta.get("bucket"):
             raise ValueError(
@@ -732,6 +739,11 @@ class TableStore:
                 os.path.join(stage, "changes"))
 
         def apply(fresh: dict) -> int:
+            if read_version is not None and fresh["latest"] != read_version:
+                raise ConcurrentCommitError(
+                    f"snapshot-derived append to {name!r} read "
+                    f"v{read_version} but v{fresh['latest']} was committed "
+                    "concurrently; re-read and re-derive the append")
             v = fresh["latest"] + 1
             self._promote(name, stage, v, changes is not None)
             segs = list(fresh.get(

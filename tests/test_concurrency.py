@@ -256,3 +256,39 @@ def test_add_column_racing_commit_is_not_lost(spark, tmp_path, monkeypatch):
     store.commit_append("t", _rows(spark, [100]))
     assert "note" in store.schema("t").fieldNames()
     assert store.read(spark, "t").filter(F.col("note").isNull()).count() == 5
+
+
+def test_scd0_racing_loads_cannot_double_insert(spark, tmp_path, monkeypatch):
+    """The Type-0 append path is snapshot-DERIVED (anti-join of current
+    keys), not blind: a load racing another load that inserts the same
+    key must lose the swap and re-derive — the key lands exactly once,
+    first-committer-wins (fixed attributes)."""
+    from slowly_changing_dimensions_data_engineering_spark.operators.merge import scd0_insert
+
+    store = TableStore(str(tmp_path))
+    store.create("dim", schemas.SUPPLIER)
+    scd0_insert(store, spark, "dim", _rows(spark, [1], state="base"),
+                ["supplier_code"])
+
+    # loser reads v0, winner commits S2 with state "W" at swap time;
+    # loser re-derives: its S2 row is now matched -> dropped
+    _inject_before_swap(
+        monkeypatch, "dim",
+        lambda: scd0_insert(store, spark, "dim",
+                            _rows(spark, [2], state="W"),
+                            ["supplier_code"]))
+    scd0_insert(store, spark, "dim",
+                _rows(spark, [2, 3], state="L"), ["supplier_code"])
+
+    got = {r["supplier_code"]: r["supplier_state"]
+           for r in store.read(spark, "dim").collect()}
+    assert got == {"S1": "base", "S2": "W", "S3": "L"}
+    # zero-retry surfaces the conflict instead
+    _inject_before_swap(
+        monkeypatch, "dim",
+        lambda: scd0_insert(store, spark, "dim",
+                            _rows(spark, [4], state="W2"),
+                            ["supplier_code"]))
+    with pytest.raises(ConcurrentCommitError):
+        scd0_insert(store, spark, "dim", _rows(spark, [5], state="L2"),
+                    ["supplier_code"], occ_retries=0)
