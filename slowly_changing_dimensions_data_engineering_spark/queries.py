@@ -284,7 +284,7 @@ _PIPELINE_CACHE_NAMES = (
     "_UNIGRAM_CACHE", "_FORGET_CACHE", "_SCD3_STORE_CACHE",
     "_FORGET_BASE_CACHE", "_FORGET_EXP_CACHE", "_CHUNK_RAG_CACHE",
     "_SCD2_BD_CACHE", "_SCD0_STORE_CACHE", "_SCD1E_STORE_CACHE",
-    "_SCD2_SBD_CACHE",
+    "_SCD2_SBD_CACHE", "_BM25_IDX_CACHE",
 )
 
 
@@ -3415,6 +3415,17 @@ SELECT qid AS query_id, cid, bm25, rank_bm AS rank FROM bmr
 """
 
 
+#: sf_dir -> (contrib_index, qterms): session-tied stabilized frames
+#: shared by the WHOLE BM25 family (bm25_chunk_topk, bm25_prune_stats,
+#: hybrid_rag_fusion, hybrid_fusion_recall). One corpus shingle +
+#: aggregate pass and ONE pinned localCheckpoint per process instead of
+#: four: un-shared, the four queries' checkpointed copies accumulate in
+#: the block manager and at sf3+ the fourth build exhausts the driver
+#: heap mid-broadcast (measured: hybrid_fusion_recall OOM at sf3 in the
+#: first r15 soak attempt; green with the shared index).
+_BM25_IDX_CACHE: dict[str, tuple[DataFrame, DataFrame]] = {}
+
+
 def _bm25_contrib_index(spark: SparkSession, sf_dir: str):
     """The impact-scored inverted index BM25 retrieval probes: one
     (cid, token, contrib) row per posting, where contrib is the
@@ -3423,11 +3434,16 @@ def _bm25_contrib_index(spark: SparkSession, sf_dir: str):
     bit-for-bit cross-engine. Built from ONE (cid, token) aggregate
     over the chunked corpus (per-chunk lengths, document frequencies
     and corpus stats are aggregates of THAT frame — no corpus
-    re-scan); stabilized, because the pruned search probes it four
-    ways (term upper bounds, top-k impact heads, candidate discovery,
-    scoring). Returns (contrib_index, qterms)."""
+    re-scan); stabilized and memoized per sf_dir (see _BM25_IDX_CACHE),
+    because the pruned search probes it four ways (term upper bounds,
+    top-k impact heads, candidate discovery, scoring) and four queries
+    share it. Returns (contrib_index, qterms)."""
     from .operators.text import chunk_documents
     from .session import stabilize
+
+    cached = _BM25_IDX_CACHE.get(sf_dir)
+    if cached is not None:
+        return cached
 
     d = _spread(spark, _t(spark, sf_dir, "documents")["documents"])
     ch = chunk_documents(d, chunk_chars=200, overlap=50)
@@ -3450,6 +3466,13 @@ def _bm25_contrib_index(spark: SparkSession, sf_dir: str):
         .select("cid", "token",
                 F.round(idf * tfnorm, 9).cast("decimal(38,15)")
                 .alias("contrib")))
+    # Re-root qterms on the contrib checkpoint (same (cid, token) row
+    # set) so the cached pair references ONE pinned checkpoint — were
+    # it left on tf, the tf checkpoint would stay live for the whole
+    # process alongside contrib's.
+    qterms = (contrib_idx.filter(F.col("cid").isin(*_CHUNK_QUERY_IDS))
+              .select(F.col("cid").alias("qid"), "token"))
+    _BM25_IDX_CACHE[sf_dir] = (contrib_idx, qterms)
     return contrib_idx, qterms
 
 
