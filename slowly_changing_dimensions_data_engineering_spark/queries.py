@@ -3427,17 +3427,28 @@ _BM25_IDX_CACHE: dict[str, tuple[DataFrame, DataFrame]] = {}
 
 
 def _bm25_contrib_index(spark: SparkSession, sf_dir: str):
-    """The impact-scored inverted index BM25 retrieval probes: one
-    (cid, token, contrib) row per posting, where contrib is the
-    9-dp-rounded decimal(38,15) per-term BM25 contribution (k1=1.2,
-    b=0.75) — so any sum of postings is associative and replays
-    bit-for-bit cross-engine. Built from ONE (cid, token) aggregate
-    over the chunked corpus (per-chunk lengths, document frequencies
-    and corpus stats are aggregates of THAT frame — no corpus
-    re-scan); stabilized and memoized per sf_dir (see _BM25_IDX_CACHE),
-    because the pruned search probes it four ways (term upper bounds,
-    top-k impact heads, candidate discovery, scoring) and four queries
-    share it. Returns (contrib_index, qterms)."""
+    """The QUERY-TERM slice of the impact-scored inverted index BM25
+    retrieval probes: one (cid, token, contrib) row per posting of a
+    query term, where contrib is the 9-dp-rounded decimal(38,15)
+    per-term BM25 contribution (k1=1.2, b=0.75) — so any sum of
+    postings is associative and replays bit-for-bit cross-engine.
+
+    Slice, not the whole index, deliberately: a stored WAND index is
+    built OFFLINE once; query time reads only the probed terms'
+    posting lists (that selective read is the whole point of an
+    inverted index). Materializing corpus-wide impact scores on the
+    query path — as a first r15 cut did — charged every retrieval
+    query an index build: the 3-query chunk_rag family doubled
+    (12.5→24.9s at sf0.1) and the pinned checkpoint grew with the
+    corpus instead of with Σ df(query terms). Global statistics (chunk
+    lengths, corpus totals, document frequencies) ARE computed over
+    the full corpus — they are aggregates of the one (cid, token)
+    pass, not per-slice quantities.
+
+    Stabilized and memoized per sf_dir (_BM25_IDX_CACHE): the pruned
+    search probes the slice four ways (term upper bounds, top-k impact
+    heads, candidate discovery, scoring) and four registered queries
+    share it. Returns (contrib_slice, qterms)."""
     from .operators.text import chunk_documents
     from .session import stabilize
 
@@ -3454,22 +3465,23 @@ def _bm25_contrib_index(spark: SparkSession, sf_dir: str):
     dl = tf.groupBy("cid").agg(F.sum("tf").alias("dl"))
     st = dl.agg(F.count("*").alias("nc"), F.sum("dl").alias("tot"))
     dfq = tf.groupBy("token").agg(F.count("*").alias("df"))
-    qterms = (tf.filter(F.col("cid").isin(*_CHUNK_QUERY_IDS))
-              .select(F.col("cid").alias("qid"), "token"))
+    qtok = (tf.filter(F.col("cid").isin(*_CHUNK_QUERY_IDS))
+            .select("token").distinct())
     idf = F.round(F.log(F.lit(1.0) + (F.col("nc") - F.col("df") + 0.5)
                         / (F.col("df") + 0.5)), 9)
     tfnorm = ((F.col("tf") * 2.2)
               / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl")
                                       / (F.col("tot") / F.col("nc")))))
     contrib_idx = stabilize(
-        tf.join(dl, "cid").join(dfq, "token").crossJoin(F.broadcast(st))
+        tf.join(F.broadcast(qtok), "token")
+        .join(dl, "cid").join(dfq, "token").crossJoin(F.broadcast(st))
         .select("cid", "token",
                 F.round(idf * tfnorm, 9).cast("decimal(38,15)")
                 .alias("contrib")))
-    # Re-root qterms on the contrib checkpoint (same (cid, token) row
-    # set) so the cached pair references ONE pinned checkpoint — were
-    # it left on tf, the tf checkpoint would stay live for the whole
-    # process alongside contrib's.
+    # qterms re-rooted on the contrib checkpoint (query chunks contain
+    # their own tokens, so the slice covers them) — the cached pair
+    # must reference ONE pinned checkpoint, or tf's would stay live
+    # for the whole process alongside contrib's.
     qterms = (contrib_idx.filter(F.col("cid").isin(*_CHUNK_QUERY_IDS))
               .select(F.col("cid").alias("qid"), "token"))
     _BM25_IDX_CACHE[sf_dir] = (contrib_idx, qterms)

@@ -10,11 +10,12 @@ and print the cross-round comparisons for BENCH_NOTES r15:
 - cache families compared JOINTLY (the r12 protocol): one-time-build
   pools summed before cross-round diffs so board-rotation flips of
   who pays a build cannot masquerade as regressions. r15 pool deltas:
-  ``scd2_store`` gains the three new consumers of the shared two-load
-  store (scd0 has its own store but is dim-trivial; the backdate
-  stream and evolution queries clone/build from the shared base);
+  ``scd2_store`` gains ``streaming_scd2_backdate_history`` (it clones
+  the shared two-load store; scd0/evolution build their own dim-sized
+  stores and stay unpooled);
   ``chunk_rag_index`` gains the two new BM25/fusion-family members
-  (they share the chunk corpus scan and the RAG index cache);
+  (they share the chunk corpus scan, the contrib-slice cache and the
+  RAG index cache);
   NEW ``click_attribution`` pool: the pair shares no cache but moves
   together (micro-batch fixed-overhead class — BENCH_NOTES r15
   attribution), so cross-round reads are family-joint by protocol;
