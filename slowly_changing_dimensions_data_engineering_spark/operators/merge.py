@@ -569,12 +569,35 @@ def _scd3_upsert_once(store, spark, target_name: str, source: DataFrame,
     return store.commit(target_name, new_target, changes=changes)
 
 
+def _occ_retry(fn, occ_retries: int):
+    """Run a snapshot-read → derive → commit closure, re-deriving
+    against the new current state on each lost optimistic race (the
+    merge_upsert convention, shared by the WHERE-DML statements —
+    deterministic predicates/assignments make the re-run exactly the
+    as-if-serial statement)."""
+    from ..store import ConcurrentCommitError
+
+    for attempt in range(occ_retries + 1):
+        try:
+            return fn()
+        except ConcurrentCommitError:
+            if attempt == occ_retries:
+                raise
+    raise AssertionError("unreachable")
+
+
 def delete_where(store, spark, target_name: str, predicate,
-                 key: list[str]) -> int:
+                 key: list[str], occ_retries: int = 3) -> int:
     """``DELETE FROM target WHERE predicate`` with CDC emission — the
     DML statement the reference's MERGE surface lacks (its pipeline
     never deletes: SURVEY.md edge case 5), but that any retention /
     right-to-be-forgotten pass over a 100 TB corpus needs.
+
+    Lost optimistic races re-evaluate the predicate against the
+    winner's state and retry (``occ_retries``; the predicate is
+    required deterministic already — see the single-evaluation notes
+    below — so the retry IS the statement, serialized after the
+    winner).
 
     Change rows are the deleted images with METADATA$ACTION='DELETE',
     ISUPDATE=false (a true removal, not an update's pre-image pair), and
@@ -599,26 +622,32 @@ def delete_where(store, spark, target_name: str, predicate,
     cols = store.schema(target_name).fieldNames()
     rid = F.md5(F.concat_ws("\x1f", *[F.col(k).cast("string") for k in key]))
 
-    current = store.read(spark, target_name)
-    matched = current.filter(pred)
-    if matched.isEmpty():
-        return store.version(target_name)
-    changes = matched.select(
-        *cols, F.lit("DELETE").alias(CDC_ACTION),
-        F.lit(False).alias(CDC_ISUPDATE), rid.alias(CDC_ROW_ID))
+    def attempt() -> int:
+        current = store.read(spark, target_name)
+        matched = current.filter(pred)
+        if matched.isEmpty():
+            return store.version(target_name)
+        changes = matched.select(
+            *cols, F.lit("DELETE").alias(CDC_ACTION),
+            F.lit(False).alias(CDC_ISUPDATE), rid.alias(CDC_ROW_ID))
 
-    spec = store.bucket_spec(target_name)
-    if spec is not None:
-        bcols, n = spec
-        ids = touched_buckets(matched, bcols, n)
-        remaining = store.read_buckets(spark, target_name, ids).filter(~pred)
-        return store.commit_buckets(target_name, remaining, ids,
-                                    changes=changes)
-    return store.commit(target_name, current.filter(~pred), changes=changes)
+        spec = store.bucket_spec(target_name)
+        if spec is not None:
+            bcols, n = spec
+            ids = touched_buckets(matched, bcols, n)
+            remaining = store.read_buckets(spark, target_name,
+                                           ids).filter(~pred)
+            return store.commit_buckets(target_name, remaining, ids,
+                                        changes=changes)
+        return store.commit(target_name, current.filter(~pred),
+                            changes=changes)
+
+    return _occ_retry(attempt, occ_retries)
 
 
 def update_where(store, spark, target_name: str, predicate,
-                 set_exprs: dict, key: list[str]) -> int:
+                 set_exprs: dict, key: list[str],
+                 occ_retries: int = 3) -> int:
     """``UPDATE target SET col = expr, ... WHERE predicate`` with CDC
     emission — completing the DML family next to ``merge_upsert`` and
     ``delete_where`` (the reference only updates through its MERGE,
@@ -669,38 +698,47 @@ def update_where(store, spark, target_name: str, predicate,
                          f"{target_name}'s schema: {sorted(unknown)}")
     rid = F.md5(F.concat_ws("\x1f", *[F.col(k).cast("string") for k in key]))
 
-    current = store.read(spark, target_name)
-    matched = store.stabilize(current.filter(pred))
-    if matched.isEmpty():
-        return store.version(target_name)
+    def attempt() -> int:
+        current = store.read(spark, target_name)
+        matched = store.stabilize(current.filter(pred))
+        if matched.isEmpty():
+            return store.version(target_name)
 
-    # Post-image built in ONE select so every assignment reads the
-    # pre-update row (no withColumn chaining, which would let later
-    # assignments observe earlier ones). ROW_ID must come from the
-    # PRE-image key even when the key itself is assigned — matched still
-    # has the old values, so the rid is computed alongside the
-    # assignments and carried through the post projection.
-    post_proj = [sets.get(c, F.col(c)).alias(c) for c in cols]
-    updated = store.stabilize(matched.select(*post_proj, rid.alias(CDC_ROW_ID)))
-    post = updated.drop(CDC_ROW_ID)
-    pre_rows = matched.select(
-        *cols, F.lit("DELETE").alias(CDC_ACTION),
-        F.lit(True).alias(CDC_ISUPDATE), rid.alias(CDC_ROW_ID))
-    post_rows = updated.select(
-        *cols, F.lit("INSERT").alias(CDC_ACTION),
-        F.lit(True).alias(CDC_ISUPDATE), F.col(CDC_ROW_ID))
-    changes = pre_rows.unionByName(post_rows)
+        # Post-image built in ONE select so every assignment reads the
+        # pre-update row (no withColumn chaining, which would let later
+        # assignments observe earlier ones). ROW_ID must come from the
+        # PRE-image key even when the key itself is assigned — matched
+        # still has the old values, so the rid is computed alongside
+        # the assignments and carried through the post projection.
+        post_proj = [sets.get(c, F.col(c)).alias(c) for c in cols]
+        updated = store.stabilize(
+            matched.select(*post_proj, rid.alias(CDC_ROW_ID)))
+        post = updated.drop(CDC_ROW_ID)
+        pre_rows = matched.select(
+            *cols, F.lit("DELETE").alias(CDC_ACTION),
+            F.lit(True).alias(CDC_ISUPDATE), rid.alias(CDC_ROW_ID))
+        post_rows = updated.select(
+            *cols, F.lit("INSERT").alias(CDC_ACTION),
+            F.lit(True).alias(CDC_ISUPDATE), F.col(CDC_ROW_ID))
+        changes = pre_rows.unionByName(post_rows)
 
-    spec = store.bucket_spec(target_name)
-    if spec is not None and not (set(sets) & set(spec[0])):
-        bcols, n = spec
-        ids = touched_buckets(matched, bcols, n)
-        in_bkts = store.read_buckets(spark, target_name, ids)
-        # No assigned column is a bucket column, so every post-image row
-        # stays in a touched bucket — reuse the stabilized post frame
-        # instead of re-running the assignments over the bucket read.
-        new_rows = in_bkts.filter(~pred).unionByName(post)
-        return store.commit_buckets(target_name, new_rows, ids,
-                                    changes=changes)
-    new_rows = current.filter(~pred).unionByName(post)
-    return store.commit(target_name, new_rows, changes=changes)
+        spec = store.bucket_spec(target_name)
+        if spec is not None and not (set(sets) & set(spec[0])):
+            bcols, n = spec
+            ids = touched_buckets(matched, bcols, n)
+            in_bkts = store.read_buckets(spark, target_name, ids)
+            # No assigned column is a bucket column, so every
+            # post-image row stays in a touched bucket — reuse the
+            # stabilized post frame instead of re-running the
+            # assignments over the bucket read.
+            new_rows = in_bkts.filter(~pred).unionByName(post)
+            return store.commit_buckets(target_name, new_rows, ids,
+                                        changes=changes)
+        new_rows = current.filter(~pred).unionByName(post)
+        return store.commit(target_name, new_rows, changes=changes)
+
+    # Lost optimistic races re-run the whole statement (fresh read,
+    # fresh single-evaluation stabilizations) against the winner's
+    # state — deterministic predicate + assignments make the retry the
+    # as-if-serial UPDATE.
+    return _occ_retry(attempt, occ_retries)

@@ -292,3 +292,37 @@ def test_scd0_racing_loads_cannot_double_insert(spark, tmp_path, monkeypatch):
     with pytest.raises(ConcurrentCommitError):
         scd0_insert(store, spark, "dim", _rows(spark, [5], state="L2"),
                     ["supplier_code"], occ_retries=0)
+
+
+def test_delete_where_retry_serializes_after_concurrent_merge(
+        spark, tmp_path, monkeypatch):
+    """WHERE-DML under OCC: a DELETE racing a merge re-evaluates its
+    predicate on the winner's state and retries — no lost update in
+    either direction; zero-retry surfaces the conflict."""
+    from slowly_changing_dimensions_data_engineering_spark.operators.merge import delete_where
+
+    store = TableStore(str(tmp_path))
+    store.create("t", schemas.SUPPLIER)
+    store.commit("t", _rows(spark, range(5), state="keep")
+                 .unionByName(_rows(spark, [5], state="drop")))
+
+    # the DELETE (predicate: state='drop') matches S5 and reaches its
+    # swap; the winner flips S1 to 'drop' in that window — the retry
+    # must re-evaluate and delete the NEWLY-dropped row too
+    _inject_before_swap(
+        monkeypatch, "t",
+        lambda: merge_upsert(store, spark, "t",
+                             _rows(spark, [1], state="drop"), KEY, CMP))
+    delete_where(store, spark, "t", "supplier_state = 'drop'", KEY)
+    got = {r["supplier_key"] for r in store.read(spark, "t").collect()}
+    assert got == {0, 2, 3, 4}
+
+    store.commit("t", _rows(spark, range(2), state="keep")
+                 .unionByName(_rows(spark, [9], state="drop")))
+    _inject_before_swap(
+        monkeypatch, "t",
+        lambda: merge_upsert(store, spark, "t",
+                             _rows(spark, [0], state="drop"), KEY, CMP))
+    with pytest.raises(ConcurrentCommitError):
+        delete_where(store, spark, "t", "supplier_state = 'drop'", KEY,
+                     occ_retries=0)
