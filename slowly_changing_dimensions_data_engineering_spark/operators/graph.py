@@ -99,7 +99,8 @@ def _union_find_labels(rows) -> list[tuple[int, int]]:
 def connected_components(pairs: DataFrame, src: str = "d1", dst: str = "d2",
                          max_iter: int = 30,
                          steps_per_action: int = 3,
-                         local_max_edges: int | None = None) -> DataFrame:
+                         local_max_edges: int | None = None,
+                         stats: dict | None = None) -> DataFrame:
     """(node, comp) for every node appearing in ``pairs``; ``comp`` is
     the minimum node id reachable through the pair graph (the canonical
     cluster id — stable across runs and engines).
@@ -112,6 +113,11 @@ def connected_components(pairs: DataFrame, src: str = "d1", dst: str = "d2",
     conf, 5M) selects the driver-local union-find for graphs at or
     under that many symmetrized edges; 0 forces the distributed loop.
     Both regimes produce identical labels (pinned by test).
+
+    ``stats``, if passed, receives {"edges": symmetrized edge count,
+    "regime": local|distributed, "steps": propagation steps run} —
+    measurement plumbing for tools/bench_cc_scale.py (the distributed
+    regime's at-scale evidence), zero cost when omitted.
 
     ``steps_per_action`` chains that many propagation steps LAZILY into
     one Spark job before the convergence probe: on tiny label frames the
@@ -133,6 +139,11 @@ def connected_components(pairs: DataFrame, src: str = "d1", dst: str = "d2",
     if local_max_edges is None:
         local_max_edges = int(spark.conf.get(
             LOCAL_MAX_EDGES_CONF, str(_LOCAL_MAX_EDGES_DEFAULT)))
+    if stats is not None:
+        stats["edges"] = n_edges
+        stats["regime"] = ("local" if n_edges <= local_max_edges
+                           else "distributed")
+        stats["steps"] = 0
     if n_edges <= local_max_edges:
         # Driver-local regime: the collect is BOUNDED by the threshold
         # just checked. Arrow both ways (toPandas / createDataFrame on
@@ -201,6 +212,8 @@ def connected_components(pairs: DataFrame, src: str = "d1", dst: str = "d2",
         new_labels = stabilize(cur)
         changed = new_labels.filter("_ch").count()
         labels = new_labels.select("node", "comp")
+        if stats is not None:
+            stats["steps"] = steps_done
         if changed == 0:
             return labels
     raise RuntimeError(

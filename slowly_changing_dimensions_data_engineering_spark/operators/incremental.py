@@ -73,7 +73,8 @@ def apply_delta(mv: DataFrame | None, delta: DataFrame,
 def refresh_aggregate(store, spark: SparkSession, mv_name: str,
                       base_name: str, consumer: str,
                       group_cols: list[str],
-                      sum_cols: dict[str, str]) -> int:
+                      sum_cols: dict[str, str],
+                      occ_retries: int = 3) -> int:
     """Consume the base table's pending change batches (offset-tracked,
     C3 consume-once — SCD-Automation.sql:43 advances the stream the same
     way) and commit the refreshed MV. Returns the MV version; a call
@@ -90,19 +91,40 @@ def refresh_aggregate(store, spark: SparkSession, mv_name: str,
     batch is simply re-run); a crash *after* leaves only the global
     offset mirror stale, and ``get_offset(..., table=mv_name)`` reads
     the meta-carried watermark first, skipping the batch.
-    """
-    since = store.get_offset(consumer, table=mv_name)
-    changes = store.read_changes(spark, base_name, since)
-    if changes is None:
-        return store.version(mv_name) if store.exists(mv_name) else -1
-    consumed_to = max(store.change_versions(base_name, since))
-    delta = aggregate_delta(changes, group_cols, sum_cols)
-    if not store.exists(mv_name) or store.version(mv_name) < 0:
-        if not store.exists(mv_name):
-            store.create(mv_name, delta.schema)
-        new = apply_delta(None, delta, group_cols)
-    else:
-        new = apply_delta(store.read(spark, mv_name), delta, group_cols)
-    v = store.commit(mv_name, new, offsets={consumer: consumed_to})
-    store.set_offset(consumer, consumed_to)  # global mirror (retention)
-    return v
+
+    Concurrency: the MV commit validates the version the fold READ
+    (a concurrent refresh landing during the fold would otherwise be
+    double-counted or lost); a lost race re-reads offset + changes and
+    re-derives — the retried statement consumes exactly the still-
+    pending batches, because ``since`` is re-resolved from the
+    winner's committed watermark (``occ_retries``, the merge_upsert
+    convention)."""
+    from .merge import _occ_retry
+
+    def attempt() -> int:
+        since = store.get_offset(consumer, table=mv_name)
+        changes = store.read_changes(spark, base_name, since)
+        if changes is None:
+            return store.version(mv_name) if store.exists(mv_name) else -1
+        consumed_to = max(store.change_versions(base_name, since))
+        delta = aggregate_delta(changes, group_cols, sum_cols)
+        if not store.exists(mv_name) or store.version(mv_name) < 0:
+            if not store.exists(mv_name):
+                store.create(mv_name, delta.schema)
+            mv_read_version = -1
+            new = apply_delta(None, delta, group_cols)
+        else:
+            # Baseline pinned at the MV snapshot read: the signed delta
+            # is folded into THIS version — a concurrent MV commit
+            # landing during the fold must conflict, or its refresh is
+            # lost/double-counted.
+            mv_read_version = store.version(mv_name)
+            new = apply_delta(store.read(spark, mv_name,
+                                         version=mv_read_version), delta,
+                              group_cols)
+        v = store.commit(mv_name, new, offsets={consumer: consumed_to},
+                         read_version=mv_read_version)
+        store.set_offset(consumer, consumed_to)  # global mirror (retention)
+        return v
+
+    return _occ_retry(attempt, occ_retries)

@@ -201,10 +201,17 @@ def evolve_schema_for(store, target_name: str, source: DataFrame) -> list[str]:
     columns keeps failing loudly too (the merge writes whole rows, so
     absent payload would null out history).
 
-    Concurrent evolution of the same column is benign: ``add_column``
-    is serialized under the commit lock, and the loser's already-exists
-    error is swallowed here exactly when the column now matches."""
+    Concurrent evolution of the same column is benign ONLY when the
+    winner added it with the SAME type: ``add_column`` is serialized
+    under the commit lock, and the loser's already-exists error is
+    swallowed here exactly when the fresh declaration's type matches
+    the source field's. A same-name/different-type race re-raises
+    immediately with the concurrent-evolution context — letting it
+    slide would mislabel the column as ``added`` and only surface
+    later as an opaque commit schema-check failure."""
     from pyspark.sql import types as T
+
+    from ..store import TableStore
 
     added = []
     declared = set(store.schema(target_name).fieldNames())
@@ -215,8 +222,20 @@ def evolve_schema_for(store, target_name: str, source: DataFrame) -> list[str]:
             store.add_column(
                 target_name, T.StructField(f.name, f.dataType, True))
         except ValueError:
-            if f.name not in store.schema(target_name).fieldNames():
+            fresh = store.schema(target_name)
+            if f.name not in fresh.fieldNames():
                 raise
+            have = TableStore._denull(fresh[f.name].dataType)
+            want = TableStore._denull(f.dataType)
+            if have != want:
+                raise ValueError(
+                    f"concurrent schema evolution conflict on "
+                    f"{target_name!r}.{f.name}: another writer added it "
+                    f"as {have.simpleString()} but this merge's source "
+                    f"carries {want.simpleString()}") from None
+            # The winner added exactly this column — adopt it silently,
+            # but do NOT report it in ``added`` (this call added nothing).
+            continue
         added.append(f.name)
     return added
 
@@ -279,8 +298,16 @@ def _merge_upsert_once(store, spark, target_name: str, source: DataFrame,
                        delete_match=None) -> int:
     """One optimistic attempt of ``merge_upsert`` (source already
     stabilized): snapshot-read, derive, commit — raising
-    ``ConcurrentCommitError`` from the store on a lost race."""
-    if store.version(target_name) < 0:
+    ``ConcurrentCommitError`` from the store on a lost race.
+
+    The validation baseline (``read_version``) is captured HERE, at
+    snapshot-read time, and handed to the commit — capturing it at
+    commit entry would leave the whole derivation (the categorize
+    join, bucket probe, CDC branches — table-sized Spark jobs) as an
+    unvalidated window in which a concurrent commit is silently lost
+    to last-writer-wins."""
+    read_version = store.version(target_name)
+    if read_version < 0:
         # First load into an empty table: every surviving row is an
         # insert — skip the categorize join entirely (pure append; same
         # fast path a Delta MERGE takes when there are no matched
@@ -296,7 +323,11 @@ def _merge_upsert_once(store, spark, target_name: str, source: DataFrame,
         changes = src.select(
             *cols, F.lit("INSERT").alias(CDC_ACTION),
             F.lit(False).alias(CDC_ISUPDATE), rid.alias(CDC_ROW_ID))
-        return store.commit(target_name, src, changes=changes)
+        # "The table was empty" is itself a snapshot observation — two
+        # racing first loads must not both land (the loser re-derives
+        # through the retry wrapper into the matched path).
+        return store.commit(target_name, src, changes=changes,
+                            read_version=-1)
     spec = store.bucket_spec(target_name)
     # The pruned path is only sound when the bucket columns are a subset
     # of the merge key — otherwise a matched target row can live OUTSIDE
@@ -308,14 +339,16 @@ def _merge_upsert_once(store, spark, target_name: str, source: DataFrame,
         target = store.read_buckets(spark, target_name, ids)
         new_target, changes = plan_upsert(target, source, key, compare_cols,
                                           delete_match)
-        return store.commit_buckets(target_name, new_target, ids, changes=changes)
-    target = store.read(spark, target_name)
+        return store.commit_buckets(target_name, new_target, ids,
+                                    changes=changes, read_version=read_version)
+    target = store.read(spark, target_name, version=read_version)
     new_target, changes = plan_upsert(target, source, key, compare_cols,
                                       delete_match)
     # The source is re-read by both plans; localCheckpoint the categorized
     # outputs would also work — for pipeline loads the source is a small
     # batch, so recomputation is cheaper than a cache of the big side.
-    return store.commit(target_name, new_target, changes=changes)
+    return store.commit(target_name, new_target, changes=changes,
+                        read_version=read_version)
 
 
 def plan_scd0(target: DataFrame, source: DataFrame,
@@ -377,7 +410,8 @@ def scd0_insert(store, spark, target_name: str, source: DataFrame,
 def _scd0_insert_once(store, spark, target_name: str, source: DataFrame,
                       key: list[str]) -> int:
     cols = store.schema(target_name).fieldNames()
-    if store.version(target_name) < 0:
+    read_version = store.version(target_name)
+    if read_version < 0:
         src = source.select(*cols)
         rid = F.md5(F.concat_ws(
             "\x1f", *[F.col(k).cast("string") for k in key]))
@@ -385,7 +419,8 @@ def _scd0_insert_once(store, spark, target_name: str, source: DataFrame,
             *cols, F.lit("INSERT").alias(CDC_ACTION),
             F.lit(False).alias(CDC_ISUPDATE), rid.alias(CDC_ROW_ID))
         if store.bucket_spec(target_name) is not None:
-            return store.commit(target_name, src, changes=changes)
+            return store.commit(target_name, src, changes=changes,
+                                read_version=-1)
         # first load is also snapshot-derived ("the table was empty"):
         # validate read_version=-1 so two racing first loads cannot
         # both insert (the loser re-derives through the retry wrapper)
@@ -398,9 +433,9 @@ def _scd0_insert_once(store, spark, target_name: str, source: DataFrame,
         target = store.read_buckets(spark, target_name, ids)
         new_target, changes = plan_scd0(target, source, key)
         return store.commit_buckets(target_name, new_target, ids,
-                                    changes=changes)
-    read_version = store.version(target_name)
-    target = store.read(spark, target_name)
+                                    changes=changes,
+                                    read_version=read_version)
+    target = store.read(spark, target_name, version=read_version)
     # Append-only storage shape: anti-join yields just the new rows;
     # commit_append writes ONLY them as a new segment (the current
     # snapshot is immutable under Type-0, so it is never rewritten).
@@ -543,7 +578,8 @@ def _scd3_upsert_once(store, spark, target_name: str, source: DataFrame,
     cols = store.schema(target_name).fieldNames()
     prev_cols = set(track.values())
     base_cols = [c for c in cols if c not in prev_cols]
-    if store.version(target_name) < 0:
+    read_version = store.version(target_name)  # baseline at snapshot read
+    if read_version < 0:
         schema = store.schema(target_name)
         src = source.select(
             *base_cols,
@@ -554,7 +590,8 @@ def _scd3_upsert_once(store, spark, target_name: str, source: DataFrame,
         changes = src.select(
             *cols, F.lit("INSERT").alias(CDC_ACTION),
             F.lit(False).alias(CDC_ISUPDATE), ridc.alias(CDC_ROW_ID))
-        return store.commit(target_name, src, changes=changes)
+        return store.commit(target_name, src, changes=changes,
+                            read_version=-1)
     spec = store.bucket_spec(target_name)
     if spec is not None and set(spec[0]) <= set(key):
         bcols, n = spec
@@ -563,10 +600,12 @@ def _scd3_upsert_once(store, spark, target_name: str, source: DataFrame,
         new_target, changes = plan_scd3(target, source, key, compare_cols,
                                         track)
         return store.commit_buckets(target_name, new_target, ids,
-                                    changes=changes)
-    target = store.read(spark, target_name)
+                                    changes=changes,
+                                    read_version=read_version)
+    target = store.read(spark, target_name, version=read_version)
     new_target, changes = plan_scd3(target, source, key, compare_cols, track)
-    return store.commit(target_name, new_target, changes=changes)
+    return store.commit(target_name, new_target, changes=changes,
+                        read_version=read_version)
 
 
 def _occ_retry(fn, occ_retries: int):
@@ -623,7 +662,12 @@ def delete_where(store, spark, target_name: str, predicate,
     rid = F.md5(F.concat_ws("\x1f", *[F.col(k).cast("string") for k in key]))
 
     def attempt() -> int:
-        current = store.read(spark, target_name)
+        # Baseline captured at snapshot-read time and pinned through
+        # the read: the isEmpty() action below is a table-sized job,
+        # and a commit landing during it must fail validation (not
+        # slide by because the baseline was re-read at commit entry).
+        read_version = store.version(target_name)
+        current = store.read(spark, target_name, version=read_version)
         matched = current.filter(pred)
         if matched.isEmpty():
             return store.version(target_name)
@@ -638,9 +682,10 @@ def delete_where(store, spark, target_name: str, predicate,
             remaining = store.read_buckets(spark, target_name,
                                            ids).filter(~pred)
             return store.commit_buckets(target_name, remaining, ids,
-                                        changes=changes)
+                                        changes=changes,
+                                        read_version=read_version)
         return store.commit(target_name, current.filter(~pred),
-                            changes=changes)
+                            changes=changes, read_version=read_version)
 
     return _occ_retry(attempt, occ_retries)
 
@@ -699,7 +744,11 @@ def update_where(store, spark, target_name: str, predicate,
     rid = F.md5(F.concat_ws("\x1f", *[F.col(k).cast("string") for k in key]))
 
     def attempt() -> int:
-        current = store.read(spark, target_name)
+        # Baseline at snapshot-read time (see delete_where): the
+        # stabilize() jobs below are the unvalidated window a
+        # commit-entry baseline would silently lose races in.
+        read_version = store.version(target_name)
+        current = store.read(spark, target_name, version=read_version)
         matched = store.stabilize(current.filter(pred))
         if matched.isEmpty():
             return store.version(target_name)
@@ -733,9 +782,11 @@ def update_where(store, spark, target_name: str, predicate,
             # assignments over the bucket read.
             new_rows = in_bkts.filter(~pred).unionByName(post)
             return store.commit_buckets(target_name, new_rows, ids,
-                                        changes=changes)
+                                        changes=changes,
+                                        read_version=read_version)
         new_rows = current.filter(~pred).unionByName(post)
-        return store.commit(target_name, new_rows, changes=changes)
+        return store.commit(target_name, new_rows, changes=changes,
+                            read_version=read_version)
 
     # Lost optimistic races re-run the whole statement (fresh read,
     # fresh single-evaluation stabilizations) against the winner's

@@ -128,7 +128,11 @@ def scd2_merge(store, spark, staging_name: str, stream: DataFrame,
     # The stream batch feeds the bucket probe, the close join and the
     # open anti-join — materialize it once (delta-sized).
     stream = stabilize(stream)
-    if store.version(staging_name) < 0:
+    # Validation baseline captured at snapshot-read time (the close/open
+    # derivation is a table-sized job on the unbucketed path; a commit
+    # landing during it must conflict, not be silently overwritten).
+    read_version = store.version(staging_name)
+    if read_version < 0:
         # Empty staging: nothing can match — every INSERT action opens a
         # version (no close join needed).
         scols = store.schema(staging_name).fieldNames()
@@ -142,7 +146,8 @@ def scd2_merge(store, spark, staging_name: str, stream: DataFrame,
                     F.lit("Y").alias("current_flag"))
             .select(*scols)
         )
-        return store.commit(staging_name, opened, offsets=offsets)
+        return store.commit(staging_name, opened, offsets=offsets,
+                            read_version=-1)
     spec = store.bucket_spec(staging_name)
     # Pruning requires bucket cols ⊆ merge key (see merge.merge_upsert);
     # a staging table bucketed otherwise takes the full-read path.
@@ -153,10 +158,53 @@ def scd2_merge(store, spark, staging_name: str, stream: DataFrame,
         staging = store.read_buckets(spark, staging_name, ids)
         return store.commit_buckets(
             staging_name, plan_scd2(staging, stream, key, now), ids,
-            offsets=offsets)
-    staging = store.read(spark, staging_name)
+            offsets=offsets, read_version=read_version)
+    staging = store.read(spark, staging_name, version=read_version)
     return store.commit(staging_name, plan_scd2(staging, stream, key, now),
-                        offsets=offsets)
+                        offsets=offsets, read_version=read_version)
+
+
+def merge_from_stream(store, spark, staging_name: str, base_name: str,
+                      consumer: str, key: list[str], now: dt.datetime,
+                      occ_retries: int = 3) -> int:
+    """The reference's task4 as ONE statement: ``MERGE INTO staging
+    USING (SELECT * FROM stream)`` (``SCD-Automation.sql:83-93``) —
+    stream read, SCD2 merge, and consume-once offset advance in a
+    single optimistic transaction, instead of the caller composing
+    ``get_offset`` + ``read_changes`` + ``scd2_merge`` by hand.
+
+    The OCC × C3 interaction this closes: the offset and the stream
+    batch are (re)resolved INSIDE each optimistic attempt, and the
+    staging commit validates the version the merge's snapshot read saw.
+    So a concurrent writer landing between the stream read and the
+    merge commit — another instance of this statement, a backfill, a
+    backdate splice — conflicts, and the retry re-reads the offset
+    from the WINNER's committed watermark: a batch the winner already
+    consumed is not replayed (the retry sees it gone — Snowflake's
+    "stream data once used will be GONE permanently",
+    ``SCD-Automation.sql:142``), and a batch nobody consumed is merged
+    exactly once. No interleaving can double-apply or drop a change
+    batch; drilled in tests/test_concurrency.py.
+
+    Returns the staging version (current version if nothing pending)."""
+    from .merge import _occ_retry
+
+    def attempt() -> int:
+        offset = store.get_offset(consumer, table=staging_name)
+        stream = store.read_changes(spark, base_name, since=offset)
+        if stream is None:
+            return store.version(staging_name)
+        consumed_to = max(store.change_versions(base_name, offset))
+        return scd2_merge(store, spark, staging_name, stream, key, now,
+                          offsets={consumer: consumed_to})
+
+    v = _occ_retry(attempt, occ_retries)
+    # Best-effort global mirror (retention bookkeeping only; the
+    # authoritative watermark rode the staging commit's meta swap).
+    consumed = store.get_offset(consumer, table=staging_name)
+    if consumed >= 0:
+        store.set_offset(consumer, consumed)
+    return v
 
 
 def plan_master(staging: DataFrame, cols: list[str]) -> DataFrame:

@@ -579,11 +579,113 @@ def ivf_search_index_inplan(spark, path: str, query_df: DataFrame,
             .orderBy("query_id", F.desc("cosine"), F.asc(id_col)))
 
 
+def _blas_block_pairs(blocked: DataFrame, threshold: float,
+                      id_col: str) -> DataFrame:
+    """In-block all-pairs cosine via per-block matrix multiplication
+    (``applyInPandas`` → numpy/BLAS), EXACT with respect to the
+    expression-level scorer: the engine-side filter is
+    ``round(dot/(na*nb), 9) >= threshold`` where dot/norm are
+    left-to-right folds, and this scorer reproduces that decision —
+    and the emitted 9-dp cosine — bit-for-bit.
+
+    Why it is exact: BLAS evaluates the same real-valued quantities
+    with a different summation order, so its result c̃ differs from
+    the fold's c by at most ~n·u (n=dim, u=2⁻⁵³; Cauchy-Schwarz bounds
+    the cancellation term), far below 1e-13 for any dim this engine
+    ships. Every pair whose c̃ lies within 1e-4 of a 1e-9 rounding
+    grid line — the only pairs where BLAS could round differently —
+    is RE-SCORED with a pure-Python left-to-right fold, which is the
+    same sequence of IEEE-754 double operations the JVM fold performs
+    (Python floats ARE IEEE doubles), then rounded with decimal
+    ROUND_HALF_UP, matching Spark's BigDecimal HALF_UP round().
+    Borderline pairs are ~grid-width/tolerance ≈ 0.02% of candidates,
+    so the exact path costs microseconds.
+
+    Why it is fast: the quadratic candidate grid becomes ONE dgemm per
+    block (µs-per-thousand-candidates instead of ~µs-per-candidate
+    through the interpreted higher-order-function fold), and skewed
+    mega-blocks are a single dense matmul instead of a hot shuffle
+    task. Row-blocked at 2048 rows so a mega-block's score matrix
+    never exceeds ~2048·n·8 bytes in flight."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+    import pandas as pd
+
+    # round9(c) >= threshold  <=>  c >= threshold - 0.5e-9 (HALF_UP)
+    lo_true = threshold - 0.5e-9
+    eps = 1e-13
+
+    def round9(x: float) -> float:
+        # Spark's round(double, 9) goes through Scala BigDecimal.decimal
+        # = java BigDecimal(Double.toString(d)): it rounds the SHORTEST
+        # decimal representation, not the exact binary expansion.
+        # Python's repr() is the same shortest-roundtrip form, so
+        # Decimal(repr(x)) — NOT Decimal(x) — reproduces the JVM value
+        # (e.g. the double nearest 0.9899999995 must HALF_UP to 0.99,
+        # though its exact expansion is 0.98999999949999996…).
+        return float(Decimal(repr(x)).quantize(Decimal("1e-9"),
+                                               rounding=ROUND_HALF_UP))
+
+    def exact_cos(a, b) -> float:
+        s = 0.0
+        na = 0.0
+        nb = 0.0
+        for x, y in zip(a, b):
+            s = s + x * y
+            na = na + x * x
+            nb = nb + y * y
+        return s / (math.sqrt(na) * math.sqrt(nb))
+
+    def score(pdf: pd.DataFrame):
+        ids = pdf["_id"].to_numpy()
+        X = np.array(pdf["_v"].tolist(), dtype=np.float64)
+        nrm = np.sqrt(np.einsum("ij,ij->i", X, X))
+        out_i, out_j, out_c = [], [], []
+        n = len(ids)
+        for s0 in range(0, n, 2048):
+            s1 = min(s0 + 2048, n)
+            C = (X[s0:s1] @ X.T) / np.outer(nrm[s0:s1], nrm)
+            for r in range(s0, s1):
+                row = C[r - s0]
+                # keep anything that could possibly pass (eps covers
+                # the BLAS-vs-fold divergence); borderline pairs are
+                # resolved exactly below
+                cand = np.nonzero(row[r + 1:] >= lo_true - eps)[0] + r + 1
+                for cj in cand:
+                    c_est = row[cj]
+                    near_grid = abs(c_est * 1e9
+                                    - round(c_est * 1e9)) < 1e-4
+                    clear_pass = c_est >= lo_true + eps and not near_grid
+                    clear_fail = c_est < lo_true - eps
+                    if clear_fail:
+                        continue
+                    if clear_pass:
+                        c9 = round9(c_est)
+                    else:
+                        c9 = round9(exact_cos(X[r], X[cj]))
+                        if c9 < threshold:
+                            continue
+                    a, b = int(ids[r]), int(ids[cj])
+                    out_i.append(min(a, b))
+                    out_j.append(max(a, b))
+                    out_c.append(c9)
+        return pd.DataFrame({"v1": out_i, "v2": out_j, "cosine": out_c})
+
+    prepped = blocked.select(F.col("_blk"), F.col(id_col).alias("_id"),
+                             F.col("_v"))
+    return prepped.groupBy("_blk").applyInPandas(
+        score, schema="v1 long, v2 long, cosine double")
+
+
 def embedding_near_dup_pairs(vectors: DataFrame, block_col: str | None = None,
                              threshold: float = 0.3, id_col: str = "vec_id",
                              vec_col: str = "embedding",
                              centroids: DataFrame | None = None,
-                             salt: int = 1) -> DataFrame:
+                             salt: int = 1,
+                             collapse_identical: bool = False,
+                             scorer: str = "grid") -> DataFrame:
     """Pairs (v1 < v2) within a block with cosine >= threshold.
 
     Blocking defaults to **IVF clusters** (``centroids`` required):
@@ -610,7 +712,52 @@ def embedding_near_dup_pairs(vectors: DataFrame, block_col: str | None = None,
     one 1k-row block is seconds on one core). At scale the cell count
     n/250 already exceeds the cluster's cores — callers there leave
     salt=1 and pay zero replication. Pair output is identical for any
-    salt (each (a,b) meets in exactly one bucket — a's)."""
+    salt (each (a,b) meets in exactly one bucket — a's).
+
+    ``collapse_identical`` bounds the EXACT-replication degeneracy: a
+    corpus full of literal re-posts (byte-identical content, hence
+    byte-identical vectors) piles copies into the same cell, and the
+    within-cell candidate grid goes quadratic in the replication
+    factor. (NEAR-identical replication — e.g. the soak trees'
+    word-suffixed copies, whose profiles correlate but differ
+    byte-wise — is the ``scorer="blas"`` case instead; measured r16:
+    collapse found ≲10% duplication there while the matmul scorer cut
+    the 209M-candidate in-cell grid 10×.) The fix groups rows
+    with byte-identical vectors per block (one window shuffle), runs
+    the quadratic self-join over the DISTINCT representatives only,
+    then expands each qualifying rep pair back to its member pairs with
+    two broadcast joins (linear in the emitted pairs). EXACT by
+    construction — cosine is a pure function of the two vectors, so
+    every member pair inherits its rep pair's cosine bit-for-bit and
+    the (v1 < v2) pair set is reproduced precisely (intra-group pairs
+    score cosine(v, v) through the SAME expression; zero-norm vectors
+    raise ANSI divide-by-zero identically in both paths, so the domain
+    is unchanged too) — unlike a max-cell split or per-cell
+    candidate cap, which silently drops cross-fragment pairs. Scoring
+    cost becomes quadratic in distinct profiles per cell (the n/250
+    sizing restores its guarantee); replication only ever pays the
+    linear expansion. Off by default: deduplicated/isotropic corpora
+    would pay the grouping shuffle for nothing.
+
+    ``scorer``: ``"grid"`` (default) scores candidates through the
+    expression-level join — whole plan stays declarative, Catalyst
+    owns the physical strategy. ``"blas"`` routes the in-block
+    scoring through one numpy/BLAS matmul per block
+    (``_blas_block_pairs``) with an exact borderline re-check — the
+    sanctioned only-where-built-ins-can't Pandas escape hatch: the
+    per-candidate fold cost (interpreted HOF, ~10µs) is the scale
+    bottleneck when blocks hold thousands of genuinely-near rows
+    (the r15 sf10 multimodal mega-cell: 209M candidates), and dgemm
+    evaluates the identical decision 100×+ cheaper. Same pair set and
+    same 9-dp cosines by the argument in ``_blas_block_pairs``."""
+    if scorer not in ("grid", "blas"):
+        raise ValueError(f"embedding_near_dup_pairs: unknown scorer "
+                         f"{scorer!r} (grid|blas)")
+    if scorer == "blas" and collapse_identical:
+        raise ValueError(
+            "embedding_near_dup_pairs: collapse_identical composes with "
+            "the grid scorer only — the BLAS scorer already amortizes "
+            "replicated rows inside its per-block matmul")
     computed_assign = False
     if block_col is None:
         if centroids is None:
@@ -622,7 +769,53 @@ def embedding_near_dup_pairs(vectors: DataFrame, block_col: str | None = None,
         computed_assign = True
     v = vectors.select(F.col(id_col), F.col(block_col).alias("_blk"),
                        as_double(vec_col).alias("_v"))
+    if scorer == "blas":
+        return _blas_block_pairs(v, threshold, id_col)
     v = v.withColumn("_n", F.sqrt(dot(F.col("_v"), F.col("_v"))))
+    if collapse_identical:
+        from pyspark.sql import Window
+
+        # One shuffle keyed on (block, vector): every row learns its
+        # identical-vector group's representative (min id) and size.
+        wg = Window.partitionBy("_blk", "_v")
+        vg = stabilize(v.withColumn("_gid", F.min(id_col).over(wg))
+                        .withColumn("_m", F.count("*").over(wg)))
+        reps = vg.filter(F.col(id_col) == F.col("_gid")) \
+                 .select("_gid", "_blk", "_v", "_n", "_m")
+        memb = vg.select(F.col(id_col).alias("_mid"), "_gid")
+        a, b = reps.alias("a"), reps.alias("b")
+        # a._gid == b._gid is the intra-group pair — only meaningful
+        # when the group has ≥2 members.
+        pair_cond = (F.col("a._gid") < F.col("b._gid")) | (
+            (F.col("a._gid") == F.col("b._gid")) & (F.col("a._m") > 1))
+        if salt > 1:
+            buckets = vectors.sparkSession.range(salt).select(
+                F.col("id").cast("int").alias("_bkt"))
+            a = reps.withColumn(
+                "_bkt", F.pmod(F.hash(F.col("_gid")), F.lit(salt))
+                .cast("int")).alias("a")
+            b = reps.crossJoin(F.broadcast(buckets)).alias("b")
+            pair_cond = pair_cond & (F.col("a._bkt") == F.col("b._bkt"))
+        cos = F.round(dot(F.col("a._v"), F.col("b._v"))
+                      / (F.col("a._n") * F.col("b._n")), 9)
+        rp = (a.join(b, (F.col("a._blk") == F.col("b._blk")) & pair_cond)
+              .select(F.col("a._gid").alias("_ga"),
+                      F.col("b._gid").alias("_gb"), cos.alias("cosine"))
+              .filter(F.col("cosine") >= threshold))
+        # Expansion: every member pair of a qualifying rep pair shares
+        # its cosine exactly. Rep pairs are few (distinct-profile scale)
+        # → broadcast; the two joins are map-side over the corpus.
+        ma = memb.alias("ma")
+        mb = memb.select(F.col("_mid").alias("_mid2"),
+                         F.col("_gid").alias("_gid2")).alias("mb")
+        return (F.broadcast(rp)
+                .join(ma, F.col("ma._gid") == F.col("_ga"))
+                .join(mb, F.col("mb._gid2") == F.col("_gb"))
+                .filter((F.col("_ga") < F.col("_gb"))
+                        | (F.col("_mid") < F.col("_mid2")))
+                .select(F.least("_mid", "_mid2").alias("v1"),
+                        F.greatest("_mid", "_mid2").alias("v2"),
+                        F.col("cosine")))
     if computed_assign:
         # Both self-join sides embed the ivf_assign scoring pass —
         # materialize it once instead of running it twice. With a

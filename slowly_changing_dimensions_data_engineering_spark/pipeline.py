@@ -38,7 +38,7 @@ from pyspark.sql import SparkSession
 
 from . import schemas
 from .operators.merge import merge_upsert
-from .operators.scd2 import refresh_master, scd2_merge
+from .operators.scd2 import merge_from_stream, refresh_master
 from .sources.csv import Stage, copy_into
 from .store import TableStore
 
@@ -87,16 +87,15 @@ class SupplierPipeline:
         merge_upsert(self.store, self.spark, LANDING, raw, MERGE_KEY, COMPARE_COLS)
 
     def task4_scd2_merge(self, now: dt.datetime) -> None:
-        offset = self.store.get_offset(STREAM_CONSUMER, table=STAGING)
-        latest = self.store.version(LANDING)
-        stream = self.store.read_changes(self.spark, LANDING, since=offset)
-        if stream is not None:
-            # The offset advance rides the staging commit's atomic meta
-            # swap (C3, Automation:142) — a crash after the merge cannot
-            # replay the batch and re-stamp closed rows' end_date.
-            scd2_merge(self.store, self.spark, STAGING, stream, SCD2_KEY,
-                       now, offsets={STREAM_CONSUMER: latest})
-        self.store.set_offset(STREAM_CONSUMER, latest)  # global mirror
+        # One composed statement (MERGE INTO staging USING stream,
+        # Automation:83-93): stream read, merge, and offset advance in
+        # one optimistic transaction — the offset rides the staging
+        # commit's atomic meta swap (C3, Automation:142), and a
+        # concurrent staging writer makes the whole statement re-derive
+        # against the winner's watermark, never replaying a consumed
+        # batch or dropping an unconsumed one.
+        merge_from_stream(self.store, self.spark, STAGING, LANDING,
+                          STREAM_CONSUMER, SCD2_KEY, now)
 
     def task5_refresh_master(self) -> None:
         refresh_master(self.store, self.spark, MASTER, STAGING)

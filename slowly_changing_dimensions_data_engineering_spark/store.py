@@ -52,11 +52,21 @@ import json
 import os
 import shutil
 import time
+import uuid
 from typing import Iterable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+# Commit-lock tuning. A legitimate hold is microseconds (one json
+# read-modify-write of a pointer file); the stale grace period is set
+# orders of magnitude above that so only a crashed holder's lock is
+# ever stolen. Module-level so tests can exercise the steal path
+# without 30 s sleeps.
+STALE_LOCK_SECS = 30.0
+LOCK_TIMEOUT_SECS = 60.0
+
 
 class ConcurrentCommitError(RuntimeError):
     """Another writer committed a conflicting change between this
@@ -270,6 +280,13 @@ class TableStore:
                     f"added column {field.name!r} must be nullable: rows "
                     "committed before the ALTER have no value for it")
             fresh["schema"] = T.StructType(schema.fields + [field]).json()
+            # Schema epoch: the ALTER does not bump ``latest`` (no data
+            # changed), so data-version validation alone cannot see it.
+            # Bumping the epoch makes in-flight commits that validated
+            # their frames against the OLD schema fail conflict
+            # validation (the Delta metadata-change rule) instead of
+            # landing pre-ALTER files.
+            fresh["schema_epoch"] = fresh.get("schema_epoch", 0) + 1
 
         self._swap_meta(name, apply)
 
@@ -534,6 +551,37 @@ class TableStore:
             os.rename(os.path.join(stage, "changes"), self._cdir(name, v))
         shutil.rmtree(stage, ignore_errors=True)
 
+    @staticmethod
+    def _steal_stale_lock(lock: str, seen_token: str) -> None:
+        """Remove a crashed holder's lock without ever removing a LIVE
+        one. Protocol: rename the lock to a stealer-private name — the
+        rename is the election, exactly one stealer's succeeds — then
+        confirm the moved file is the same incarnation whose mtime was
+        judged stale (its token matches ``seen_token``) before deleting
+        it. A mismatch means the old holder released and a NEW holder
+        re-created the lock inside the stat→rename window; that fresh
+        lock is restored via ``os.link`` (atomic, never clobbers a
+        newer lock) so the live holder keeps its mutual exclusion."""
+        victim = f"{lock}.steal-{os.getpid()}-{uuid.uuid4().hex}"
+        try:
+            os.rename(lock, victim)
+        except OSError:
+            return  # another waiter stole (or the holder released) first
+        try:
+            with open(victim, encoding="ascii") as fh:
+                got = fh.read()
+            if got == seen_token:
+                os.unlink(victim)
+            else:
+                # Moved a fresh incarnation by mistake — put it back.
+                try:
+                    os.link(victim, lock)
+                except FileExistsError:
+                    pass  # yet another lock exists; drop our copy
+                os.unlink(victim)
+        except OSError:
+            pass
+
     def _swap_meta(self, name: str, apply):
         """The optimistic-concurrency critical section: re-read the
         CURRENT meta under a short lock, let ``apply(fresh)`` validate
@@ -545,25 +593,39 @@ class TableStore:
         file), never a data write; data version dirs are written
         lock-free in parallel by all writers. A lock left by a crashed
         process is stolen after a grace period far longer than any
-        legitimate hold. On object storage this whole section is one
-        compare-and-swap / conditional PUT of the pointer object."""
+        legitimate hold — stolen SAFELY via ``_steal_stale_lock``: the
+        lock file carries a unique incarnation token, and a stealer
+        renames the stale file to a private name (only ONE rename of a
+        given inode succeeds; the loser gets FileNotFoundError and goes
+        back to waiting) and verifies the moved file still carries the
+        token it judged stale before deleting it. A bare
+        ``os.unlink(lock)`` here would let waiter B delete the fresh
+        lock waiter A just created by stealing first, admitting a third
+        writer while A holds the section — the mutual-exclusion break
+        every OCC guarantee rests on. On object storage this whole
+        section is one compare-and-swap / conditional PUT of the
+        pointer object."""
         lock = self._meta_path(name) + ".lock"
+        token = f"{os.getpid()}-{uuid.uuid4().hex}"
         t0 = time.time()
         while True:
             try:
                 fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, token.encode("ascii"))
                 break
             except FileExistsError:
                 try:
-                    if time.time() - os.path.getmtime(lock) > 30.0:
-                        os.unlink(lock)  # stale: holder crashed
+                    with open(lock, encoding="ascii") as fh:
+                        seen = fh.read()  # incarnation judged below
+                    if time.time() - os.path.getmtime(lock) > STALE_LOCK_SECS:
+                        self._steal_stale_lock(lock, seen)
                         continue
                 except OSError:
                     continue  # holder just released/stole it
-                if time.time() - t0 > 60.0:
+                if time.time() - t0 > LOCK_TIMEOUT_SECS:
                     raise TimeoutError(
-                        f"commit lock for table {name!r} busy for 60s: "
-                        f"{lock}")
+                        f"commit lock for table {name!r} busy for "
+                        f"{LOCK_TIMEOUT_SECS:.0f}s: {lock}")
                 time.sleep(0.005)
         try:
             fresh = self._read_meta(name)
@@ -616,7 +678,8 @@ class TableStore:
 
     def commit(self, name: str, df: DataFrame, changes: DataFrame | None = None,
                sort_within: list[F.Column] | None = None,
-               offsets: dict[str, int] | None = None) -> int:
+               offsets: dict[str, int] | None = None,
+               read_version: int | None = None) -> int:
         """Write a new immutable snapshot (+ optional change batch) and swap
         the pointer. One commit == one reference DML statement (Snowflake's
         per-statement transactionality, SURVEY.md §3.1). ``sort_within``
@@ -637,10 +700,31 @@ class TableStore:
         committed since this transaction's snapshot read (a full
         rewrite derives from that snapshot, so ANY interleaved commit
         is a true conflict) and raises ``ConcurrentCommitError``,
-        leaving the table exactly as the other writer committed it."""
+        leaving the table exactly as the other writer committed it.
+
+        ``read_version`` is the version the caller's SNAPSHOT READ
+        resolved — the validation baseline. Pass it whenever the frame
+        was derived from an earlier ``store.read`` (the DML operators
+        do): capturing the baseline here at commit entry instead would
+        leave the whole derivation (table-sized Spark jobs) as an
+        unvalidated window in which a concurrent commit is silently
+        lost. ``None`` keeps the entry-captured baseline for frames
+        built in the same breath as the commit (CREATE+load, overwrite
+        semantics). A concurrent ``add_column`` is a conflict too — the
+        schema this commit validated against is gone (Delta's
+        metadata-change rule): detected via the meta's schema epoch."""
         meta = self._read_meta(name)
         df = self._check_schema(name, meta, df)
-        read_version = meta["latest"]
+        if read_version is None:
+            read_version = meta["latest"]
+        elif meta["latest"] != read_version:
+            # Already stale at commit entry — fail fast before staging
+            # a table-sized write that the swap is certain to reject.
+            raise ConcurrentCommitError(
+                f"full-snapshot commit to {name!r} read v{read_version} "
+                f"but v{meta['latest']} was committed concurrently; "
+                "re-read and re-derive the write")
+        read_epoch = meta.get("schema_epoch", 0)
         stage = self._stage_dir(name)
         bucket = meta.get("bucket")
         if bucket:
@@ -664,6 +748,7 @@ class TableStore:
                     f"full-snapshot commit to {name!r} read v{read_version} "
                     f"but v{fresh['latest']} was committed concurrently; "
                     "re-read and re-derive the write")
+            self._check_epoch(name, fresh, read_epoch)
             v = fresh["latest"] + 1
             self._promote(name, stage, v, changes is not None)
             if bucket:
@@ -681,14 +766,32 @@ class TableStore:
 
         return self._commit_with(name, stage, apply)
 
+    @staticmethod
+    def _check_epoch(name: str, fresh: dict, read_epoch: int) -> None:
+        """Metadata-change conflict rule (Delta convention): a commit
+        whose data was derived and schema-validated under epoch E must
+        not land after a concurrent ALTER bumped the epoch — its files
+        carry the pre-ALTER schema. Null-fill on read would make that
+        MOSTLY benign, but silently committing old-schema files past a
+        schema change diverges from the transactional contract the
+        docstrings cite, so it conflicts like any other lost race."""
+        if fresh.get("schema_epoch", 0) != read_epoch:
+            raise ConcurrentCommitError(
+                f"commit to {name!r} was derived under schema epoch "
+                f"{read_epoch} but a concurrent ALTER moved the table to "
+                f"epoch {fresh.get('schema_epoch', 0)}; re-validate the "
+                "frame against the evolved schema and retry")
+
     def _commit_with(self, name: str, stage: str, apply) -> int:
         """Run ``apply`` inside the pointer-swap critical section and
-        return the version it assigned; on a concurrency conflict the
-        staged (never-referenced) write is deleted before the error
-        propagates."""
+        return the version it assigned; on ANY failure — a concurrency
+        conflict, a lock timeout, a validation error raised by
+        ``apply`` — the staged (never-referenced) write is deleted
+        before the error propagates, instead of leaking a table-sized
+        ``_txn`` orphan until vacuum's age-gated sweep."""
         try:
             return self._swap_meta(name, apply)
-        except ConcurrentCommitError:
+        except BaseException:
             shutil.rmtree(stage, ignore_errors=True)
             raise
 
@@ -723,13 +826,17 @@ class TableStore:
         ``read_version`` and the swap raises ``ConcurrentCommitError``
         if any commit landed since, exactly like the rewrite paths
         (otherwise two racing insert-only loads of one key would both
-        append it)."""
+        append it). One exception to "blind never conflicts": a
+        concurrent ``add_column`` bumps the schema epoch and conflicts
+        even a blind append (Delta's metadata-change rule — the frame
+        was schema-checked against the pre-ALTER declaration)."""
         meta = self._read_meta(name)
         if meta.get("bucket"):
             raise ValueError(
                 f"table {name!r} is bucketed; append via merge_upsert/"
                 "commit_buckets so bucket dirs stay complete")
         df = self._check_schema(name, meta, df)
+        read_epoch = meta.get("schema_epoch", 0)
         stage = self._stage_dir(name)
         if PLAN_CAPTURE is not None:
             PLAN_CAPTURE(name, "append", df)
@@ -744,6 +851,7 @@ class TableStore:
                     f"snapshot-derived append to {name!r} read "
                     f"v{read_version} but v{fresh['latest']} was committed "
                     "concurrently; re-read and re-derive the append")
+            self._check_epoch(name, fresh, read_epoch)
             v = fresh["latest"] + 1
             self._promote(name, stage, v, changes is not None)
             segs = list(fresh.get(
@@ -760,7 +868,8 @@ class TableStore:
 
     def commit_buckets(self, name: str, df: DataFrame, bucket_ids: Iterable[int],
                        changes: DataFrame | None = None,
-                       offsets: dict[str, int] | None = None) -> int:
+                       offsets: dict[str, int] | None = None,
+                       read_version: int | None = None) -> int:
         """Partial commit: ``df`` holds the complete new contents of the
         given buckets (and ONLY those buckets); every other bucket keeps
         its current pointer. This is the pruned-merge write path — the
@@ -774,13 +883,34 @@ class TableStore:
         same way); a concurrent touch of ANY bucket this commit
         rewrites raises ``ConcurrentCommitError``, because this
         commit's contents were derived from a now-stale read of that
-        bucket."""
+        bucket.
+
+        ``read_version`` is the version the caller's snapshot read
+        resolved (pass it whenever ``df`` derives from an earlier
+        ``read_buckets`` — the DML operators do); the matching base
+        bucket map is recovered from the commit history. ``None``
+        keeps the entry-captured baseline. A pruned history entry for
+        ``read_version`` conflicts conservatively (the precise
+        per-bucket diff is unrecoverable)."""
         meta = self._read_meta(name)
         if not meta.get("bucket"):
             raise ValueError(f"table {name!r} is not bucketed")
         cols, n = meta["bucket"]["cols"], meta["bucket"]["n"]
-        read_version = meta["latest"]
-        base_map = dict(meta.get("buckets", {}))
+        read_epoch = meta.get("schema_epoch", 0)
+        if read_version is None or read_version == meta["latest"]:
+            read_version = meta["latest"]
+            base_map = dict(meta.get("buckets", {}))
+        else:
+            hist = {h["v"]: h.get("buckets")
+                    for h in meta.get("history", [])}
+            base_map = hist.get(read_version)
+            if base_map is None:
+                raise ConcurrentCommitError(
+                    f"bucketed commit to {name!r} read v{read_version} "
+                    f"but v{meta['latest']} is current and no bucket map "
+                    "for the read version survives in history; re-read "
+                    "and re-derive the write")
+            base_map = dict(base_map)
         ours = {str(int(k)) for k in bucket_ids}
         stage = self._stage_dir(name)
         clustered = self._clustered(df, cols, n)
@@ -804,6 +934,7 @@ class TableStore:
                         f"but a concurrent commit (now v{fresh['latest']}) "
                         f"rewrote bucket(s) {clash} this transaction also "
                         "rewrites; re-read and re-derive the write")
+            self._check_epoch(name, fresh, read_epoch)
             v = fresh["latest"] + 1
             self._promote(name, stage, v, changes is not None)
             for k in ours:

@@ -22,6 +22,8 @@ precisely the race window. A thread-stress test exercises the real lock.
 
 from __future__ import annotations
 
+import os
+
 import pytest
 from pyspark.sql import Row, functions as F
 
@@ -241,8 +243,11 @@ def test_threaded_writers_disjoint_keys_all_commit(spark, tmp_path):
 
 def test_add_column_racing_commit_is_not_lost(spark, tmp_path, monkeypatch):
     """The ALTER's read-modify-write runs under the same lock as
-    commits: a schema evolved mid-commit survives (the commit's swap
-    rewrites meta from the FRESH copy, which carries the new column)."""
+    commits, and bumps the table's SCHEMA EPOCH: a commit whose frame
+    was schema-validated BEFORE the ALTER loses conflict validation
+    (the Delta metadata-change rule) instead of landing pre-ALTER
+    files — the ALTER itself is never lost, and the retried commit
+    carrying the widened schema succeeds."""
     from pyspark.sql import types as T
 
     store = TableStore(str(tmp_path))
@@ -253,8 +258,16 @@ def test_add_column_racing_commit_is_not_lost(spark, tmp_path, monkeypatch):
         monkeypatch, "t",
         lambda: store.add_column(
             "t", T.StructField("note", T.StringType(), True)))
-    store.commit_append("t", _rows(spark, [100]))
+    with pytest.raises(ConcurrentCommitError, match="schema epoch"):
+        store.commit_append("t", _rows(spark, [100]))
+    # the evolved schema survived the race ...
     assert "note" in store.schema("t").fieldNames()
+    # ... the conflicted append landed nothing (and left no _txn orphan) ...
+    assert store.read(spark, "t").count() == 4
+    assert os.listdir(os.path.join(str(tmp_path), "t", "_txn")) == []
+    # ... and the retry, re-validated against the evolved schema, lands.
+    store.commit_append(
+        "t", _rows(spark, [100]).withColumn("note", F.lit(None).cast("string")))
     assert store.read(spark, "t").filter(F.col("note").isNull()).count() == 5
 
 
@@ -326,3 +339,276 @@ def test_delete_where_retry_serializes_after_concurrent_merge(
     with pytest.raises(ConcurrentCommitError):
         delete_where(store, spark, "t", "supplier_state = 'drop'", KEY,
                      occ_retries=0)
+
+
+# ---- the read→derive window (baseline captured at SNAPSHOT READ) --------
+
+def test_commit_validates_against_snapshot_read_version(spark, tmp_path):
+    """A commit whose frame derives from an earlier snapshot read passes
+    that read's version as the validation baseline: a competing commit
+    landing anywhere between the read and the commit call — not just
+    inside the swap — conflicts instead of being silently overwritten
+    (pre-fix, commit() re-captured the baseline at entry, so this exact
+    interleaving was last-writer-wins)."""
+    store = TableStore(str(tmp_path))
+    store.create("t", schemas.SUPPLIER)
+    store.commit("t", _rows(spark, range(4)))
+
+    rv = store.version("t")
+    derived = store.read(spark, "t", version=rv).filter(
+        F.col("supplier_key") < 2)
+    # the competing commit lands DURING the victim's derivation window
+    store.commit_append("t", _rows(spark, [100]))
+
+    with pytest.raises(ConcurrentCommitError):
+        store.commit("t", derived, read_version=rv)
+    # the competing append was not lost
+    assert store.read(spark, "t").count() == 5
+    # and the aborted commit left no staging orphan
+    assert os.listdir(os.path.join(str(tmp_path), "t", "_txn")) == []
+
+
+def test_commit_buckets_validates_against_snapshot_read_version(
+        spark, tmp_path):
+    """Bucketed variant: the caller-captured read_version recovers the
+    base bucket map from history, so a competing DISJOINT-bucket commit
+    in the read→commit window still rebases, while a same-bucket
+    competitor conflicts."""
+    (ka, kb) = _keys_in_distinct_buckets(spark, n=2, per=2)
+    store = TableStore(str(tmp_path))
+    store.create("t", schemas.SUPPLIER, bucket_by=(KEY, N_BUCKETS))
+    all_keys = ka + kb
+    merge_upsert(store, spark, "t", _rows(spark, all_keys), KEY, CMP)
+
+    rv = store.version("t")
+    b_a = _bucket_of(spark, f"S{ka[0]}")
+    mine = store.read_buckets(spark, "t", [b_a]).withColumn(
+        "supplier_state", F.lit("mine"))
+    # competitor touches the OTHER bucket during our window → rebase
+    merge_upsert(store, spark, "t", _rows(spark, [kb[0]], state="theirs"),
+                 KEY, CMP)
+    v = store.commit_buckets("t", mine, [b_a], read_version=rv)
+    assert v == store.version("t")
+    got = {r["supplier_code"]: r["supplier_state"]
+           for r in store.read(spark, "t").collect()}
+    assert got[f"S{ka[0]}"] == "mine" and got[f"S{kb[0]}"] == "theirs"
+
+    # same-bucket competitor in the window → true conflict
+    rv2 = store.version("t")
+    mine2 = store.read_buckets(spark, "t", [b_a]).withColumn(
+        "supplier_state", F.lit("mine2"))
+    merge_upsert(store, spark, "t", _rows(spark, [ka[1]], state="race"),
+                 KEY, CMP)
+    with pytest.raises(ConcurrentCommitError):
+        store.commit_buckets("t", mine2, [b_a], read_version=rv2)
+    got = {r["supplier_code"]: r["supplier_state"]
+           for r in store.read(spark, "t").collect()}
+    assert got[f"S{ka[1]}"] == "race"  # the winner survived
+
+
+def test_update_where_retries_commit_landing_during_derivation(
+        spark, tmp_path, monkeypatch):
+    """ADVICE r15 (high): inject the competing commit BETWEEN the DML's
+    store.read() and its commit — i.e. during the stabilize()/isEmpty()
+    derivation jobs, outside the old entry-captured validation window.
+    The statement must re-derive and serialize AFTER the winner, never
+    silently drop the winner's merge."""
+    from slowly_changing_dimensions_data_engineering_spark.operators.merge import update_where
+
+    store = TableStore(str(tmp_path))
+    store.create("t", schemas.SUPPLIER)
+    store.commit("t", _rows(spark, range(4), state="old"))
+
+    orig = TableStore.read
+    fired = []
+
+    def read_then_race(self, spark_, name, version=None, as_of=None):
+        df = orig(self, spark_, name, version=version, as_of=as_of)
+        if not fired and name == "t":
+            fired.append(1)  # set BEFORE the competing DML (no recursion)
+            merge_upsert(store, spark, "t",
+                         _rows(spark, [9], state="old"), KEY, CMP)
+        return df
+
+    monkeypatch.setattr(TableStore, "read", read_then_race)
+    update_where(store, spark, "t", "supplier_state = 'old'",
+                 {"supplier_state": F.lit("new")}, KEY)
+
+    got = {r["supplier_code"]: r["supplier_state"]
+           for r in store.read(spark, "t").collect()}
+    # serial order: winner's insert of S9 (state old) happened BEFORE the
+    # retried UPDATE re-read — so S9 was updated too, and nothing is lost
+    assert got == {f"S{k}": "new" for k in [0, 1, 2, 3, 9]}
+
+
+def test_commit_stage_cleaned_on_any_failure(spark, tmp_path, monkeypatch):
+    """ADVICE r15 (low): a non-OCC failure inside the critical section
+    (here a lock timeout) must also clear the _txn staging dir instead
+    of leaking it until vacuum's age-gated sweep."""
+    store = TableStore(str(tmp_path))
+    store.create("t", schemas.SUPPLIER)
+    store.commit("t", _rows(spark, range(2)))
+
+    def boom(self, name, apply):
+        raise TimeoutError("commit lock busy (injected)")
+
+    monkeypatch.setattr(TableStore, "_swap_meta", boom)
+    with pytest.raises(TimeoutError):
+        store.commit("t", _rows(spark, [5]))
+    assert os.listdir(os.path.join(str(tmp_path), "t", "_txn")) == []
+
+
+# ---- safe stale-lock steal ----------------------------------------------
+
+def test_stale_lock_is_stolen_and_commit_proceeds(spark, tmp_path):
+    """A lock whose holder crashed (mtime past the grace period) is
+    stolen and the blocked commit proceeds."""
+    import time as _time
+
+    store = TableStore(str(tmp_path))
+    store.create("t", schemas.SUPPLIER)
+    lock = store._meta_path("t") + ".lock"
+    with open(lock, "w") as fh:
+        fh.write("dead-12345")
+    old = _time.time() - 120
+    os.utime(lock, (old, old))
+
+    store.commit("t", _rows(spark, range(2)))  # steals, then commits
+    assert store.version("t") == 0
+    assert not os.path.exists(lock)
+
+
+def test_fresh_lock_is_never_stolen(spark, tmp_path, monkeypatch):
+    """A live holder's lock (recent mtime) is waited on, not deleted:
+    the waiter times out and the lock file survives untouched."""
+    from slowly_changing_dimensions_data_engineering_spark import store as store_mod
+
+    monkeypatch.setattr(store_mod, "LOCK_TIMEOUT_SECS", 0.3)
+    store = TableStore(str(tmp_path))
+    store.create("t", schemas.SUPPLIER)
+    lock = store._meta_path("t") + ".lock"
+    with open(lock, "w") as fh:
+        fh.write("live-holder")
+
+    with pytest.raises(TimeoutError):
+        store.commit("t", _rows(spark, range(2)))
+    with open(lock) as fh:
+        assert fh.read() == "live-holder"
+    os.unlink(lock)
+
+
+def test_steal_restores_lock_recreated_inside_the_window(tmp_path):
+    """The two-waiter steal race (ADVICE r15 medium): a steal that
+    renames a lock whose token no longer matches the incarnation it
+    judged stale has raced a release+reacquire — the fresh lock is put
+    back, never destroyed. Matching token → the crash orphan is
+    removed."""
+    store = TableStore(str(tmp_path))
+    lock = os.path.join(str(tmp_path), "x.lock")
+
+    # token mismatch: a FRESH incarnation appeared in the stat→rename
+    # window; the steal must restore it byte-identical
+    with open(lock, "w") as fh:
+        fh.write("fresh-incarnation")
+    TableStore._steal_stale_lock(lock, "stale-incarnation")
+    with open(lock) as fh:
+        assert fh.read() == "fresh-incarnation"
+
+    # token match: the judged-stale orphan is removed exactly once
+    TableStore._steal_stale_lock(lock, "fresh-incarnation")
+    assert not os.path.exists(lock)
+    # losing stealer (lock already gone) is a quiet no-op
+    TableStore._steal_stale_lock(lock, "fresh-incarnation")
+    # no stray steal-rename artifacts left behind
+    assert [p for p in os.listdir(str(tmp_path)) if "steal" in p] == []
+
+
+# ---- MERGE-from-stream: the OCC × consume-once interaction ---------------
+
+def test_merge_from_stream_concurrent_consumer_no_double_consume(
+        spark, tmp_path, monkeypatch):
+    """Two instances of the composed task4 statement (stream read +
+    SCD2 merge + offset advance in one transaction) race on the same
+    consumer: the loser's retry re-reads the offset from the winner's
+    committed watermark and finds the batch GONE (Automation:142) — it
+    no-ops instead of replaying the merge and re-stamping rows."""
+    import datetime as dt
+
+    from slowly_changing_dimensions_data_engineering_spark.operators.scd2 import merge_from_stream
+
+    scd2_key = ["supplier_code", "supplier_state"]
+    now = dt.datetime(2026, 1, 1)
+    store = TableStore(str(tmp_path))
+    store.create("landing", schemas.SUPPLIER)
+    store.create("staging", schemas.SUPPLIER_STAGING,
+                 bucket_by=(KEY, N_BUCKETS))
+    merge_upsert(store, spark, "landing", _rows(spark, range(4)), KEY, CMP)
+
+    _inject_before_swap(
+        monkeypatch, "staging",
+        lambda: merge_from_stream(store, spark, "staging", "landing",
+                                  "scd2", scd2_key, now))
+    merge_from_stream(store, spark, "staging", "landing", "scd2",
+                      scd2_key, now)
+
+    rows = store.read(spark, "staging").collect()
+    assert len(rows) == 4  # opened exactly once, not once per instance
+    assert all(r["current_flag"] == "Y" for r in rows)
+    # offset is exact: the single pending batch, consumed by the winner
+    assert (store.get_offset("scd2", table="staging")
+            == max(store.change_versions("landing", -1)))
+    # loser committed nothing: winner's merge is the only staging version
+    assert store.version("staging") == 0
+
+
+def test_merge_from_stream_concurrent_writer_exact_once(
+        spark, tmp_path, monkeypatch):
+    """An UNRELATED staging writer (e.g. a backfill rewrite) lands
+    between the stream read and the merge commit: the statement
+    re-derives against the winner's staging and consumes the pending
+    batch EXACTLY once — no lost rows, no double-applied batch."""
+    import datetime as dt
+
+    from slowly_changing_dimensions_data_engineering_spark.operators.scd2 import merge_from_stream
+
+    scd2_key = ["supplier_code", "supplier_state"]
+    t1 = dt.datetime(2026, 1, 1)
+    t2 = dt.datetime(2026, 1, 2)
+    store = TableStore(str(tmp_path))
+    store.create("landing", schemas.SUPPLIER)
+    store.create("staging", schemas.SUPPLIER_STAGING,
+                 bucket_by=(KEY, N_BUCKETS))
+    merge_upsert(store, spark, "landing", _rows(spark, range(4)), KEY, CMP)
+    merge_from_stream(store, spark, "staging", "landing", "scd2",
+                      scd2_key, t1)
+
+    # batch 2 pending: S0 changes state, S4 appears
+    merge_upsert(store, spark, "landing",
+                 _rows(spark, [0, 4], state="v2"), KEY, CMP)
+    off_before = store.get_offset("scd2", table="staging")
+
+    # identity rewrite of staging lands mid-derivation (full commit →
+    # every bucket repointed → certain conflict for the merge)
+    _inject_before_swap(
+        monkeypatch, "staging",
+        lambda: store.commit("staging", store.read(spark, "staging")))
+    merge_from_stream(store, spark, "staging", "landing", "scd2",
+                      scd2_key, t2)
+
+    rows = {(r["supplier_code"], r["supplier_state"]): r
+            for r in store.read(spark, "staging").collect()}
+    # exactly once: 4 originals + 1 new state version + 1 new key = 6
+    assert len(rows) == 6
+    assert rows[("S0", "state0")]["current_flag"] == "N"   # closed once
+    assert rows[("S0", "v2")]["current_flag"] == "Y"       # opened once
+    assert rows[("S4", "v2")]["current_flag"] == "Y"
+    # the close was stamped by THIS cycle's statement-constant now
+    assert rows[("S0", "state0")]["end_date"] == t2
+    # offset advanced past batch 2 exactly
+    assert (store.get_offset("scd2", table="staging")
+            == max(store.change_versions("landing", off_before)))
+
+    # nothing pending: a further call is a version-stable no-op
+    v = store.version("staging")
+    assert merge_from_stream(store, spark, "staging", "landing", "scd2",
+                             scd2_key, t2) == v

@@ -2344,3 +2344,90 @@ def test_logreg_minibatch_exact_vs_fast_same_sample(spark):
     mex = {r["round"]: r["n_correct"] for r in me.collect()}
     mfa = {r["round"]: r["n_correct"] for r in mf.collect()}
     assert mex == mfa
+
+
+def test_embedding_near_dup_pairs_collapse_identical_exact(spark):
+    """collapse_identical (the r15 mega-cell bound) must reproduce the
+    direct path's pair set EXACTLY on a replicated corpus — including
+    intra-replica pairs, cross-group pairs in both id interleavings,
+    and the sub-threshold exclusions. (Zero-norm vectors are outside
+    the operator's domain: ANSI division-by-zero raises identically in
+    both paths.)"""
+    from slowly_changing_dimensions_data_engineering_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    # replication factor 4 per profile, interleaved ids across groups,
+    # two blocks, one orthogonal profile
+    profiles = {
+        "a": [[1.0, 0.0], [1.0, 0.001], [0.0, 1.0], [3.0, 4.0]],
+        "b": [[1.0, 0.0]],
+    }
+    rows, i = [], 0
+    for blk, ps in profiles.items():
+        for rep in range(4):
+            for p in ps:
+                rows.append((i, blk, p))
+                i += 1
+    vecs = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+
+    def run(**kw):
+        return {(r["v1"], r["v2"], r["cosine"]) for r in
+                embedding_near_dup_pairs(vecs, block_col="label",
+                                         threshold=0.99, **kw).collect()}
+
+    direct = run()
+    collapsed = run(collapse_identical=True)
+    assert collapsed == direct
+    # salting composes with the collapse (pair set invariant)
+    assert run(collapse_identical=True, salt=4) == direct
+    # sanity: the set is non-trivial — replicas of [1,0] pair with each
+    # other AND with the [1,0.001] replicas in block a, never across
+    # blocks, and orthogonal profiles never qualify
+    assert len(direct) > 20
+    ids_b = {r[0] for r in rows if r[1] == "b"}
+    assert all(not ({v1, v2} & ids_b) or {v1, v2} <= ids_b
+               for v1, v2, _ in direct)
+
+
+def test_embedding_near_dup_pairs_blas_scorer_exact(spark):
+    """The BLAS scorer must reproduce the grid scorer's pair set AND
+    its 9-dp cosines exactly — including vectors engineered to sit at
+    the rounding boundary (cosine ≈ threshold and cosine within an ulp
+    of a 1e-9 grid line), where only the borderline exact-fold re-check
+    keeps the two paths identical."""
+    import math
+    import random
+
+    from slowly_changing_dimensions_data_engineering_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    random.seed(13)
+    rows = []
+    i = 0
+    # random clustered vectors (several per direction → real pairs)
+    for base in range(12):
+        direction = [random.uniform(-3, 3) for _ in range(16)]
+        for _rep in range(4):
+            v = [x + random.uniform(-0.01, 0.01) for x in direction]
+            rows.append((i, "a" if base % 2 else "b", v))
+            i += 1
+    # boundary engineering: cosine(u, w) ≈ 0.99 exactly (the pass
+    # bound) and ≈ 0.9950000000 (a 1e-9 grid line)
+    for c in (0.99, 0.995, 0.9899999995, 0.9950000005):
+        u = [1.0] + [0.0] * 15
+        w = [c, math.sqrt(max(0.0, 1.0 - c * c))] + [0.0] * 14
+        rows.append((i, "a", u)); i += 1
+        rows.append((i, "a", w)); i += 1
+    vecs = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+
+    def run(**kw):
+        return {(r["v1"], r["v2"], r["cosine"]) for r in
+                embedding_near_dup_pairs(vecs, block_col="label",
+                                         threshold=0.99, **kw).collect()}
+
+    grid = run()
+    blas = run(scorer="blas")
+    assert blas == grid
+    assert len(grid) > 10  # non-trivial: real pairs existed

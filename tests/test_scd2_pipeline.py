@@ -541,3 +541,57 @@ def test_merge_schema_evolution_two_load_golden(spark, tmp_path):
                  cmp_cols + ["supplier_phone"], evolve_schema=True)
     ch2 = store.read_changes(spark, "landing", v)
     assert ch2 is None or ch2.count() == 0
+
+
+def test_evolve_schema_concurrent_same_name_different_type_raises(
+        spark, tmp_path, monkeypatch):
+    """ADVICE r15 (low): a column that appears between the evolve pass's
+    schema read and its add_column — i.e. a concurrent writer won the
+    evolution race — is adopted silently ONLY when its type matches the
+    source field's. A same-name/different-type race must fail here with
+    the concurrent-evolution context, not later as an opaque commit
+    schema-check error; and the silently-adopted column must not be
+    reported as added by THIS call."""
+    from pyspark.sql import types as T
+
+    from slowly_changing_dimensions_data_engineering_spark import schemas
+    from slowly_changing_dimensions_data_engineering_spark.operators.merge import evolve_schema_for
+    from slowly_changing_dimensions_data_engineering_spark.store import TableStore
+
+    src_schema = T.StructType(
+        list(schemas.SUPPLIER.fields)
+        + [T.StructField("supplier_phone", T.StringType(), True)])
+    src = spark.createDataFrame([], src_schema)
+    orig = TableStore.add_column
+
+    def inject_winner(winner_type):
+        fired = []
+
+        def racing_add(self, name, field):
+            if not fired:
+                fired.append(1)  # winner lands INSIDE the race window
+                orig(self, name,
+                     T.StructField(field.name, winner_type, True))
+            return orig(self, name, field)  # loser: already-exists
+
+        monkeypatch.setattr(TableStore, "add_column", racing_add)
+
+    # winner added the same name with a DIFFERENT type → loud failure
+    store = TableStore(str(tmp_path / "a"))
+    store.create("dim", schemas.SUPPLIER)
+    inject_winner(T.LongType())
+    with pytest.raises(ValueError, match="concurrent schema evolution"):
+        evolve_schema_for(store, "dim", src)
+
+    # winner added the SAME type → adopted silently, NOT claimed as added
+    store2 = TableStore(str(tmp_path / "b"))
+    store2.create("dim", schemas.SUPPLIER)
+    inject_winner(T.StringType())
+    assert evolve_schema_for(store2, "dim", src) == []
+
+    # no race: a genuinely-new column is still reported as added
+    monkeypatch.setattr(TableStore, "add_column", orig)
+    src2 = spark.createDataFrame([], T.StructType(
+        list(src_schema.fields)
+        + [T.StructField("supplier_fax", T.StringType(), True)]))
+    assert evolve_schema_for(store2, "dim", src2) == ["supplier_fax"]
