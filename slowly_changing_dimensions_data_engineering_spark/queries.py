@@ -285,7 +285,7 @@ _PIPELINE_CACHE_NAMES = (
     "_UNIGRAM_CACHE", "_FORGET_CACHE", "_SCD3_STORE_CACHE",
     "_FORGET_BASE_CACHE", "_FORGET_EXP_CACHE", "_CHUNK_RAG_CACHE",
     "_SCD2_BD_CACHE", "_SCD0_STORE_CACHE", "_SCD1E_STORE_CACHE",
-    "_SCD2_SBD_CACHE", "_BM25_IDX_CACHE",
+    "_SCD2_SBD_CACHE", "_BM25_IDX_CACHE", "_BM25_APPEND_CACHE",
 )
 
 
@@ -3606,7 +3606,7 @@ def _bm25_prune_frames(contrib_idx: DataFrame, qterms: DataFrame,
 
 
 def _bm25_topk(spark: SparkSession, sf_dir: str, k: int = 10,
-               prune: bool = True) -> DataFrame:
+               prune: bool = True, index=None) -> DataFrame:
     """Top-``k`` chunks per query chunk under BM25 (k1=1.2, b=0.75) —
     the lexical arm of hybrid retrieval, served from the impact-scored
     inverted index (``_bm25_contrib_index``).
@@ -3621,8 +3621,12 @@ def _bm25_topk(spark: SparkSession, sf_dir: str, k: int = 10,
     Scale: unpruned candidates = Σ df(t) over query terms; pruning
     caps the scoring work at Σ df(t in essential) + lookups, which is
     the WAND/max-score cost model. The tf aggregate behind the index
-    stays the only corpus-sized shuffle."""
-    contrib_idx, qterms = _bm25_contrib_index(spark, sf_dir)
+    stays the only corpus-sized shuffle.
+
+    ``index`` overrides the shared (contrib_idx, qterms) pair — the
+    append-equivalence query probes its own append-grown index."""
+    contrib_idx, qterms = (index if index is not None
+                           else _bm25_contrib_index(spark, sf_dir))
     probe = (F.broadcast(qterms).join(contrib_idx, "token")
              .filter(F.col("cid") != F.col("qid")))
     if prune:
@@ -3635,6 +3639,58 @@ def _bm25_topk(spark: SparkSession, sf_dir: str, k: int = 10,
             .select(F.col("qid").alias("query_id"), "cid",
                     F.round(F.col("_s").cast("double"), 6).alias("bm25"),
                     "rank"))
+
+
+#: sf_dir -> append-grown index root for bm25_index_append_topk.
+_BM25_APPEND_CACHE: dict[str, str] = {}
+
+
+@register("bm25_index_append_topk", _BM25_ORACLE)
+def bm25_index_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-vs-rebuild equivalence for the persisted BM25 index
+    (VERDICT r15 #4, the minhash_index_append pattern): build the
+    stored index from 80% of the corpus (doc_id % 5 != 0), GROW it with
+    the remaining 20% via ``bm25_index_append`` (blind bucket-dir
+    appends — postings, stat partials, a global partial row), then run
+    the standard top-10 probe against the grown index. The oracle is
+    the UNCHANGED full-corpus BM25 SQL: hash-match proves an
+    append-grown index scores identically to a from-scratch build —
+    idf and length normalization recompute under the merged statistics
+    at probe time, so stored postings silently rescore as the corpus
+    grows (the property a precomputed-contribution layout would
+    violate)."""
+    from .operators.bm25 import (
+        bm25_build_index, bm25_index_append, bm25_query_slice,
+        bm25_term_freqs,
+    )
+    from .session import stabilize
+
+    root = _BM25_APPEND_CACHE.get(sf_dir)
+    if not (root and os.path.exists(os.path.join(root, "_COMPLETE"))):
+        root = os.path.join(_pipeline_tmpdir("sds_bm25_app_"), "index")
+        d = _spread(spark, _t(spark, sf_dir, "documents")["documents"])
+        bm25_build_index(
+            bm25_term_freqs(_bm25_tokens(d.filter(F.col("doc_id") % 5 != 0))),
+            root)
+        bm25_index_append(
+            bm25_term_freqs(_bm25_tokens(d.filter(F.col("doc_id") % 5 == 0))),
+            root)
+        os.makedirs(root, exist_ok=True)
+        with open(os.path.join(root, "_COMPLETE"), "w",
+                  encoding="ascii") as fh:
+            fh.write("layout1")
+        _BM25_APPEND_CACHE[sf_dir] = root
+
+    qdoc_ids = sorted({cid // 100 for cid in _CHUNK_QUERY_IDS})
+    qd = (_t(spark, sf_dir, "documents")["documents"]
+          .filter(F.col("doc_id").isin(qdoc_ids)))
+    toks = [r["token"] for r in
+            (_bm25_tokens(qd).filter(F.col("cid").isin(*_CHUNK_QUERY_IDS))
+             .select("token").distinct().collect())]
+    contrib = stabilize(bm25_query_slice(spark, root, toks))
+    qterms = (contrib.filter(F.col("cid").isin(*_CHUNK_QUERY_IDS))
+              .select(F.col("cid").alias("qid"), "token"))
+    return _bm25_topk(spark, sf_dir, k=10, index=(contrib, qterms))
 
 
 @register("bm25_chunk_topk", _BM25_ORACLE)
