@@ -2147,7 +2147,7 @@ def ann_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("centroid_id", F.col("centroid_id").cast("long"))
 
 
-@register("embedding_near_dup_pairs", f"""
+_NEAR_DUP_ORACLE = f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings),
 c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings
       WHERE vec_id < {_IVF_K_SQL}),
@@ -2170,7 +2170,10 @@ FROM v a JOIN assign ca ON a.vec_id = ca.vec_id
      JOIN v b ON b.vec_id = cb.vec_id AND a.vec_id < b.vec_id
 WHERE round(list_dot_product(a.ve, b.ve) /
             (sqrt(list_dot_product(a.ve, a.ve)) * sqrt(list_dot_product(b.ve, b.ve))), 9) >= 0.3
-""")
+"""
+
+
+@register("embedding_near_dup_pairs", _NEAR_DUP_ORACLE)
 def embedding_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs (operators/similarity.py): IVF-cluster
     blocked self-join + exact cosine threshold. Geometry-derived blocks
@@ -2188,6 +2191,27 @@ def embedding_near_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(
         idx.select("vec_id", "embedding", "centroid_id"),
         block_col="centroid_id", threshold=0.3)
+
+
+@register("embedding_near_dup_collapsed", _NEAR_DUP_ORACLE)
+def embedding_near_dup_collapsed_q(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    """The SAME near-dup pair query served through
+    ``collapse_identical=True`` (operators/similarity.py) — the
+    exact-replication mega-cell bound: byte-identical vectors group to
+    one representative per block, the quadratic self-join runs over
+    representatives only, and qualifying rep pairs expand back to
+    member pairs linearly. The oracle is the UNCHANGED direct-path SQL:
+    hash-match IS the driver-checked proof that the collapse is
+    exactness-preserving (cosine is a pure function of the two
+    vectors), complementing the pytest pin on a replicated corpus
+    (tests/test_llm_ops.py — the driver-scale embeddings are largely
+    distinct, so the pytest fixture carries the replication stress)."""
+    from .operators.similarity import embedding_near_dup_pairs
+    idx = _spread(spark, spark.read.parquet(_ivf_index(spark, sf_dir)))
+    return embedding_near_dup_pairs(
+        idx.select("vec_id", "embedding", "centroid_id"),
+        block_col="centroid_id", threshold=0.3, collapse_identical=True)
 
 
 # =====================================================================
