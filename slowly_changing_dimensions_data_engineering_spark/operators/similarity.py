@@ -639,39 +639,59 @@ def _blas_block_pairs(blocked: DataFrame, threshold: float,
         return s / (math.sqrt(na) * math.sqrt(nb))
 
     def score(pdf: pd.DataFrame):
+        # Fully vectorized emission (r16 suite hardening): the first
+        # cut appended per-pair Python objects — tens of millions of
+        # interpreter ops and list reallocations per mega-cell, enough
+        # heap churn to destabilize a long bench process. Per slab,
+        # candidates are masked/emitted as numpy arrays; only the
+        # borderline set (≈0.02%) drops to the exact per-pair fold.
         ids = pdf["_id"].to_numpy()
         X = np.array(pdf["_v"].tolist(), dtype=np.float64)
         nrm = np.sqrt(np.einsum("ij,ij->i", X, X))
-        out_i, out_j, out_c = [], [], []
         n = len(ids)
+        col = np.arange(n)
+        chunks = []
         for s0 in range(0, n, 2048):
             s1 = min(s0 + 2048, n)
             C = (X[s0:s1] @ X.T) / np.outer(nrm[s0:s1], nrm)
-            for r in range(s0, s1):
-                row = C[r - s0]
-                # keep anything that could possibly pass (eps covers
-                # the BLAS-vs-fold divergence); borderline pairs are
-                # resolved exactly below
-                cand = np.nonzero(row[r + 1:] >= lo_true - eps)[0] + r + 1
-                for cj in cand:
-                    c_est = row[cj]
-                    near_grid = abs(c_est * 1e9
-                                    - round(c_est * 1e9)) < 1e-4
-                    clear_pass = c_est >= lo_true + eps and not near_grid
-                    clear_fail = c_est < lo_true - eps
-                    if clear_fail:
-                        continue
-                    if clear_pass:
-                        c9 = round9(c_est)
-                    else:
-                        c9 = round9(exact_cos(X[r], X[cj]))
-                        if c9 < threshold:
-                            continue
-                    a, b = int(ids[r]), int(ids[cj])
-                    out_i.append(min(a, b))
-                    out_j.append(max(a, b))
-                    out_c.append(c9)
-        return pd.DataFrame({"v1": out_i, "v2": out_j, "cosine": out_c})
+            # upper triangle (each unordered pair once) ∧ possibly-pass
+            # (eps covers the BLAS-vs-fold divergence)
+            mask = (C >= lo_true - eps) & (col[None, :]
+                                           > (np.arange(s0, s1)[:, None]))
+            ri, cj = np.nonzero(mask)
+            if not len(ri):
+                continue
+            c = C[ri, cj]
+            rg = ri + s0
+            g = c * 1e9
+            # borderline: membership within eps of the pass bound, or
+            # value within BLAS error of a ROUNDING BOUNDARY — both the
+            # 1e-9 grid lines AND the half-grid points (x.5 at the 9th
+            # decimal, where HALF_UP and half-even diverge); 2g vs
+            # rint(2g) tests both families at once. Re-decided by the
+            # bit-exact fold.
+            border = (np.abs(2.0 * g - np.rint(2.0 * g)) < 2e-4) \
+                | (c < lo_true + eps)
+            # non-boundary values: every rounding rule agrees, and the
+            # scaled-multiply error cannot cross a grid line, so
+            # np.round == Spark's shortest-repr HALF_UP here
+            c9 = np.round(c, 9)
+            keep = np.ones(len(c), dtype=bool)
+            for k in np.nonzero(border)[0]:
+                v = round9(exact_cos(X[rg[k]], X[cj[k]]))
+                if v < threshold:
+                    keep[k] = False
+                else:
+                    c9[k] = v
+            ia, ib = ids[rg][keep], ids[cj][keep]
+            chunks.append(pd.DataFrame({
+                "v1": np.minimum(ia, ib), "v2": np.maximum(ia, ib),
+                "cosine": c9[keep]}))
+        if not chunks:
+            return pd.DataFrame({"v1": pd.Series(dtype="int64"),
+                                 "v2": pd.Series(dtype="int64"),
+                                 "cosine": pd.Series(dtype="float64")})
+        return pd.concat(chunks, ignore_index=True)
 
     prepped = blocked.select(F.col("_blk"), F.col(id_col).alias("_id"),
                              F.col("_v"))
