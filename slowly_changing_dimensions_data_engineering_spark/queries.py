@@ -20,6 +20,7 @@ value-hash matches bit-for-bit):
 from __future__ import annotations
 
 import datetime as dt
+import json
 import os
 import tempfile
 from collections.abc import Callable
@@ -3545,25 +3546,40 @@ def _bm25_contrib_index(spark: SparkSession, sf_dir: str):
 
     root = _BM25_STORE_CACHE.get(sf_dir) or _bm25_index_root(sf_dir)
     marker = os.path.join(root, "_COMPLETE")
+    qtok_path = os.path.join(root, "qtokens.json")
+
+    def _query_tokens() -> list[str]:
+        # query-side tokenization: only the query chunks' documents
+        # are read — never a corpus pass
+        qdoc_ids = sorted({cid // 100 for cid in _CHUNK_QUERY_IDS})
+        qd = (_t(spark, sf_dir, "documents")["documents"]
+              .filter(F.col("doc_id").isin(qdoc_ids)))
+        return sorted(
+            r["token"] for r in
+            (_bm25_tokens(qd).filter(F.col("cid").isin(*_CHUNK_QUERY_IDS))
+             .select("token").distinct().collect()))
+
     if not os.path.exists(marker):
         # offline build: ONE corpus tokenize + aggregate pass, written
         # token-bucket-partitioned; the marker lands only after every
-        # component is on disk (a crashed build is rebuilt whole)
+        # component is on disk (a crashed build is rebuilt whole). The
+        # query-term set is corpus-derived (tokens of the fixed query
+        # chunks), so it is part of the artifact — later processes skip
+        # even the 3-document tokenize job.
         d = _spread(spark, _t(spark, sf_dir, "documents")["documents"])
         os.makedirs(root, exist_ok=True)
         bm25_build_index(bm25_term_freqs(_bm25_tokens(d)), root)
+        with open(qtok_path, "w", encoding="utf-8") as fh:
+            json.dump(_query_tokens(), fh)
         with open(marker, "w", encoding="ascii") as fh:
             fh.write("layout1")
     _BM25_STORE_CACHE[sf_dir] = root
 
-    # query-side tokenization: only the query chunks' documents are
-    # read — the probe's cost never includes a corpus pass
-    qdoc_ids = sorted({cid // 100 for cid in _CHUNK_QUERY_IDS})
-    qd = (_t(spark, sf_dir, "documents")["documents"]
-          .filter(F.col("doc_id").isin(qdoc_ids)))
-    toks = [r["token"] for r in
-            (_bm25_tokens(qd).filter(F.col("cid").isin(*_CHUNK_QUERY_IDS))
-             .select("token").distinct().collect())]
+    if os.path.exists(qtok_path):
+        with open(qtok_path, encoding="utf-8") as fh:
+            toks = json.load(fh)
+    else:  # pre-r16 artifact without the token component
+        toks = _query_tokens()
     contrib_idx = stabilize(bm25_query_slice(spark, root, toks))
     # qterms re-rooted on the contrib checkpoint (query chunks contain
     # their own tokens, so the slice covers them) — the cached pair
