@@ -102,9 +102,15 @@ def get_spark(app_name: str = "sds-spark-engine", cpus: int | None = None,
         # (1g) OOMs building sub-threshold broadcast tables once the
         # data reaches sf1 — size it to the box, overridable for small
         # harnesses. Launch-time conf: applies to the session that
-        # creates the JVM.
+        # creates the JVM. 8g (the sf1-era default) exhausts at sf10
+        # once a 150-query process accumulates its memoized
+        # localCheckpoints (r16: the suite's multimodal pair pin OOM'd
+        # the heap and poisoned the two queries behind it); 32g is
+        # still a quarter of the target box and matches the
+        # 32-thread × ~1g/task executor-sizing rule a real cluster
+        # would get per its executor JVMs.
         .config("spark.driver.memory",
-                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         # Broadcast threshold stays at the PRODUCTION DEFAULT (10MB),
         # deliberately. An earlier 64MB setting let size estimates
         # implicit-broadcast fact-scale frames at sf1 (a pruned 6M-row
