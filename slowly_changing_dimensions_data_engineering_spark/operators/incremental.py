@@ -110,7 +110,15 @@ def refresh_aggregate(store, spark: SparkSession, mv_name: str,
         delta = aggregate_delta(changes, group_cols, sum_cols)
         if not store.exists(mv_name) or store.version(mv_name) < 0:
             if not store.exists(mv_name):
-                store.create(mv_name, delta.schema)
+                # overwrite=False (ADVICE r16): two concurrent FIRST
+                # refreshes can both pass the exists() check; the
+                # default CREATE OR REPLACE would let the loser rmtree
+                # the winner's committed v0 (and its meta-carried
+                # offsets) outside any lock. Non-overwriting create
+                # keeps the winner's table; the loser's commit then
+                # fails read_version=-1 validation and re-derives
+                # through _occ_retry.
+                store.create(mv_name, delta.schema, overwrite=False)
             mv_read_version = -1
             new = apply_delta(None, delta, group_cols)
         else:

@@ -590,16 +590,26 @@ def _blas_block_pairs(blocked: DataFrame, threshold: float,
 
     Why it is exact: BLAS evaluates the same real-valued quantities
     with a different summation order, so its result c̃ differs from
-    the fold's c by at most ~n·u (n=dim, u=2⁻⁵³; Cauchy-Schwarz bounds
-    the cancellation term), far below 1e-13 for any dim this engine
-    ships. Every pair whose c̃ lies within 1e-4 of a 1e-9 rounding
-    grid line — the only pairs where BLAS could round differently —
-    is RE-SCORED with a pure-Python left-to-right fold, which is the
-    same sequence of IEEE-754 double operations the JVM fold performs
-    (Python floats ARE IEEE doubles), then rounded with decimal
-    ROUND_HALF_UP, matching Spark's BigDecimal HALF_UP round().
-    Borderline pairs are ~grid-width/tolerance ≈ 0.02% of candidates,
-    so the exact path costs microseconds.
+    the fold's c by at most ~d·u (d=dim, u=2⁻⁵³; Cauchy-Schwarz bounds
+    the cancellation term). The safety band eps is derived from the
+    ACTUAL dimension of the block — max(1e-13, 4·d·u) — so the exact
+    re-check band keeps tracking the error bound even at d≈1000+
+    (ADVICE r16: a fixed 1e-13 is only safe for small d). Every pair
+    whose c̃ lies within the band of a 1e-9 rounding grid line — the
+    only pairs where BLAS could round differently — is RE-SCORED with
+    a pure-Python left-to-right fold, which is the same sequence of
+    IEEE-754 double operations the JVM fold performs (Python floats
+    ARE IEEE doubles), then rounded with decimal ROUND_HALF_UP,
+    matching Spark's BigDecimal HALF_UP round(). Borderline pairs are
+    ~grid-width/tolerance ≈ 0.02% of candidates, so the exact path
+    costs microseconds.
+
+    Input contract, enforced loudly (ADVICE r16): every vector in a
+    block must have the same dimension (ragged input would crash the
+    matmul with an opaque numpy error) and a nonzero norm (cosine is
+    undefined; the expression-level scorer raises ANSI divide-by-zero
+    on the same input, so silently dropping NaN rows here would be a
+    semantic divergence, not a cleanup).
 
     Why it is fast: the quadratic candidate grid becomes ONE dgemm per
     block (µs-per-thousand-candidates instead of ~µs-per-candidate
@@ -615,7 +625,6 @@ def _blas_block_pairs(blocked: DataFrame, threshold: float,
 
     # round9(c) >= threshold  <=>  c >= threshold - 0.5e-9 (HALF_UP)
     lo_true = threshold - 0.5e-9
-    eps = 1e-13
 
     def round9(x: float) -> float:
         # Spark's round(double, 9) goes through Scala BigDecimal.decimal
@@ -646,8 +655,34 @@ def _blas_block_pairs(blocked: DataFrame, threshold: float,
         # candidates are masked/emitted as numpy arrays; only the
         # borderline set (≈0.02%) drops to the exact per-pair fold.
         ids = pdf["_id"].to_numpy()
+        if not len(ids):
+            return pd.DataFrame({"v1": pd.Series(dtype="int64"),
+                                 "v2": pd.Series(dtype="int64"),
+                                 "cosine": pd.Series(dtype="float64")})
+        dims = pdf["_v"].map(len)
+        d = int(dims.iat[0])
+        if (dims != d).any():
+            bad = sorted(int(x) for x in dims.unique())
+            raise ValueError(
+                f"blas scorer: ragged embedding dimensions {bad} within "
+                f"one block — a uniform dimension is required (matmul is "
+                f"undefined on ragged input; fix the upstream vectors)")
         X = np.array(pdf["_v"].tolist(), dtype=np.float64)
         nrm = np.sqrt(np.einsum("ij,ij->i", X, X))
+        if not np.all(nrm > 0.0):
+            zid = ids[nrm == 0.0][:5].tolist()
+            raise ArithmeticError(
+                f"blas scorer: zero-norm embedding(s), e.g. ids {zid} — "
+                f"cosine undefined; the expression scorer raises ANSI "
+                f"divide-by-zero on the same input, so these rows are "
+                f"refused, never silently dropped")
+        # BLAS-vs-fold divergence tracks the ACTUAL dimension: ~d·u
+        # accumulated error (u=2^-53); 4·d·u is a ≥4x margin over the
+        # worst case and never below the small-d floor 1e-13. The
+        # grid-proximity band lives on the 1e9-scaled axis, kept at 2x
+        # the scaled eps (its legacy value 2e-4 for small d).
+        eps = max(1e-13, 4.0 * d * 2.0 ** -53)
+        band = max(2e-4, 2.0 * eps * 1e9)
         n = len(ids)
         col = np.arange(n)
         chunks = []
@@ -670,7 +705,7 @@ def _blas_block_pairs(blocked: DataFrame, threshold: float,
             # decimal, where HALF_UP and half-even diverge); 2g vs
             # rint(2g) tests both families at once. Re-decided by the
             # bit-exact fold.
-            border = (np.abs(2.0 * g - np.rint(2.0 * g)) < 2e-4) \
+            border = (np.abs(2.0 * g - np.rint(2.0 * g)) < band) \
                 | (c < lo_true + eps)
             # non-boundary values: every rounding rule agrees, and the
             # scaled-multiply error cannot cross a grid line, so

@@ -3204,7 +3204,8 @@ def multimodal_near_dup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("kept_id_sum")))
 
 
-#: sf_dir -> (index path, centroid count) for the chunk-retrieval index.
+#: sf_dir -> (persisted artifact root, centroid count) for the
+#: chunk-retrieval index (_chunk_rag_index).
 _CHUNK_RAG_CACHE: dict[str, tuple[str, int]] = {}
 
 
@@ -3230,35 +3231,65 @@ def _chunk_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _chunk_rag_index(spark: SparkSession, sf_dir: str):
-    """Build (once per sf_dir) the centroid-partitioned IVF index over
-    the chunk features; k scales max(8, n_chunks // 250) — the
-    _IVF_CELL_ROWS convention, so cell population stays constant."""
-    import os
+    """The chunk-retrieval IVF index as a PERSISTED cross-process
+    artifact (VERDICT r16 #4 — the BM25 index got this treatment in
+    r16; the chunk index was still rebuilt per process, ~200 s at sf10
+    landing on whichever retrieval query ran first). Corpus-keyed root
+    (auto-invalidates on corpus/layout change) holding:
 
-    from .operators.similarity import ivf_build_index
-    from .session import stabilize
+    - ``feats/``  — the featurized chunk corpus (cid, features): ONE
+      Arrow featurize pass ever per corpus; every consumer (index
+      build, query rows, brute-force recall arms) reads this parquet;
+    - ``index/`` — the centroid-partitioned IVF layout
+      (``ivf_build_index``; k scales max(8, n_chunks // 250), the
+      _IVF_CELL_ROWS convention, so cell population stays constant);
+    - ``meta.json`` — k, so later processes derive the centroid frame
+      (first-k-by-cid convention) without a count;
+    - ``_COMPLETE`` — published atomically via _publish_index_root
+      (build into a private sibling, rename-election into the root).
 
-    # ONE Arrow featurize pass: the frame feeds the count, the centroid
-    # take, the index build's both sides, the query rows AND the exact
-    # brute-force arm — unbarriered, each consumer re-ran the
-    # mapInPandas over the full chunk corpus (27× at the 30× soak).
-    feats = stabilize(_chunk_feats(spark, sf_dir))
+    First probe of a warm machine ≡ any later probe: read-only scans of
+    the stored artifact. Features are float64 → parquet round-trips
+    bit-exactly, so persisted-vs-inline results are identical."""
     cached = _CHUNK_RAG_CACHE.get(sf_dir)
-    if cached and os.path.exists(cached[0]):
-        path, k = cached
+    if cached and os.path.exists(os.path.join(cached[0], "_COMPLETE")):
+        root, k = cached
     else:
-        k = max(_IVF_N_CENTROIDS, feats.count() // _IVF_CELL_ROWS)
-        cents = (feats.orderBy("cid").limit(k)
-                 .select(F.col("cid").alias("centroid_id"),
-                         F.col("features").alias("embedding")))
-        path = _pipeline_tmpdir("sds_rag_") + "/index"
-        ivf_build_index(feats, cents, path, id_col="cid",
-                        vec_col="features", n_centroids=k)
-        _CHUNK_RAG_CACHE[sf_dir] = (path, k)
+        from .operators.similarity import ivf_build_index
+        from .session import stabilize
+
+        root = _corpus_keyed_root(sf_dir, "sds_rag_index",
+                                  "SPARK_GRAFT_RAG_INDEX_ROOT",
+                                  "layout1|chunk200-50|feat16")
+        marker = os.path.join(root, "_COMPLETE")
+        if not os.path.exists(marker):
+            import uuid as _uuid
+
+            tmp_root = f"{root}.build-{os.getpid()}-{_uuid.uuid4().hex}"
+            feats = stabilize(_chunk_feats(spark, sf_dir))
+            k = max(_IVF_N_CENTROIDS, feats.count() // _IVF_CELL_ROWS)
+            feats.write.parquet(os.path.join(tmp_root, "feats"))
+            cents = (feats.orderBy("cid").limit(k)
+                     .select(F.col("cid").alias("centroid_id"),
+                             F.col("features").alias("embedding")))
+            ivf_build_index(feats, cents, os.path.join(tmp_root, "index"),
+                            id_col="cid", vec_col="features",
+                            n_centroids=k)
+            with open(os.path.join(tmp_root, "meta.json"), "w",
+                      encoding="utf-8") as fh:
+                json.dump({"k": k}, fh)
+            with open(os.path.join(tmp_root, "_COMPLETE"), "w",
+                      encoding="ascii") as fh:
+                fh.write("layout1")
+            root = _publish_index_root(tmp_root, root)
+        with open(os.path.join(root, "meta.json"), encoding="utf-8") as fh:
+            k = json.load(fh)["k"]
+        _CHUNK_RAG_CACHE[sf_dir] = (root, k)
+    feats = spark.read.parquet(os.path.join(root, "feats"))
     cents = (feats.orderBy("cid").limit(k)
              .select(F.col("cid").alias("centroid_id"),
                      F.col("features").alias("embedding")))
-    return path, cents, feats
+    return os.path.join(root, "index"), cents, feats
 
 
 _CHUNK_QUERY_IDS = (700, 2300, 4200)  # chunk 0 of docs 7, 23, 42
@@ -3479,19 +3510,21 @@ def _bm25_tokens(d: DataFrame) -> DataFrame:
         .filter(F.col("token") != ""))
 
 
-def _bm25_index_root(sf_dir: str) -> str:
-    """Stable cross-process location for the persisted BM25 index of
-    one corpus: keyed by the documents file's identity (path + size +
+def _corpus_keyed_root(sf_dir: str, kind: str, env_var: str,
+                       layout: str) -> str:
+    """Stable cross-process location for a persisted index over one
+    corpus: keyed by the documents file's identity (path + size +
     mtime) and the tokenization/layout parameters, so a changed corpus
-    or format bump auto-invalidates. Overridable via
-    SPARK_GRAFT_BM25_INDEX_ROOT (defaults under the system tempdir —
-    the same lifetime class as Spark's own local dirs)."""
+    or format bump auto-invalidates. Overridable via ``env_var``
+    (defaults under the system tempdir — the same lifetime class as
+    Spark's own local dirs); the default is per-user (ADVICE r16: a
+    world-shared /tmp path is a cross-user collision hazard)."""
     import hashlib
     import tempfile as _tempfile
 
+    uid = getattr(os, "getuid", lambda: "u")()
     base = os.environ.get(
-        "SPARK_GRAFT_BM25_INDEX_ROOT",
-        os.path.join(_tempfile.gettempdir(), "sds_bm25_index"))
+        env_var, os.path.join(_tempfile.gettempdir(), f"{kind}-{uid}"))
     doc = os.path.join(sf_dir, "documents.parquet")
     try:
         if os.path.isdir(doc):
@@ -3505,9 +3538,45 @@ def _bm25_index_root(sf_dir: str) -> str:
     except OSError:
         fp = "nofile"
     key = hashlib.md5(
-        f"{os.path.realpath(sf_dir)}|{fp}|layout1|chunk200-50".encode()
+        f"{os.path.realpath(sf_dir)}|{fp}|{layout}".encode()
     ).hexdigest()[:16]
     return os.path.join(base, key)
+
+
+def _publish_index_root(tmp_root: str, root: str) -> str:
+    """Atomic first-publisher-wins election for a corpus-keyed index
+    artifact (ADVICE r16): the builder wrote a COMPLETE artifact
+    (``_COMPLETE`` marker included) into a process-private sibling;
+    os.rename it into the keyed root. Returns the directory this
+    process should read — the shared root normally, the private copy
+    only if an unclearable torn root blocks publication (correct,
+    just unshared)."""
+    import shutil as _shutil
+
+    marker = os.path.join(root, "_COMPLETE")
+    try:
+        os.rename(tmp_root, root)
+        return root
+    except OSError:
+        if os.path.exists(marker):
+            # a racer published a complete artifact first — use it
+            _shutil.rmtree(tmp_root, ignore_errors=True)
+            return root
+        # torn pre-publish root (crashed build): clear and retry once;
+        # if even that loses the race, keep the private copy.
+        _shutil.rmtree(root, ignore_errors=True)
+        try:
+            os.rename(tmp_root, root)
+            return root
+        except OSError:
+            return tmp_root
+
+
+def _bm25_index_root(sf_dir: str) -> str:
+    """Corpus-keyed root for the persisted BM25 impact index."""
+    return _corpus_keyed_root(sf_dir, "sds_bm25_index",
+                              "SPARK_GRAFT_BM25_INDEX_ROOT",
+                              "layout1|chunk200-50")
 
 
 def _bm25_contrib_index(spark: SparkSession, sf_dir: str):
@@ -3566,13 +3635,30 @@ def _bm25_contrib_index(spark: SparkSession, sf_dir: str):
         # query-term set is corpus-derived (tokens of the fixed query
         # chunks), so it is part of the artifact — later processes skip
         # even the 3-document tokenize job.
+        #
+        # ATOMIC PUBLISH (ADVICE r16): two processes sharing the
+        # corpus-keyed root could previously both build INTO root and
+        # tear each other's parquet dirs, with the first finisher
+        # publishing the marker over the other's in-flight write. Now
+        # each builder writes a process-private sibling (marker
+        # included) and _publish_index_root renames it into the keyed
+        # root — the rename is the election, first publisher wins, the
+        # loser discards; probes only ever see a complete artifact.
+        import uuid as _uuid
+
+        tmp_root = f"{root}.build-{os.getpid()}-{_uuid.uuid4().hex}"
+        os.makedirs(tmp_root, exist_ok=True)
         d = _spread(spark, _t(spark, sf_dir, "documents")["documents"])
-        os.makedirs(root, exist_ok=True)
-        bm25_build_index(bm25_term_freqs(_bm25_tokens(d)), root)
-        with open(qtok_path, "w", encoding="utf-8") as fh:
+        bm25_build_index(bm25_term_freqs(_bm25_tokens(d)), tmp_root)
+        with open(os.path.join(tmp_root, "qtokens.json"), "w",
+                  encoding="utf-8") as fh:
             json.dump(_query_tokens(), fh)
-        with open(marker, "w", encoding="ascii") as fh:
+        with open(os.path.join(tmp_root, "_COMPLETE"), "w",
+                  encoding="ascii") as fh:
             fh.write("layout1")
+        root = _publish_index_root(tmp_root, root)
+        marker = os.path.join(root, "_COMPLETE")
+        qtok_path = os.path.join(root, "qtokens.json")
     _BM25_STORE_CACHE[sf_dir] = root
 
     if os.path.exists(qtok_path):

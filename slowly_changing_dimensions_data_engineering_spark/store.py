@@ -48,11 +48,11 @@ is unchanged.
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import shutil
 import time
-import uuid
 from typing import Iterable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -60,11 +60,10 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 # Commit-lock tuning. A legitimate hold is microseconds (one json
-# read-modify-write of a pointer file); the stale grace period is set
-# orders of magnitude above that so only a crashed holder's lock is
-# ever stolen. Module-level so tests can exercise the steal path
-# without 30 s sleeps.
-STALE_LOCK_SECS = 30.0
+# read-modify-write of a pointer file); the timeout only guards a
+# wedged box, never a crashed holder — the kernel releases a crashed
+# holder's flock the instant its fds close, so there is no staleness
+# heuristic and no steal protocol (see _swap_meta).
 LOCK_TIMEOUT_SECS = 60.0
 
 
@@ -551,93 +550,52 @@ class TableStore:
             os.rename(os.path.join(stage, "changes"), self._cdir(name, v))
         shutil.rmtree(stage, ignore_errors=True)
 
-    @staticmethod
-    def _steal_stale_lock(lock: str, seen_token: str) -> None:
-        """Remove a crashed holder's lock without ever removing a LIVE
-        one. Protocol: rename the lock to a stealer-private name — the
-        rename is the election, exactly one stealer's succeeds — then
-        confirm the moved file is the same incarnation whose mtime was
-        judged stale (its token matches ``seen_token``) before deleting
-        it. A mismatch means the old holder released and a NEW holder
-        re-created the lock inside the stat→rename window; that fresh
-        lock is restored via ``os.link`` (atomic, never clobbers a
-        newer lock) so the live holder keeps its mutual exclusion."""
-        victim = f"{lock}.steal-{os.getpid()}-{uuid.uuid4().hex}"
-        try:
-            os.rename(lock, victim)
-        except OSError:
-            return  # another waiter stole (or the holder released) first
-        try:
-            with open(victim, encoding="ascii") as fh:
-                got = fh.read()
-            if got == seen_token:
-                os.unlink(victim)
-            else:
-                # Moved a fresh incarnation by mistake — put it back.
-                try:
-                    os.link(victim, lock)
-                except FileExistsError:
-                    pass  # yet another lock exists; drop our copy
-                os.unlink(victim)
-        except OSError:
-            pass
-
     def _swap_meta(self, name: str, apply):
         """The optimistic-concurrency critical section: re-read the
         CURRENT meta under a short lock, let ``apply(fresh)`` validate
         against it (raising ``ConcurrentCommitError`` on a true
         conflict) and fold this transaction's changes in, then
         atomically swap the pointer. Returns ``apply``'s return value
-        (the commit paths return their assigned version through it). The lock guards only this tiny
-        read-modify-write (microseconds — json load/dump of a pointer
-        file), never a data write; data version dirs are written
-        lock-free in parallel by all writers. A lock left by a crashed
-        process is stolen after a grace period far longer than any
-        legitimate hold — stolen SAFELY via ``_steal_stale_lock``: the
-        lock file carries a unique incarnation token, and a stealer
-        renames the stale file to a private name (only ONE rename of a
-        given inode succeeds; the loser gets FileNotFoundError and goes
-        back to waiting) and verifies the moved file still carries the
-        token it judged stale before deleting it. A bare
-        ``os.unlink(lock)`` here would let waiter B delete the fresh
-        lock waiter A just created by stealing first, admitting a third
-        writer while A holds the section — the mutual-exclusion break
-        every OCC guarantee rests on. On object storage this whole
+        (the commit paths return their assigned version through it).
+        The lock guards only this tiny read-modify-write (microseconds
+        — json load/dump of a pointer file), never a data write; data
+        version dirs are written lock-free in parallel by all writers.
+
+        Locking is an advisory ``fcntl.flock`` on a PERMANENT per-table
+        lock file. The kernel ties the lock to the open file
+        description and releases it the instant the holder's fds close
+        — including on crash — so there is no staleness heuristic, no
+        grace period, and no steal protocol. (The previous
+        existence-based O_EXCL lock needed a rename-based stale-lock
+        steal, which could transiently vacate the lock path while a
+        live holder was inside the section and admit a second writer —
+        ADVICE r16. flock makes that whole class impossible: the lock
+        path is never vacated because the file is never unlinked.)
+        The lock file must NEVER be unlinked: unlink+recreate would let
+        a waiter flocking the old inode and a new acquirer flocking the
+        new inode both "hold the lock". On object storage this whole
         section is one compare-and-swap / conditional PUT of the
         pointer object."""
         lock = self._meta_path(name) + ".lock"
-        token = f"{os.getpid()}-{uuid.uuid4().hex}"
+        fd = os.open(lock, os.O_CREAT | os.O_RDWR, 0o644)
         t0 = time.time()
-        while True:
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, token.encode("ascii"))
-                break
-            except FileExistsError:
-                try:
-                    with open(lock, encoding="ascii") as fh:
-                        seen = fh.read()  # incarnation judged below
-                    if time.time() - os.path.getmtime(lock) > STALE_LOCK_SECS:
-                        self._steal_stale_lock(lock, seen)
-                        continue
-                except OSError:
-                    continue  # holder just released/stole it
-                if time.time() - t0 > LOCK_TIMEOUT_SECS:
-                    raise TimeoutError(
-                        f"commit lock for table {name!r} busy for "
-                        f"{LOCK_TIMEOUT_SECS:.0f}s: {lock}")
-                time.sleep(0.005)
         try:
+            while True:
+                try:
+                    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                    break
+                except OSError:
+                    if time.time() - t0 > LOCK_TIMEOUT_SECS:
+                        raise TimeoutError(
+                            f"commit lock for table {name!r} busy for "
+                            f"{LOCK_TIMEOUT_SECS:.0f}s: {lock}")
+                    time.sleep(0.005)
             fresh = self._read_meta(name)
             ret = apply(fresh)
             self._write_meta(name, fresh)
             return ret
         finally:
-            os.close(fd)
-            try:
-                os.unlink(lock)
-            except OSError:
-                pass
+            os.close(fd)  # closing the fd releases the flock
 
     @staticmethod
     def _denull(dt: T.DataType) -> T.DataType:

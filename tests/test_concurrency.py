@@ -458,11 +458,71 @@ def test_commit_stage_cleaned_on_any_failure(spark, tmp_path, monkeypatch):
     assert os.listdir(os.path.join(str(tmp_path), "t", "_txn")) == []
 
 
-# ---- safe stale-lock steal ----------------------------------------------
+# ---- crash-safe commit lock (advisory flock) ------------------------------
+#
+# ADVICE r16 (medium): the previous existence-based O_EXCL lock needed a
+# rename-based stale-lock steal, and the steal could transiently vacate
+# the lock path while a LIVE holder was inside the critical section —
+# admitting a second writer. The fix is structural: an advisory
+# fcntl.flock on a PERMANENT per-table lock file. The kernel releases a
+# crashed holder's lock when its fds close, so there is no staleness
+# heuristic and no steal protocol to race; the lock file is never
+# unlinked, so the lock path is never vacant.
 
-def test_stale_lock_is_stolen_and_commit_proceeds(spark, tmp_path):
-    """A lock whose holder crashed (mtime past the grace period) is
-    stolen and the blocked commit proceeds."""
+def test_crashed_holder_lock_released_by_kernel(spark, tmp_path):
+    """A holder that dies while flocked never wedges the table: the
+    kernel releases the advisory lock on process exit, so the next
+    committer acquires immediately — no grace period, no steal."""
+    import subprocess
+    import sys
+
+    store = TableStore(str(tmp_path))
+    store.create("t", schemas.SUPPLIER)
+    lock = store._meta_path("t") + ".lock"
+    # Subprocess takes the flock then dies holding it; os._exit skips
+    # all cleanup handlers — only the kernel's fd teardown releases it.
+    code = (
+        "import fcntl, os\n"
+        f"fd = os.open({lock!r}, os.O_CREAT | os.O_RDWR)\n"
+        "fcntl.flock(fd, fcntl.LOCK_EX)\n"
+        "os._exit(9)\n")
+    subprocess.run([sys.executable, "-c", code], check=False)
+
+    store.commit("t", _rows(spark, range(2)))  # proceeds immediately
+    assert store.version("t") == 0
+    assert os.path.exists(lock)  # permanent file, never unlinked
+
+
+def test_live_holder_blocks_waiter_until_release(spark, tmp_path,
+                                                 monkeypatch):
+    """A LIVE holder's flock blocks the waiter (TimeoutError at the
+    bound), and the waiter succeeds as soon as the holder releases.
+    flock is per open-file-description, so a second os.open in the
+    same process is a genuine competing acquirer."""
+    import fcntl
+
+    from slowly_changing_dimensions_data_engineering_spark import store as store_mod
+
+    monkeypatch.setattr(store_mod, "LOCK_TIMEOUT_SECS", 0.3)
+    store = TableStore(str(tmp_path))
+    store.create("t", schemas.SUPPLIER)
+    lock = store._meta_path("t") + ".lock"
+    fd = os.open(lock, os.O_CREAT | os.O_RDWR)
+    fcntl.flock(fd, fcntl.LOCK_EX)
+    try:
+        with pytest.raises(TimeoutError):
+            store.commit("t", _rows(spark, range(2)))
+    finally:
+        os.close(fd)  # release
+
+    store.commit("t", _rows(spark, range(2)))  # proceeds after release
+    assert store.version("t") == 0
+
+
+def test_stale_lock_file_content_never_blocks(spark, tmp_path):
+    """A leftover lock FILE (crash orphan, old-protocol artifact, or
+    arbitrary content) is inert: only a held flock blocks, never the
+    file's existence, content, or mtime."""
     import time as _time
 
     store = TableStore(str(tmp_path))
@@ -473,54 +533,8 @@ def test_stale_lock_is_stolen_and_commit_proceeds(spark, tmp_path):
     old = _time.time() - 120
     os.utime(lock, (old, old))
 
-    store.commit("t", _rows(spark, range(2)))  # steals, then commits
+    store.commit("t", _rows(spark, range(2)))  # no wait at all
     assert store.version("t") == 0
-    assert not os.path.exists(lock)
-
-
-def test_fresh_lock_is_never_stolen(spark, tmp_path, monkeypatch):
-    """A live holder's lock (recent mtime) is waited on, not deleted:
-    the waiter times out and the lock file survives untouched."""
-    from slowly_changing_dimensions_data_engineering_spark import store as store_mod
-
-    monkeypatch.setattr(store_mod, "LOCK_TIMEOUT_SECS", 0.3)
-    store = TableStore(str(tmp_path))
-    store.create("t", schemas.SUPPLIER)
-    lock = store._meta_path("t") + ".lock"
-    with open(lock, "w") as fh:
-        fh.write("live-holder")
-
-    with pytest.raises(TimeoutError):
-        store.commit("t", _rows(spark, range(2)))
-    with open(lock) as fh:
-        assert fh.read() == "live-holder"
-    os.unlink(lock)
-
-
-def test_steal_restores_lock_recreated_inside_the_window(tmp_path):
-    """The two-waiter steal race (ADVICE r15 medium): a steal that
-    renames a lock whose token no longer matches the incarnation it
-    judged stale has raced a release+reacquire — the fresh lock is put
-    back, never destroyed. Matching token → the crash orphan is
-    removed."""
-    store = TableStore(str(tmp_path))
-    lock = os.path.join(str(tmp_path), "x.lock")
-
-    # token mismatch: a FRESH incarnation appeared in the stat→rename
-    # window; the steal must restore it byte-identical
-    with open(lock, "w") as fh:
-        fh.write("fresh-incarnation")
-    TableStore._steal_stale_lock(lock, "stale-incarnation")
-    with open(lock) as fh:
-        assert fh.read() == "fresh-incarnation"
-
-    # token match: the judged-stale orphan is removed exactly once
-    TableStore._steal_stale_lock(lock, "fresh-incarnation")
-    assert not os.path.exists(lock)
-    # losing stealer (lock already gone) is a quiet no-op
-    TableStore._steal_stale_lock(lock, "fresh-incarnation")
-    # no stray steal-rename artifacts left behind
-    assert [p for p in os.listdir(str(tmp_path)) if "steal" in p] == []
 
 
 # ---- MERGE-from-stream: the OCC × consume-once interaction ---------------

@@ -45,6 +45,41 @@ def _expected(store, spark):
             .collect()}
 
 
+def test_concurrent_first_refreshes_never_destroy_committed_mv(
+        spark, tmp_path, monkeypatch):
+    """ADVICE r16 (medium): two concurrent FIRST refreshes both pass the
+    exists() check; the loser's create must NOT be a CREATE OR REPLACE
+    that rmtree's the winner's already-committed v0 (and its
+    meta-carried consumer offsets) outside any lock. With
+    overwrite=False the loser keeps the winner's table, its commit
+    fails read_version=-1 validation, and the _occ_retry re-read finds
+    nothing pending — a clean as-if-serial no-op."""
+    store = TableStore(str(tmp_path))
+    store.create("base", schemas.SUPPLIER)
+    merge_upsert(store, spark, "base",
+                 _rows(spark, [(1, "CA"), (2, "NY")]), KEY, CMP)
+
+    real_create = TableStore.create
+    fired = {"done": False}
+
+    def racing_create(self, name, schema, overwrite=True, **kw):
+        if name == "mv" and not fired["done"]:
+            fired["done"] = True
+            # Competitor completes the ENTIRE first refresh inside the
+            # victim's exists()→create window.
+            refresh_aggregate(TableStore(str(tmp_path)), spark,
+                              "mv", "base", "mv", GROUP, SUMS)
+        return real_create(self, name, schema, overwrite=overwrite, **kw)
+
+    monkeypatch.setattr(TableStore, "create", racing_create)
+    v = refresh_aggregate(store, spark, "mv", "base", "mv", GROUP, SUMS)
+    monkeypatch.undo()
+
+    # winner's commit survives, loser converged on it, nothing doubled
+    assert v == 0 and store.version("mv") == 0
+    assert _mv(store, spark) == _expected(store, spark)
+
+
 def test_refresh_tracks_base_batch_by_batch(spark, tmp_path):
     store = TableStore(str(tmp_path))
     store.create("base", schemas.SUPPLIER)

@@ -2431,3 +2431,28 @@ def test_embedding_near_dup_pairs_blas_scorer_exact(spark):
     blas = run(scorer="blas")
     assert blas == grid
     assert len(grid) > 10  # non-trivial: real pairs existed
+
+
+def test_blas_scorer_refuses_ragged_and_zero_norm(spark):
+    """ADVICE r16 (low): the BLAS scorer's input contract is enforced
+    loudly — ragged dimensions raise (matmul undefined) and zero-norm
+    vectors raise (cosine undefined; the grid path raises ANSI
+    divide-by-zero on the same input) instead of being silently
+    NaN-masked out of the pair set."""
+    import pytest as _pytest
+
+    from slowly_changing_dimensions_data_engineering_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    def run(rows):
+        vecs = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+        return embedding_near_dup_pairs(
+            vecs, block_col="label", threshold=0.5, scorer="blas").collect()
+
+    with _pytest.raises(Exception, match="ragged embedding dimensions"):
+        run([(0, "a", [1.0, 0.0]), (1, "a", [1.0, 0.0, 0.0])])
+    with _pytest.raises(Exception, match="zero-norm embedding"):
+        run([(0, "a", [1.0, 0.0]), (1, "a", [0.0, 0.0])])
+    # well-formed input is unaffected
+    assert run([(0, "a", [1.0, 0.0]), (1, "a", [1.0, 0.01])])

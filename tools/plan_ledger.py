@@ -98,6 +98,15 @@ def signature(plan: str) -> dict[str, int]:
     return sig
 
 
+def ledgered_names() -> set[str]:
+    """Every registry name that must have a ledger row (all of them —
+    pipeline queries get nested entries). Spark-free, so the cheap
+    registration gate (tests/test_plans.py) can run it before the
+    expensive signature diff."""
+    from slowly_changing_dimensions_data_engineering_spark import queries as q
+    return set(q._REGISTRY)
+
+
 def current_signatures(spark) -> dict[str, dict[str, int]]:
     from plan_sweep import PIPELINE_QUERIES, formatted_plan
 
