@@ -57,6 +57,25 @@ def _tbkt(col) -> F.Column:
     return F.pmod(F.xxhash64(col), F.lit(N_TOKEN_BUCKETS)).cast("int")
 
 
+def bm25_tokenize_documents(docs: DataFrame, chunk_chars: int = 200,
+                            overlap: int = 50, id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """documents → (cid, token) occurrences: the ONE tokenization rule
+    every BM25 path (offline build, append batches, streaming growth,
+    query-side tokenization) must share — chunk into 200/50 character
+    windows (cid = doc_id*100 + chunk_id, the corpus-wide chunk id
+    convention), split on single spaces, drop empties. All in-plan
+    (generate + split), no shuffle."""
+    from .text import chunk_documents
+
+    ch = chunk_documents(docs, chunk_chars=chunk_chars, overlap=overlap,
+                         id_col=id_col, text_col=text_col)
+    return (ch.select(
+        (F.col(id_col) * 100 + F.col("chunk_id")).alias("cid"),
+        F.explode(F.split("chunk", " ")).alias("token"))
+        .filter(F.col("token") != ""))
+
+
 def bm25_term_freqs(tokens: DataFrame, cid_col: str = "cid",
                     token_col: str = "token") -> DataFrame:
     """(cid, token) occurrences → (cid, token, tf, dl): term frequency

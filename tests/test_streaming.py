@@ -363,6 +363,68 @@ def test_streaming_dedup_batches_grow_index(spark, tmp_path):
     assert s3 == {0, 2, 11}  # 20 dropped; consume-once: 0/2/11 not re-emitted
 
 
+def test_streaming_bm25_index_restart_append_equals_rebuild(spark, tmp_path):
+    """streaming/bm25_stream.py (VERDICT r16 #6): batch 0 bootstraps the
+    token-bucket index, a checkpointed RESTART appends batch 1 exactly
+    once, stored postings silently RESCORE under the merged corpus
+    statistics, and the grown index is score-identical to a
+    from-scratch one-pass build of the same corpus."""
+    import json as _json
+
+    from slowly_changing_dimensions_data_engineering_spark.operators.bm25 import (
+        bm25_build_index, bm25_query_slice, bm25_term_freqs,
+        bm25_tokenize_documents,
+    )
+    from slowly_changing_dimensions_data_engineering_spark.streaming.bm25_stream import (
+        start_streaming_bm25_index,
+    )
+
+    src = tmp_path / "in"
+    src.mkdir()
+    index = str(tmp_path / "bm25idx")
+    ck = str(tmp_path / "ck")
+    docs = {1: "alpha beta gamma alpha", 2: "beta delta epsilon",
+            3: "alpha zeta beta beta"}
+
+    def put(name, ids):
+        with open(src / name, "w") as f:
+            for i in ids:
+                f.write(_json.dumps({"doc_id": i, "text": docs[i]}) + "\n")
+
+    def run_once():
+        _drain(start_streaming_bm25_index(spark, str(src), index, ck,
+                                          available_now=True))
+
+    def probe(path):
+        return {(r["cid"], r["token"]): r["contrib"] for r in
+                bm25_query_slice(spark, path, ["alpha", "beta"]).collect()}
+
+    put("b1.json", [1, 2])
+    run_once()
+    boot = probe(index)
+    assert {c for c, _t in boot} == {100, 200}  # cid = doc_id*100
+
+    put("b2.json", [3])
+    run_once()  # RESTART on the same checkpoint: appends doc 3 only
+    grown = probe(index)
+    assert {c for c, _t in grown} == {100, 200, 300}
+    # the probe rescored doc 1's stored posting under the 3-doc stats
+    assert grown[(100, "alpha")] != boot[(100, "alpha")]
+
+    # consume-once: a run with no new files appends nothing
+    n_post = spark.read.parquet(index + "/postings").count()
+    run_once()
+    assert spark.read.parquet(index + "/postings").count() == n_post
+
+    # append ≡ rebuild: one-pass build of the full corpus, same scores
+    all_docs = spark.createDataFrame(sorted(docs.items()),
+                                     ["doc_id", "text"])
+    rebuilt = str(tmp_path / "rebuilt")
+    bm25_build_index(bm25_term_freqs(bm25_tokenize_documents(all_docs)),
+                     rebuilt)
+    assert probe(rebuilt) == grown
+
+
 def test_streaming_ann_index_grows_and_stays_searchable(spark, tmp_path):
     """streaming/ann_stream.py: batch 0 freezes the centroid geometry
     and builds the IVF index; later batches append into the existing
