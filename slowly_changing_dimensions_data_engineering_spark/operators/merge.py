@@ -613,7 +613,21 @@ def _occ_retry(fn, occ_retries: int):
     against the new current state on each lost optimistic race (the
     merge_upsert convention, shared by the WHERE-DML statements —
     deterministic predicates/assignments make the re-run exactly the
-    as-if-serial statement)."""
+    as-if-serial statement).
+
+    Lost races back off with RANDOMIZED, exponentially-capped jitter
+    before re-deriving: with N contending writers a zero-delay retry
+    storm re-derives in lockstep and can starve a writer indefinitely
+    (measured by tools/bench_occ_soak.py at 6 writers on one hot
+    bucket — retry depths past 24 before this backoff landed). The
+    jitter desynchronizes contenders — the standard OCC remedy
+    (Delta/Snowflake commit retries do the same) — at a cost capped
+    well below one re-derivation, so uncontended retries stay cheap.
+    The sleep never affects results: the re-run re-reads the current
+    snapshot whenever it happens."""
+    import random
+    import time as _time
+
     from ..store import ConcurrentCommitError
 
     for attempt in range(occ_retries + 1):
@@ -622,6 +636,7 @@ def _occ_retry(fn, occ_retries: int):
         except ConcurrentCommitError:
             if attempt == occ_retries:
                 raise
+            _time.sleep(random.uniform(0, min(0.05 * 2 ** attempt, 0.8)))
     raise AssertionError("unreachable")
 
 

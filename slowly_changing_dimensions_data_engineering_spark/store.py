@@ -1201,7 +1201,17 @@ class TableStore:
         its commit so the advance rides the same atomic meta swap; this
         file may lag behind after a crash, which only RETAINS change
         batches longer (vacuum_changes uses the min consumer offset)."""
-        tmp = self._offset_path(consumer) + ".tmp"
+        # Writer-unique tmp name: concurrent mirror writers sharing one
+        # fixed ".tmp" race on the os.replace (the loser's tmp is
+        # already gone — FileNotFoundError, caught live by
+        # tools/bench_occ_soak.py's N-consumer drill). Last-replace-wins
+        # may briefly park the mirror at an OLDER version; harmless by
+        # this mirror's contract — a low watermark only RETAINS change
+        # batches longer, and the authoritative offset rides the table
+        # meta.
+        import threading as _threading
+        tmp = (f"{self._offset_path(consumer)}.tmp-"
+               f"{os.getpid()}-{_threading.get_ident()}")
         with open(tmp, "w") as f:
             json.dump({"version": version}, f)
         os.replace(tmp, self._offset_path(consumer))

@@ -469,6 +469,41 @@ def test_commit_stage_cleaned_on_any_failure(spark, tmp_path, monkeypatch):
 # heuristic and no steal protocol to race; the lock file is never
 # unlinked, so the lock path is never vacant.
 
+def test_concurrent_offset_mirror_writers_never_collide(tmp_path):
+    """Found by tools/bench_occ_soak.py (VERDICT r16 #7): set_offset's
+    tmp file was a FIXED name, so two concurrent mirror writers raced
+    on the os.replace — the loser's tmp was already moved
+    (FileNotFoundError). Writer-unique tmp names make the mirror write
+    collision-free; last-replace-wins is fine for this
+    observability/retention mirror (an old value only retains change
+    batches longer)."""
+    import json as _json
+    import threading
+
+    store = TableStore(str(tmp_path))
+    errs: list[str] = []
+
+    def hammer(base: int) -> None:
+        try:
+            for i in range(200):
+                store.set_offset("mirror", base + i)
+        except Exception as ex:  # noqa: BLE001
+            errs.append(repr(ex))
+
+    ts = [threading.Thread(target=hammer, args=(b,)) for b in (0, 1000)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert errs == []
+    with open(store._offset_path("mirror")) as fh:
+        v = _json.load(fh)["version"]  # intact JSON, one of the writes
+    assert v in set(range(200)) | set(range(1000, 1200))
+    # no leaked tmp files
+    d = os.path.dirname(store._offset_path("mirror"))
+    assert [p for p in os.listdir(d) if ".tmp" in p] == []
+
+
 def test_crashed_holder_lock_released_by_kernel(spark, tmp_path):
     """A holder that dies while flocked never wedges the table: the
     kernel releases the advisory lock on process exit, so the next
