@@ -136,7 +136,7 @@ def main():
         # Generation tag so report scripts select records by round
         # instead of guessing from registry width (ADVICE r14 #3 — the
         # width heuristic silently swept future rounds' records in).
-        "round": os.environ.get("SPARK_GRAFT_ROUND", "r16"),
+        "round": os.environ.get("SPARK_GRAFT_ROUND", "r17"),
         "ts": round(time.time(), 1),
         "per_query_seconds": timings,
     }
