@@ -135,4 +135,4 @@ def refresh_aggregate(store, spark: SparkSession, mv_name: str,
         store.set_offset(consumer, consumed_to)  # global mirror (retention)
         return v
 
-    return _occ_retry(attempt, occ_retries)
+    return _occ_retry(attempt, occ_retries, store, mv_name)

@@ -275,22 +275,16 @@ def merge_upsert(store, spark, target_name: str, source: DataFrame,
     NULL for it, and NULL != x is no-change by the reference's rule) —
     the widened value lands on rows another compare column touches, or
     via a backfill ``update_where``."""
-    from ..store import ConcurrentCommitError
-
     if evolve_schema:
         evolve_schema_for(store, target_name, source)
     # Evaluate the (delta-sized) source once; every consumer — bucket
     # probe, join, CDC branches, every retry — reuses the
     # materialization.
     source = store.stabilize(source)
-    for attempt in range(occ_retries + 1):
-        try:
-            return _merge_upsert_once(store, spark, target_name, source,
-                                      key, compare_cols, delete_match)
-        except ConcurrentCommitError:
-            if attempt == occ_retries:
-                raise
-    raise AssertionError("unreachable")
+    return _occ_retry(
+        lambda: _merge_upsert_once(store, spark, target_name, source,
+                                   key, compare_cols, delete_match),
+        occ_retries, store, target_name)
 
 
 def _merge_upsert_once(store, spark, target_name: str, source: DataFrame,
@@ -395,16 +389,10 @@ def scd0_insert(store, spark, target_name: str, source: DataFrame,
     (``occ_retries``, the merge_upsert convention) — note the
     plain-table path appends through an anti-join of the CURRENT
     snapshot, so it is not a blind append and can conflict."""
-    from ..store import ConcurrentCommitError
-
     source = store.stabilize(source)
-    for attempt in range(occ_retries + 1):
-        try:
-            return _scd0_insert_once(store, spark, target_name, source, key)
-        except ConcurrentCommitError:
-            if attempt == occ_retries:
-                raise
-    raise AssertionError("unreachable")
+    return _occ_retry(
+        lambda: _scd0_insert_once(store, spark, target_name, source, key),
+        occ_retries, store, target_name)
 
 
 def _scd0_insert_once(store, spark, target_name: str, source: DataFrame,
@@ -559,17 +547,11 @@ def scd3_upsert(store, spark, target_name: str, source: DataFrame,
     the first load into an empty table is a pure append with NULL prev
     columns. Lost OCC races re-derive against the winner's state
     (``occ_retries``, the merge_upsert convention)."""
-    from ..store import ConcurrentCommitError
-
     source = store.stabilize(source)
-    for attempt in range(occ_retries + 1):
-        try:
-            return _scd3_upsert_once(store, spark, target_name, source,
-                                     key, compare_cols, track)
-        except ConcurrentCommitError:
-            if attempt == occ_retries:
-                raise
-    raise AssertionError("unreachable")
+    return _occ_retry(
+        lambda: _scd3_upsert_once(store, spark, target_name, source,
+                                  key, compare_cols, track),
+        occ_retries, store, target_name)
 
 
 def _scd3_upsert_once(store, spark, target_name: str, source: DataFrame,
@@ -608,31 +590,51 @@ def _scd3_upsert_once(store, spark, target_name: str, source: DataFrame,
                         read_version=read_version)
 
 
-def _occ_retry(fn, occ_retries: int):
+#: Lost optimistic races a writer absorbs before falling back to the
+#: table's exclusive derivation lock (store.exclusive_writer). Three
+#: free-running attempts resolve transient contention; past that, the
+#: writer is losing a sustained race and escalates.
+_EXCLUSIVE_AFTER = 3
+
+
+def _occ_retry(fn, occ_retries: int, store=None, table: str | None = None):
     """Run a snapshot-read → derive → commit closure, re-deriving
     against the new current state on each lost optimistic race (the
     merge_upsert convention, shared by the WHERE-DML statements —
     deterministic predicates/assignments make the re-run exactly the
     as-if-serial statement).
 
-    Lost races back off with RANDOMIZED, exponentially-capped jitter
-    before re-deriving: with N contending writers a zero-delay retry
-    storm re-derives in lockstep and can starve a writer indefinitely
-    (measured by tools/bench_occ_soak.py at 6 writers on one hot
-    bucket — retry depths past 24 before this backoff landed). The
-    jitter desynchronizes contenders — the standard OCC remedy
-    (Delta/Snowflake commit retries do the same) — at a cost capped
-    well below one re-derivation, so uncontended retries stay cheap.
-    The sleep never affects results: the re-run re-reads the current
-    snapshot whenever it happens."""
+    Two anti-starvation layers, both measured in by
+    tools/bench_occ_soak.py (6 writers on one hot bucket drove retry
+    depths to 59 of a 100 budget with neither):
+
+    - lost races back off with RANDOMIZED, exponentially-capped jitter
+      before re-deriving — zero-delay retry storms re-derive in
+      lockstep (the standard OCC remedy; Delta/Snowflake commit
+      retries do the same), at a cost capped well below one
+      re-derivation so uncontended retries stay cheap;
+    - after ``_EXCLUSIVE_AFTER`` lost races the writer goes PESSIMISTIC:
+      the remaining attempts run under ``store.exclusive_writer(table)``
+      — commits by others are gated out for the duration of ONE
+      derivation, so the first locked attempt validates cleanly and
+      retry depth is bounded by the threshold, not by contention.
+
+    Neither layer affects results: the re-run re-reads the current
+    snapshot whenever (and under whatever lock) it happens."""
+    import contextlib
     import random
     import time as _time
 
     from ..store import ConcurrentCommitError
 
     for attempt in range(occ_retries + 1):
+        exclusive = (store is not None and table is not None
+                     and attempt >= _EXCLUSIVE_AFTER)
+        ctx = (store.exclusive_writer(table) if exclusive
+               else contextlib.nullcontext())
         try:
-            return fn()
+            with ctx:
+                return fn()
         except ConcurrentCommitError:
             if attempt == occ_retries:
                 raise
@@ -702,7 +704,7 @@ def delete_where(store, spark, target_name: str, predicate,
         return store.commit(target_name, current.filter(~pred),
                             changes=changes, read_version=read_version)
 
-    return _occ_retry(attempt, occ_retries)
+    return _occ_retry(attempt, occ_retries, store, target_name)
 
 
 def update_where(store, spark, target_name: str, predicate,
@@ -807,4 +809,4 @@ def update_where(store, spark, target_name: str, predicate,
     # fresh single-evaluation stabilizations) against the winner's
     # state — deterministic predicate + assignments make the retry the
     # as-if-serial UPDATE.
-    return _occ_retry(attempt, occ_retries)
+    return _occ_retry(attempt, occ_retries, store, target_name)

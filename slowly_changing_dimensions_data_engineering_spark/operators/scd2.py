@@ -198,7 +198,7 @@ def merge_from_stream(store, spark, staging_name: str, base_name: str,
         return scd2_merge(store, spark, staging_name, stream, key, now,
                           offsets={consumer: consumed_to})
 
-    v = _occ_retry(attempt, occ_retries)
+    v = _occ_retry(attempt, occ_retries, store, staging_name)
     # Best-effort global mirror (retention bookkeeping only; the
     # authoritative watermark rode the staging commit's meta swap).
     consumed = store.get_offset(consumer, table=staging_name)

@@ -48,10 +48,12 @@ is unchanged.
 
 from __future__ import annotations
 
+import contextlib
 import fcntl
 import json
 import os
 import shutil
+import threading
 import time
 from typing import Iterable
 
@@ -163,6 +165,10 @@ class TableStore:
         self.root = root
         os.makedirs(os.path.join(root, "_meta"), exist_ok=True)
         os.makedirs(os.path.join(root, "_offsets"), exist_ok=True)
+        # Tables for which THIS thread holds the exclusive-writer
+        # derivation lock (see exclusive_writer) — lets the holder's own
+        # commit skip the shared gate instead of self-deadlocking.
+        self._tl = threading.local()
 
     @staticmethod
     def stabilize(df: DataFrame, mode: str | None = None) -> DataFrame:
@@ -186,6 +192,66 @@ class TableStore:
 
     def _meta_path(self, name: str) -> str:
         return os.path.join(self.root, "_meta", f"{name}.json")
+
+    def _derive_lock_path(self, name: str) -> str:
+        return self._meta_path(name) + ".derive.lock"
+
+    @staticmethod
+    def _flock_timeout(fd: int, op: int, what: str) -> None:
+        """Acquire ``op`` (LOCK_SH/LOCK_EX) on ``fd`` with the store's
+        standard bounded wait — same contract as the meta lock: advisory
+        kernel flock, released on fd close (including crash)."""
+        t0 = time.time()
+        while True:
+            try:
+                fcntl.flock(fd, op | fcntl.LOCK_NB)
+                return
+            except OSError:
+                if time.time() - t0 > LOCK_TIMEOUT_SECS:
+                    raise TimeoutError(
+                        f"{what} busy for {LOCK_TIMEOUT_SECS:.0f}s")
+                time.sleep(0.005)
+
+    @contextlib.contextmanager
+    def exclusive_writer(self, name: str):
+        """Pessimistic fallback for writers losing repeated optimistic
+        races: hold the table's DERIVATION lock (flock EX on a permanent
+        sidecar file) across a whole snapshot-read → derive → commit,
+        while every ordinary commit's pointer swap takes the same lock
+        SHARED for the microseconds of ``_swap_meta``. While the holder
+        derives, optimistic writers therefore finish in-flight swaps
+        but cannot land NEW commits — so the holder's first attempt
+        under the lock validates cleanly and its retry depth is bounded
+        by the fallback threshold, never by contention (the starvation
+        measured by tools/bench_occ_soak.py: depth 59 of a 100 budget
+        at 6 writers on one hot key, derivation being re-run outside
+        any lock each time).
+
+        Cost model: the uncontended path pays one extra SH flock per
+        commit (microseconds); the lock serializes commits only while a
+        fallback holder is actually deriving (seconds at bench scale —
+        SH waiters share the meta lock's LOCK_TIMEOUT_SECS bound, so a
+        derivation longer than that surfaces loudly rather than
+        wedging). Reentrancy: the holder's own commit skips the SH gate
+        via a thread-local (two opens of one file are DISTINCT flock
+        owners even in-process — the gate would self-deadlock). On
+        object storage this maps to a lease on the table's commit
+        service; single-writer-per-table deployments never touch it."""
+        held = getattr(self._tl, "exclusive", None)
+        if held is None:
+            held = self._tl.exclusive = set()
+        fd = os.open(self._derive_lock_path(name), os.O_CREAT | os.O_RDWR,
+                     0o644)
+        try:
+            self._flock_timeout(fd, fcntl.LOCK_EX,
+                                f"derivation lock for table {name!r}")
+            held.add(name)
+            try:
+                yield
+            finally:
+                held.discard(name)
+        finally:
+            os.close(fd)
 
     # ---- metadata --------------------------------------------------------
     def _read_meta(self, name: str) -> dict:
@@ -576,26 +642,36 @@ class TableStore:
         new inode both "hold the lock". On object storage this whole
         section is one compare-and-swap / conditional PUT of the
         pointer object."""
+        # Shared gate on the derivation lock (see exclusive_writer):
+        # while a pessimistic-fallback writer holds it EX, no other
+        # commit may land — the holder's derivation stays conflict-free.
+        # Lock order everywhere: derivation lock, THEN meta lock.
+        gate_fd = None
+        if name not in getattr(self._tl, "exclusive", ()):
+            gate_fd = os.open(self._derive_lock_path(name),
+                              os.O_CREAT | os.O_RDWR, 0o644)
+            try:
+                self._flock_timeout(
+                    gate_fd, fcntl.LOCK_SH,
+                    f"derivation lock for table {name!r} (commit gate)")
+            except BaseException:
+                os.close(gate_fd)
+                raise
         lock = self._meta_path(name) + ".lock"
-        fd = os.open(lock, os.O_CREAT | os.O_RDWR, 0o644)
-        t0 = time.time()
         try:
-            while True:
-                try:
-                    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
-                    break
-                except OSError:
-                    if time.time() - t0 > LOCK_TIMEOUT_SECS:
-                        raise TimeoutError(
-                            f"commit lock for table {name!r} busy for "
-                            f"{LOCK_TIMEOUT_SECS:.0f}s: {lock}")
-                    time.sleep(0.005)
-            fresh = self._read_meta(name)
-            ret = apply(fresh)
-            self._write_meta(name, fresh)
-            return ret
+            fd = os.open(lock, os.O_CREAT | os.O_RDWR, 0o644)
+            try:
+                self._flock_timeout(fd, fcntl.LOCK_EX,
+                                    f"commit lock for table {name!r}")
+                fresh = self._read_meta(name)
+                ret = apply(fresh)
+                self._write_meta(name, fresh)
+                return ret
+            finally:
+                os.close(fd)  # closing the fd releases the flock
         finally:
-            os.close(fd)  # closing the fd releases the flock
+            if gate_fd is not None:
+                os.close(gate_fd)
 
     @staticmethod
     def _denull(dt: T.DataType) -> T.DataType:

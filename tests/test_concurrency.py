@@ -661,3 +661,88 @@ def test_merge_from_stream_concurrent_writer_exact_once(
     v = store.version("staging")
     assert merge_from_stream(store, spark, "staging", "landing", "scd2",
                              scd2_key, t2) == v
+
+
+# ---- pessimistic fallback (exclusive derivation lock) ---------------------
+#
+# tools/bench_occ_soak.py measured retry depth 59 of a 100 budget at
+# just 6 writers on one hot key: free-running OCC re-derives OUTSIDE
+# any lock, so a slow loser can lose unboundedly many races. After
+# _EXCLUSIVE_AFTER lost races a writer escalates to the table's
+# derivation lock (flock EX held across derive+commit) while every
+# ordinary commit's pointer swap takes it SHARED — bounding depth at
+# the threshold without slowing the uncontended path.
+
+def test_occ_retry_escalates_to_exclusive(tmp_path):
+    """After _EXCLUSIVE_AFTER lost races _occ_retry runs the closure
+    under store.exclusive_writer: the closure observes the thread-local
+    holder mark, and the free-running attempts before it do not."""
+    from slowly_changing_dimensions_data_engineering_spark.operators.merge import (
+        _EXCLUSIVE_AFTER, _occ_retry,
+    )
+
+    store = TableStore(str(tmp_path))
+    seen: list[bool] = []
+
+    def fn():
+        exclusive = "t" in getattr(store._tl, "exclusive", ())
+        seen.append(exclusive)
+        if not exclusive:
+            raise ConcurrentCommitError("forced lost race")
+        return 42
+
+    assert _occ_retry(fn, 10, store, "t") == 42
+    assert seen == [False] * _EXCLUSIVE_AFTER + [True]
+    # the lock is RELEASED after the call: a fresh EX acquisition works
+    with store.exclusive_writer("t"):
+        pass
+    # without store/table the wrapper stays purely optimistic
+    seen.clear()
+    with pytest.raises(ConcurrentCommitError):
+        _occ_retry(fn, _EXCLUSIVE_AFTER + 2, None, None)
+    assert seen == [False] * (_EXCLUSIVE_AFTER + 3)
+
+
+def test_exclusive_writer_gates_other_commits(spark, tmp_path):
+    """While a fallback writer holds the derivation lock, another
+    writer's pointer swap BLOCKS at the shared gate and lands only
+    after release — and the holder's own commit passes the gate via
+    the thread-local (no self-deadlock)."""
+    import threading
+    import time as _time
+
+    store = TableStore(str(tmp_path))
+    store.create("t", schemas.SUPPLIER)
+    merge_upsert(store, spark, "t", _rows(spark, [0]), KEY, CMP)
+
+    done = threading.Event()
+    outcome: list[str] = []
+
+    def other_commit():
+        # snapshot-derived rewrite staged BEFORE reaching the gate
+        try:
+            store.commit("t", store.read(spark, "t"))
+            outcome.append("landed")
+        except ConcurrentCommitError:
+            outcome.append("conflict")
+        done.set()
+
+    with store.exclusive_writer("t"):
+        th = threading.Thread(target=other_commit)
+        th.start()
+        # give the other writer time to stage data and reach the gate
+        _time.sleep(2.0)
+        assert not done.is_set(), "commit crossed the EX gate"
+        # holder's own commit goes through (reentrancy via thread-local)
+        v_held = merge_upsert(store, spark, "t",
+                              _rows(spark, [1], state="held"), KEY, CMP)
+        assert v_held == store.version("t")
+    th.join()
+    assert done.is_set()
+    # the gated writer resumed only after release, and its stale
+    # snapshot-read rewrite then failed validation against the holder's
+    # commit — exactly the conflict the DML layer re-derives through
+    assert outcome == ["conflict"]
+    codes = {r["supplier_code"]
+             for r in store.read(spark, "t").collect()}
+    assert codes == {"S0", "S1"}
