@@ -125,6 +125,68 @@ def bm25_index_append(tf_dl_new: DataFrame, path: str) -> None:
      .write.mode("append").parquet(os.path.join(path, "globals")))
 
 
+def bm25_index_append_epoch(tf_dl_new: DataFrame, path: str,
+                            epoch: int) -> None:
+    """EXACTLY-ONCE variant of :func:`bm25_index_append` for streaming
+    sinks (streaming/bm25_stream.py): a blind parquet append replayed
+    after a crash-in-the-commit-window doubles the batch's tf rows, so
+    instead the batch is (1) written to a per-epoch STAGING dir with
+    ``mode=overwrite`` — re-running the same epoch re-stages
+    idempotently — then (2) PUBLISHED by moving each staged file into
+    the shared bucket dirs under a deterministic ``epoch{N}-`` name,
+    after first deleting any ``epoch{N}-`` leftovers a crashed half
+    -publish left behind. Every crash point therefore replays to the
+    same visible state: stage-overwrite wipes a torn staging, the
+    pre-move sweep wipes a torn publish, and a fully-committed epoch is
+    never replayed at all (the stream checkpoint's contract). The
+    first epoch bootstraps the index implicitly — publishing into
+    empty dirs IS the build, so there is no separate overwrite-mode
+    bootstrap step left to race a replay against.
+
+    Layout is unchanged (postings/stats partitioned by tbkt, a globals
+    partial row per batch): Spark reads the moved files through normal
+    partition discovery, bucket pruning included, and
+    :func:`bm25_query_slice` needs no changes. Probes concurrent with
+    a publish can see a partial epoch for its duration — the same
+    torn-read window blind appends had, acceptable for a single-writer
+    stream."""
+    import shutil
+
+    staging = os.path.join(path, "_staging", f"epoch-{epoch}")
+    p = tf_dl_new.withColumn("tbkt", _tbkt(F.col("token")))
+    (p.repartition("tbkt")
+     .write.mode("overwrite").partitionBy("tbkt")
+     .parquet(os.path.join(staging, "postings")))
+    (p.groupBy("tbkt", "token").agg(F.count("*").alias("df_part"))
+     .repartition("tbkt")
+     .write.mode("overwrite").partitionBy("tbkt")
+     .parquet(os.path.join(staging, "stats")))
+    (tf_dl_new.groupBy("cid").agg(F.first("dl").alias("dl"))
+     .agg(F.count("*").alias("nc_part"), F.sum("dl").alias("tot_part"))
+     .write.mode("overwrite").parquet(os.path.join(staging, "globals")))
+
+    prefix = f"epoch{epoch}-"
+    for sub in ("postings", "stats", "globals"):
+        dest = os.path.join(path, sub)
+        # sweep a crashed half-publish of THIS epoch before re-publishing
+        if os.path.isdir(dest):
+            for root_dir, _dirs, files in os.walk(dest):
+                for f in files:
+                    if f.startswith(prefix):
+                        os.remove(os.path.join(root_dir, f))
+        src = os.path.join(staging, sub)
+        for root_dir, _dirs, files in os.walk(src):
+            rel = os.path.relpath(root_dir, src)
+            out_dir = dest if rel == "." else os.path.join(dest, rel)
+            parquets = sorted(f for f in files if f.endswith(".parquet"))
+            if parquets:
+                os.makedirs(out_dir, exist_ok=True)
+            for i, f in enumerate(parquets):
+                os.replace(os.path.join(root_dir, f),
+                           os.path.join(out_dir, f"{prefix}{i}.parquet"))
+    shutil.rmtree(staging, ignore_errors=True)
+
+
 def bm25_query_slice(spark: SparkSession, path: str,
                      query_tokens: list[str]) -> DataFrame:
     """The query-term slice of the stored index, scored under the

@@ -17,9 +17,13 @@ read-modify-write of stored lists). This module wires that append into
   contract every streaming module here shares), so a document's
   postings land at most once across clean restarts;
 - every micro-batch is ONE tokenize + term-frequency pass over the
-  batch rows followed by the partitioned append; batch 0 bootstraps an
-  absent index via ``bm25_build_index`` (same layout, overwrite mode —
-  idempotent if a crash interrupts the bootstrap);
+  batch rows followed by an EPOCH-STAGED publish
+  (``bm25_index_append_epoch``): the batch lands in a per-epoch staging
+  dir (overwrite — replay-idempotent) and is then moved into the
+  bucket dirs under deterministic ``epoch{N}-`` file names, sweeping
+  any half-published leftovers of the same epoch first. The first
+  epoch's publish into empty dirs IS the bootstrap — no separate
+  overwrite-mode build step exists to race a replay against;
 - searches between batches go through the standard probe
   (``bm25_query_slice``): scores are computed AT PROBE TIME under the
   CURRENT aggregated corpus statistics, so every stored posting
@@ -38,18 +42,17 @@ append; stored postings are never re-read on growth; the probe reads
 Σ df(query terms) rows through bucket-pruned listings, independent of
 corpus size.
 
-Delivery contract, precisely: SOURCE consumption is exactly-once (the
-checkpoint's file offsets commit per epoch), but the parquet-append
-SINK is at-least-once — a crash in the window after an append finishes
-but before its epoch commits replays that batch's postings on restart
-(doubling those tf rows). Clean stops/restarts (the driver-checked
-path) are duplicate-free; an exactly-once sink would need epoch-tagged
-staging dirs moved in atomically.
+Delivery contract, precisely: EXACTLY-ONCE end to end. Source
+consumption is exactly-once (the checkpoint's file offsets commit per
+epoch), and the sink replays idempotently: a crash in the window after
+a publish finishes but before its epoch commits re-runs
+``bm25_index_append_epoch`` with the SAME epoch id, whose pre-publish
+sweep of that epoch's deterministic file names makes the replay
+converge to the identical visible state instead of doubling tf rows
+(regression: tests/test_streaming.py crash-replay drill).
 """
 
 from __future__ import annotations
-
-import os
 
 from pyspark.sql import SparkSession
 from pyspark.sql import types as T
@@ -60,15 +63,6 @@ DOC_SCHEMA = T.StructType([
     T.StructField("doc_id", T.LongType()),
     T.StructField("text", T.StringType()),
 ])
-
-
-def _index_initialized(index_path: str) -> bool:
-    """The index exists once bm25_build_index wrote ≥1 token-bucket
-    partition under postings/ (an empty/missing dir is the bootstrap
-    case — parquet cannot even infer a schema from it)."""
-    postings = os.path.join(index_path, "postings")
-    return os.path.isdir(postings) and any(
-        d.startswith("tbkt=") for d in os.listdir(postings))
 
 
 def start_streaming_bm25_index(
@@ -92,8 +86,7 @@ def start_streaming_bm25_index(
     — probe scores always reflect the statistics of everything appended
     so far (append ≡ rebuild)."""
     from ..operators.bm25 import (
-        bm25_build_index, bm25_index_append, bm25_term_freqs,
-        bm25_tokenize_documents,
+        bm25_index_append_epoch, bm25_term_freqs, bm25_tokenize_documents,
     )
 
     src = spark.readStream.schema(schema).json(input_dir)
@@ -104,10 +97,7 @@ def start_streaming_bm25_index(
         tf = bm25_term_freqs(bm25_tokenize_documents(
             batch_df, chunk_chars=chunk_chars, overlap=overlap,
             id_col=id_col, text_col=text_col))
-        if not _index_initialized(index_path):
-            bm25_build_index(tf, index_path)
-        else:
-            bm25_index_append(tf, index_path)
+        bm25_index_append_epoch(tf, index_path, epoch_id)
 
     writer = (src.writeStream.foreachBatch(process_batch)
               .option("checkpointLocation", checkpoint))

@@ -996,3 +996,45 @@ def test_streaming_backdate_restart_exactly_once_and_idempotent(
     write_corr("c2.json", [("A", "OR", "2024-01-15 00:00:00")])
     run()
     assert chain() == before
+
+
+def test_streaming_bm25_epoch_publish_replay_is_exactly_once(spark, tmp_path):
+    """bm25_index_append_epoch: a replay of the SAME epoch (the
+    crash-in-commit-window case the stream checkpoint produces)
+    converges to the identical visible index state — including from a
+    torn half-publish — instead of doubling the batch's tf rows the way
+    a blind parquet append would."""
+    from slowly_changing_dimensions_data_engineering_spark.operators.bm25 import (
+        bm25_index_append_epoch, bm25_query_slice, bm25_term_freqs,
+        bm25_tokenize_documents,
+    )
+
+    idx = str(tmp_path / "idx")
+    docs0 = spark.createDataFrame([(1, "alpha beta alpha"),
+                                   (2, "beta gamma")], ["doc_id", "text"])
+    docs1 = spark.createDataFrame([(3, "alpha delta")], ["doc_id", "text"])
+    tf0 = bm25_term_freqs(bm25_tokenize_documents(docs0))
+    tf1 = bm25_term_freqs(bm25_tokenize_documents(docs1))
+
+    def snap():
+        rows = bm25_query_slice(spark, idx, ["alpha", "beta"]).collect()
+        return sorted((r["cid"], r["token"], r["contrib"]) for r in rows)
+
+    bm25_index_append_epoch(tf0, idx, 0)   # first publish bootstraps
+    bm25_index_append_epoch(tf1, idx, 1)
+    want = snap()
+    assert {c for c, _t, _v in want} == {100, 200, 300}
+
+    # clean replay of epoch 1 (append finished, checkpoint didn't)
+    bm25_index_append_epoch(tf1, idx, 1)
+    assert snap() == want
+    # torn half-publish: one of epoch 1's published files is missing
+    ep1 = [os.path.join(r, f)
+           for r, _d, fs in os.walk(os.path.join(idx, "postings"))
+           for f in fs if f.startswith("epoch1-")]
+    assert ep1, "expected epoch-tagged posting files"
+    os.remove(ep1[0])
+    bm25_index_append_epoch(tf1, idx, 1)   # replay heals the tear
+    assert snap() == want
+    # no staging leftovers
+    assert not os.path.isdir(os.path.join(idx, "_staging", "epoch-1"))

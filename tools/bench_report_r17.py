@@ -47,9 +47,15 @@ WATCH_R17 = [
 ]
 
 FAMILIES = {
+    # Everything gated on _CLS_TRAIN_CACHE: the first runner carries
+    # the 6-round training; board rotation reshuffles which one that
+    # is, so only the JOINT total is cross-round comparable (the r17
+    # sf0.1 "quality_rank_fusion 2.4x" was exactly this reshuffle).
     "classifier_train": [
         "classifier_train_rounds", "classifier_train_weights",
-        "classifier_trained_scores", "classifier_calibration_bins"],
+        "classifier_trained_scores", "classifier_calibration_bins",
+        "curriculum_quality_shards", "quality_rank_fusion",
+        "pretraining_funnel_v2", "streaming_trained_scores"],
     "classifier_minibatch": [
         "classifier_train_minibatch", "classifier_minibatch_weights"],
     "tokenizer_train": [
