@@ -92,18 +92,35 @@ def bm25_build_index(tf_dl: DataFrame, path: str) -> None:
     (``bm25_term_freqs`` output). Clustered by token bucket before the
     partitioned write — the same repartition-before-partitionBy rule
     every stored index here follows (without it each shuffle task
-    emits a file into every bucket dir)."""
+    emits a file into every bucket dir).
+
+    The corpus lineage behind ``tf_dl`` (tokenize + tf aggregate) is
+    evaluated exactly ONCE — for the postings write; the stats and
+    globals components are derived from the just-written postings
+    parquet (r17: the three writes used to re-run the unmaterialized
+    corpus pass each, 3 tokenize passes per build)."""
     p = tf_dl.withColumn("tbkt", _tbkt(F.col("token")))
     (p.repartition("tbkt")
      .write.mode("overwrite").partitionBy("tbkt")
      .parquet(os.path.join(path, "postings")))
-    (p.groupBy("tbkt", "token").agg(F.count("*").alias("df_part"))
+    stored = tf_dl.sparkSession.read.parquet(os.path.join(path, "postings"))
+    _write_derived_components(stored, path, mode="overwrite")
+
+
+def _write_derived_components(postings: DataFrame, path: str,
+                              mode: str) -> None:
+    """Derive + write the stats and globals components from a
+    materialized postings frame (stored parquet or a cached batch):
+    per-(bucket, token) df partials and the (nc, tot) global partial
+    row. Readers aggregate partials, so ``mode`` is "append" for
+    growth and "overwrite" for a fresh build."""
+    (postings.groupBy("tbkt", "token").agg(F.count("*").alias("df_part"))
      .repartition("tbkt")
-     .write.mode("overwrite").partitionBy("tbkt")
+     .write.mode(mode).partitionBy("tbkt")
      .parquet(os.path.join(path, "stats")))
-    (tf_dl.groupBy("cid").agg(F.first("dl").alias("dl"))
+    (postings.groupBy("cid").agg(F.first("dl").alias("dl"))
      .agg(F.count("*").alias("nc_part"), F.sum("dl").alias("tot_part"))
-     .write.mode("overwrite").parquet(os.path.join(path, "globals")))
+     .write.mode(mode).parquet(os.path.join(path, "globals")))
 
 
 def bm25_index_append(tf_dl_new: DataFrame, path: str) -> None:
@@ -113,16 +130,18 @@ def bm25_index_append(tf_dl_new: DataFrame, path: str) -> None:
     profile. Caller guarantees the batch's cids are NEW (chunks are
     immutable; re-appending a cid would double its postings)."""
     p = tf_dl_new.withColumn("tbkt", _tbkt(F.col("token")))
-    (p.repartition("tbkt")
-     .write.mode("append").partitionBy("tbkt")
-     .parquet(os.path.join(path, "postings")))
-    (p.groupBy("tbkt", "token").agg(F.count("*").alias("df_part"))
-     .repartition("tbkt")
-     .write.mode("append").partitionBy("tbkt")
-     .parquet(os.path.join(path, "stats")))
-    (tf_dl_new.groupBy("cid").agg(F.first("dl").alias("dl"))
-     .agg(F.count("*").alias("nc_part"), F.sum("dl").alias("tot_part"))
-     .write.mode("append").parquet(os.path.join(path, "globals")))
+    # One evaluation of the batch lineage for all three components: the
+    # appended postings can't be re-read selectively (they land in the
+    # shared bucket dirs), so pin the batch frame across the writes
+    # (r17 — previously each write re-ran the batch tokenize pass).
+    p = p.persist()
+    try:
+        (p.repartition("tbkt")
+         .write.mode("append").partitionBy("tbkt")
+         .parquet(os.path.join(path, "postings")))
+        _write_derived_components(p, path, mode="append")
+    finally:
+        p.unpersist()
 
 
 def bm25_index_append_epoch(tf_dl_new: DataFrame, path: str,
@@ -157,11 +176,16 @@ def bm25_index_append_epoch(tf_dl_new: DataFrame, path: str,
     (p.repartition("tbkt")
      .write.mode("overwrite").partitionBy("tbkt")
      .parquet(os.path.join(staging, "postings")))
-    (p.groupBy("tbkt", "token").agg(F.count("*").alias("df_part"))
+    # stats/globals derive from the STAGED postings parquet (private to
+    # this epoch, so the read-back sees exactly the batch) — one
+    # evaluation of the batch tokenize lineage per epoch, not three.
+    staged = tf_dl_new.sparkSession.read.parquet(
+        os.path.join(staging, "postings"))
+    (staged.groupBy("tbkt", "token").agg(F.count("*").alias("df_part"))
      .repartition("tbkt")
      .write.mode("overwrite").partitionBy("tbkt")
      .parquet(os.path.join(staging, "stats")))
-    (tf_dl_new.groupBy("cid").agg(F.first("dl").alias("dl"))
+    (staged.groupBy("cid").agg(F.first("dl").alias("dl"))
      .agg(F.count("*").alias("nc_part"), F.sum("dl").alias("tot_part"))
      .write.mode("overwrite").parquet(os.path.join(staging, "globals")))
 

@@ -3674,7 +3674,8 @@ def _bm25_contrib_index(spark: SparkSession, sf_dir: str):
             toks = json.load(fh)
     else:  # pre-r16 artifact without the token component
         toks = _query_tokens()
-    contrib_idx = stabilize(bm25_query_slice(spark, root, toks))
+    contrib_idx = stabilize(bm25_query_slice(spark, root, toks),
+                            eager=True)
     # qterms re-rooted on the contrib checkpoint (query chunks contain
     # their own tokens, so the slice covers them) — the cached pair
     # must reference ONE pinned checkpoint.
@@ -3821,7 +3822,7 @@ def bm25_index_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = [r["token"] for r in
             (_bm25_tokens(qd).filter(F.col("cid").isin(*_CHUNK_QUERY_IDS))
              .select("token").distinct().collect())]
-    contrib = stabilize(bm25_query_slice(spark, root, toks))
+    contrib = stabilize(bm25_query_slice(spark, root, toks), eager=True)
     qterms = (contrib.filter(F.col("cid").isin(*_CHUNK_QUERY_IDS))
               .select(F.col("cid").alias("qid"), "token"))
     return _bm25_topk(spark, sf_dir, k=10, index=(contrib, qterms))
@@ -3895,7 +3896,8 @@ def streaming_bm25_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = [r["token"] for r in
             (_bm25_tokens(qd).filter(F.col("cid").isin(*_CHUNK_QUERY_IDS))
              .select("token").distinct().collect())]
-    contrib = stabilize(bm25_query_slice(spark, index_path, toks))
+    contrib = stabilize(bm25_query_slice(spark, index_path, toks),
+                        eager=True)
     qterms = (contrib.filter(F.col("cid").isin(*_CHUNK_QUERY_IDS))
               .select(F.col("cid").alias("qid"), "token"))
     return _bm25_topk(spark, sf_dir, k=10, index=(contrib, qterms))

@@ -68,15 +68,25 @@ def configure(spark: SparkSession) -> SparkSession:
 STABILIZE_MODE_CONF = "spark.sds.stabilize.mode"
 
 
-def stabilize(df, mode: str | None = None):
+def stabilize(df, mode: str | None = None, eager: bool = False):
     """Materialize-once barrier for plans with multiple consumers or
     iterative self-reference. Strategy comes from ``mode`` or the
-    session conf ``spark.sds.stabilize.mode`` (see above)."""
+    session conf ``spark.sds.stabilize.mode`` (see above).
+
+    ``eager=True`` materializes the checkpoint blocks NOW instead of on
+    the first downstream action. Use it when the stabilized frame feeds
+    several BROADCAST builds: broadcast-exchange jobs are planned and
+    run before the main job touches the lazy checkpoint, so each
+    broadcast re-derives the full upstream lineage (measured r17: the
+    BM25 probe's pruning metadata re-ran the stored-index scan+join
+    slice per broadcast — 22.8s → ~10s with the blocks pinned first).
+    Lazy remains the default: single-consumer frames would pay an extra
+    job for nothing."""
     mode = mode or df.sparkSession.conf.get(STABILIZE_MODE_CONF, "local")
     if mode == "local":
-        return df.localCheckpoint(eager=False)
+        return df.localCheckpoint(eager=eager)
     if mode == "reliable":
-        return df.checkpoint(eager=False)
+        return df.checkpoint(eager=eager)
     if mode == "none":
         return df
     raise ValueError(
