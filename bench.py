@@ -49,6 +49,12 @@ def main():
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    # SPARK_GRAFT_PRETOUCH=1 pre-touches the driver heap at JVM start
+    # (session._driver_java_options) — on lazily-backed sandbox memory
+    # it collapses single-query variance (BENCH_NOTES "r17: the
+    # variance root cause"), but suite-level A/B was inconclusive
+    # because the host's page-backing rate itself drifts 2-10x, so it
+    # stays OPT-IN rather than a bench default.
     m = re.search(r"sf([\d.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 

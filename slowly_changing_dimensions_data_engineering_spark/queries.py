@@ -7655,6 +7655,23 @@ def _attr_slice_df(ev: DataFrame, sl) -> DataFrame:
     return ev.filter(F.to_date("ts").between(F.lit(sl[0]), F.lit(sl[1])))
 
 
+def _stream_state_partitions(spark: SparkSession, n_rows: int) -> int:
+    """Shuffle width for the stream-stream join drills' STATE STORES,
+    derived from the stream's input size (guide rule: scale-adaptive,
+    never a constant tuned to one box). Every micro-batch commits a
+    delta file per state store per shuffle partition — the
+    stream-stream join keeps FOUR stores — so an oversized width is
+    pure file-churn: at sf0.1 (100k events over ~14 micro-batches)
+    the drill measured 13-20s at 8 partitions vs 8.7-10s at the
+    derived 2. One partition per ~50k input rows keeps per-partition
+    state small at scale (sf10: 10M rows → the full core count) while
+    a toy stream stops paying 32 stores' worth of commit fsyncs per
+    batch; clamped to defaultParallelism exactly like a cluster
+    deployment sizing state width to its executor cores."""
+    return max(1, min(spark.sparkContext.defaultParallelism,
+                      n_rows // 50_000))
+
+
 def _stream_join_out(spark: SparkSession, sf_dir: str) -> str:
     """Drive streaming/join_stream.py end-to-end on the events table:
 
@@ -7711,17 +7728,20 @@ def _stream_join_out(spark: SparkSession, sf_dir: str) -> str:
         for d in (c_dir, p_dir):
             os.utime(os.path.join(d, f"load{i}.json"), (t, t))
 
+    n_ev = ev.count()  # sizes the state width; one bounded aggregate
+
     def run_stream() -> None:
         # The stream-stream join keeps FOUR state stores (two per side)
         # and every micro-batch commits a delta file per store per
-        # shuffle partition — at the drill's ~14 micro-batches, the
-        # session's 32 partitions are pure state-store file churn
-        # (measured 31s -> the bounded setting below at sf0.1). Pin the
-        # state partition count at checkpoint creation (restarts reuse
-        # the checkpointed value); a cluster deployment sizes this to
-        # its key cardinality, not to the analytics shuffle width.
+        # shuffle partition — at the drill's ~14 micro-batches, an
+        # oversized width is pure state-store file churn (measured r17
+        # at sf0.1: 13-20s at 8 partitions, 8.7-10s at the derived 2).
+        # Width derives from the input size (_stream_state_partitions)
+        # and is pinned at checkpoint creation (restarts reuse the
+        # checkpointed value).
         old = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(_stream_state_partitions(spark, n_ev)))
         try:
             q = start_click_attribution(
                 spark, c_dir, p_dir, out, ckpt, schema,
@@ -7851,10 +7871,13 @@ def _stream_join_outer_out(spark: SparkSession, sf_dir: str) -> str:
         schema="event_id long, ts timestamp, user_id long, "
                "event_type string, value double")
 
+    n_ev = ev.count()  # sizes the state width; one bounded aggregate
+
     def run_stream() -> None:
-        # see _stream_join_out: bound the state-store partition count
+        # see _stream_join_out: size the state-store width to the input
         old = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(_stream_state_partitions(spark, n_ev)))
         try:
             q = start_click_attribution(
                 spark, c_dir, p_dir, out, ckpt, schema,

@@ -93,6 +93,33 @@ def stabilize(df, mode: str | None = None, eager: bool = False):
         f"{STABILIZE_MODE_CONF}={mode!r}: expected local|reliable|none")
 
 
+def _driver_mem() -> str:
+    return os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g")
+
+
+def _driver_java_options() -> str | None:
+    """Optional launch-time JVM options for the local-mode driver.
+
+    ``SPARK_GRAFT_PRETOUCH=1`` adds ``-Xms<heap> -XX:+AlwaysPreTouch``:
+    the JVM touches every heap page at startup instead of on first
+    allocation. Measured r17 (BENCH_NOTES "r17: the variance root
+    cause"): this sandbox class backs guest memory lazily and unbacks
+    freed pages, so each first touch of a fresh heap page stalls in
+    host-side backing (6-90 s/GiB, worst under concurrent faults from
+    32 task threads — kernel-time storms that inflated random queries
+    by 5-30 s). Pre-touching moves that one-time cost to session
+    startup, outside any timed region, and pins the heap resident for
+    the process lifetime; per-query variance collapsed (substring probe
+    9.8/20.9/3.4/3.1/2.8 s → 2.4-2.8 s flat). Off by default: tests and
+    short-lived sessions should not pay a multi-minute startup; the
+    bench (one long process, timing-sensitive) opts in. On a real
+    cluster the same flags are the standard latency-sensitive executor
+    deployment practice."""
+    if os.environ.get("SPARK_GRAFT_PRETOUCH") != "1":
+        return None
+    return f"-Xms{_driver_mem()} -XX:+AlwaysPreTouch"
+
+
 def get_spark(app_name: str = "sds-spark-engine", cpus: int | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
     """Build (or fetch) the engine SparkSession.
@@ -119,8 +146,7 @@ def get_spark(app_name: str = "sds-spark-engine", cpus: int | None = None,
         # still a quarter of the target box and matches the
         # 32-thread × ~1g/task executor-sizing rule a real cluster
         # would get per its executor JVMs.
-        .config("spark.driver.memory",
-                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        .config("spark.driver.memory", _driver_mem())
         # Broadcast threshold stays at the PRODUCTION DEFAULT (10MB),
         # deliberately. An earlier 64MB setting let size estimates
         # implicit-broadcast fact-scale frames at sf1 (a pruned 6M-row
@@ -134,6 +160,9 @@ def get_spark(app_name: str = "sds-spark-engine", cpus: int | None = None,
         # nothing while the plan shape is the one that survives 100×.
         .config("spark.sql.autoBroadcastJoinThreshold", str(10 * 1024 * 1024))
     )
+    opts = _driver_java_options()
+    if opts:
+        builder = builder.config("spark.driver.extraJavaOptions", opts)
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
     spark = configure(builder.getOrCreate())
