@@ -2593,7 +2593,7 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     vs whitespace counts, with word/number class breakdown — the token
     budget arithmetic of an LLM data pipeline, all JVM-side."""
     from .operators.text import bpe_ish_tokens
-    d = _t(spark, sf_dir, "documents")["documents"]
+    d = _spread(spark, _t(spark, sf_dir, "documents")["documents"])
     t = bpe_ish_tokens("text")
     return d.select(
         "doc_id",
@@ -2662,7 +2662,7 @@ def corpus_curation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scan feeds scoring, the dedup is one hash shuffle on the
     fingerprint, and the final global agg is a 1-row reduce."""
     from .operators.text import quality_score
-    d = _t(spark, sf_dir, "documents")["documents"]
+    d = _spread(spark, _t(spark, sf_dir, "documents")["documents"])
     scored = d.select(
         "doc_id",
         F.md5("text").alias("fp"),
@@ -4295,7 +4295,7 @@ def repetition_signals_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     two map-side-combinable groupBys (see operators/text.py:
     bigram_repetition for the O(len²) alternative it avoids)."""
     from .operators.text import bigram_repetition
-    d = _t(spark, sf_dir, "documents")["documents"]
+    d = _spread(spark, _t(spark, sf_dir, "documents")["documents"])
     return bigram_repetition(d)
 
 
@@ -4938,7 +4938,7 @@ def token_freq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the top-k is TakeOrderedAndProject over the aggregated frame — at
     100 TB the shuffle carries the vocabulary (millions of rows), not
     the corpus token stream (trillions)."""
-    d = _t(spark, sf_dir, "documents")["documents"]
+    d = _spread(spark, _t(spark, sf_dir, "documents")["documents"])
     return (d.select(F.explode(F.split(F.trim("text"), " ")).alias("token"))
             .filter(F.col("token") != "")
             .groupBy("token").agg(F.count("*").alias("n"))
@@ -5382,7 +5382,8 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ties break on the token. At 100 TB the only corpus-sized shuffle is
     the (doc, token) aggregation — df and the argmax ride frames
     bounded by |vocab| and |doc terms|."""
-    d = _t(spark, sf_dir, "documents")["documents"].filter("doc_id % 5 = 0")
+    d = _spread(spark, _t(spark, sf_dir, "documents")["documents"]
+                .filter("doc_id % 5 = 0"))
     tf = (d.select("doc_id",
                    F.explode(F.split(F.trim("text"), " ")).alias("token"))
           .filter(F.col("token") != "")
@@ -5507,7 +5508,7 @@ def lm_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc aggregation. Determinism: per-token logp is rounded to 9
     before the per-doc mean, and the mean accumulates in exact decimal,
     so partial-aggregation order cannot wiggle a gate decision."""
-    d = _t(spark, sf_dir, "documents")["documents"]
+    d = _spread(spark, _t(spark, sf_dir, "documents")["documents"])
     t = (d.select("doc_id",
                   F.explode(F.split(F.trim("text"), " ")).alias("token"))
          .filter(F.col("token") != ""))
@@ -7118,7 +7119,7 @@ def _lm_ngram_perplexity(spark: SparkSession, sf_dir: str, order: int,
     the LM table is never broadcast by construction), plus one
     token-distinct pass for V. order=2 reproduces the registered
     bigram plan exactly (ledger-pinned)."""
-    d = _t(spark, sf_dir, "documents")["documents"]
+    d = _spread(spark, _t(spark, sf_dir, "documents")["documents"])
     toks = F.split(F.trim(F.col("text")), " ")
     # sequence(1, n) DESCENDS for n < 1 — guard with an empty list for
     # docs under `order` tokens (positional_shingles convention)
