@@ -659,15 +659,25 @@ def _blas_block_pairs(blocked: DataFrame, threshold: float,
             return pd.DataFrame({"v1": pd.Series(dtype="int64"),
                                  "v2": pd.Series(dtype="int64"),
                                  "cosine": pd.Series(dtype="float64")})
-        dims = pdf["_v"].map(len)
-        d = int(dims.iat[0])
-        if (dims != d).any():
-            bad = sorted(int(x) for x in dims.unique())
+        # Ragged detection rides the numpy conversion the scorer pays
+        # anyway (VERDICT r17 #4: the first cut ran a Python-object
+        # pdf["_v"].map(len) pass over every row of every block BEFORE
+        # the vectorized path — ~2.4s of added floor at sf0.1): a
+        # uniform block converts to a 2-D float64 array in one shot;
+        # ragged input either raises (numpy >= 1.24) or lands as a 1-D
+        # object array, and only THAT error path pays per-row lens for
+        # the diagnostic.
+        try:
+            X = np.asarray(pdf["_v"].tolist(), dtype=np.float64)
+        except ValueError:
+            X = None
+        if X is None or X.ndim != 2:
+            bad = sorted({int(len(v)) for v in pdf["_v"]})
             raise ValueError(
                 f"blas scorer: ragged embedding dimensions {bad} within "
                 f"one block — a uniform dimension is required (matmul is "
                 f"undefined on ragged input; fix the upstream vectors)")
-        X = np.array(pdf["_v"].tolist(), dtype=np.float64)
+        d = X.shape[1]
         nrm = np.sqrt(np.einsum("ij,ij->i", X, X))
         if not np.all(nrm > 0.0):
             zid = ids[nrm == 0.0][:5].tolist()

@@ -3242,6 +3242,49 @@ def _chunk_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_mean_features(media).select("cid", "features")
 
 
+def _rag_index_root(sf_dir: str) -> str:
+    """Corpus-keyed root for the persisted chunk-IVF retrieval index."""
+    return _corpus_keyed_root(sf_dir, "sds_rag_index",
+                              "SPARK_GRAFT_RAG_INDEX_ROOT",
+                              "layout1|chunk200-50|feat16")
+
+
+def _ensure_rag_store(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    """Build-if-absent the on-disk chunk-IVF artifact (no in-process
+    memoization — the bench's timed index-build pre-phase calls this
+    directly so the build cost is its own printed line, never silently
+    excluded from OR lumped into a probe query's timing). Returns
+    (published root, k)."""
+    from .operators.similarity import ivf_build_index
+    from .session import stabilize
+
+    root = _rag_index_root(sf_dir)
+    marker = os.path.join(root, "_COMPLETE")
+    if not os.path.exists(marker):
+        import uuid as _uuid
+
+        tmp_root = f"{root}.build-{os.getpid()}-{_uuid.uuid4().hex}"
+        feats = stabilize(_chunk_feats(spark, sf_dir))
+        k = max(_IVF_N_CENTROIDS, feats.count() // _IVF_CELL_ROWS)
+        feats.write.parquet(os.path.join(tmp_root, "feats"))
+        cents = (feats.orderBy("cid").limit(k)
+                 .select(F.col("cid").alias("centroid_id"),
+                         F.col("features").alias("embedding")))
+        ivf_build_index(feats, cents, os.path.join(tmp_root, "index"),
+                        id_col="cid", vec_col="features",
+                        n_centroids=k)
+        with open(os.path.join(tmp_root, "meta.json"), "w",
+                  encoding="utf-8") as fh:
+            json.dump({"k": k}, fh)
+        with open(os.path.join(tmp_root, "_COMPLETE"), "w",
+                  encoding="ascii") as fh:
+            fh.write("layout1")
+        root = _publish_index_root(tmp_root, root)
+    with open(os.path.join(root, "meta.json"), encoding="utf-8") as fh:
+        k = json.load(fh)["k"]
+    return root, k
+
+
 def _chunk_rag_index(spark: SparkSession, sf_dir: str):
     """The chunk-retrieval IVF index as a PERSISTED cross-process
     artifact (VERDICT r16 #4 — the BM25 index got this treatment in
@@ -3262,40 +3305,17 @@ def _chunk_rag_index(spark: SparkSession, sf_dir: str):
 
     First probe of a warm machine ≡ any later probe: read-only scans of
     the stored artifact. Features are float64 → parquet round-trips
-    bit-exactly, so persisted-vs-inline results are identical."""
+    bit-exactly, so persisted-vs-inline results are identical.
+
+    BENCH HYGIENE (VERDICT r17 #3): bench.py wipes this root at suite
+    start and rebuilds it in a timed pre-phase (``index_build_seconds``
+    line), so per-query timings have a stable warm-probe meaning AND
+    every bench run is reproducible from a cold /tmp."""
     cached = _CHUNK_RAG_CACHE.get(sf_dir)
     if cached and os.path.exists(os.path.join(cached[0], "_COMPLETE")):
         root, k = cached
     else:
-        from .operators.similarity import ivf_build_index
-        from .session import stabilize
-
-        root = _corpus_keyed_root(sf_dir, "sds_rag_index",
-                                  "SPARK_GRAFT_RAG_INDEX_ROOT",
-                                  "layout1|chunk200-50|feat16")
-        marker = os.path.join(root, "_COMPLETE")
-        if not os.path.exists(marker):
-            import uuid as _uuid
-
-            tmp_root = f"{root}.build-{os.getpid()}-{_uuid.uuid4().hex}"
-            feats = stabilize(_chunk_feats(spark, sf_dir))
-            k = max(_IVF_N_CENTROIDS, feats.count() // _IVF_CELL_ROWS)
-            feats.write.parquet(os.path.join(tmp_root, "feats"))
-            cents = (feats.orderBy("cid").limit(k)
-                     .select(F.col("cid").alias("centroid_id"),
-                             F.col("features").alias("embedding")))
-            ivf_build_index(feats, cents, os.path.join(tmp_root, "index"),
-                            id_col="cid", vec_col="features",
-                            n_centroids=k)
-            with open(os.path.join(tmp_root, "meta.json"), "w",
-                      encoding="utf-8") as fh:
-                json.dump({"k": k}, fh)
-            with open(os.path.join(tmp_root, "_COMPLETE"), "w",
-                      encoding="ascii") as fh:
-                fh.write("layout1")
-            root = _publish_index_root(tmp_root, root)
-        with open(os.path.join(root, "meta.json"), encoding="utf-8") as fh:
-            k = json.load(fh)["k"]
+        root, k = _ensure_rag_store(spark, sf_dir)
         _CHUNK_RAG_CACHE[sf_dir] = (root, k)
     feats = spark.read.parquet(os.path.join(root, "feats"))
     cents = (feats.orderBy("cid").limit(k)
@@ -3558,7 +3578,15 @@ def _publish_index_root(tmp_root: str, root: str) -> str:
     os.rename it into the keyed root. Returns the directory this
     process should read — the shared root normally, the private copy
     only if an unclearable torn root blocks publication (correct,
-    just unshared)."""
+    just unshared).
+
+    DEPLOYMENT BOUNDARY (single-node FS only, VERDICT r17 #6): the
+    election IS a directory ``os.rename`` — atomic on a local POSIX
+    filesystem, neither atomic nor cheap on an object store (rename =
+    copy+delete) or across mount points (EXDEV). A cluster deployment
+    replaces this with a manifest/catalog commit (Iceberg/Delta table
+    create, a metastore CAS row); this helper is the local-mode drill
+    of that election."""
     import shutil as _shutil
 
     marker = os.path.join(root, "_COMPLETE")
@@ -3587,6 +3615,62 @@ def _bm25_index_root(sf_dir: str) -> str:
                               "layout1|chunk200-50")
 
 
+def _bm25_query_tokens(spark: SparkSession, sf_dir: str) -> list[str]:
+    """Query-side tokenization: only the query chunks' documents are
+    read — never a corpus pass."""
+    qdoc_ids = sorted({cid // 100 for cid in _CHUNK_QUERY_IDS})
+    qd = (_t(spark, sf_dir, "documents")["documents"]
+          .filter(F.col("doc_id").isin(qdoc_ids)))
+    return sorted(
+        r["token"] for r in
+        (_bm25_tokens(qd).filter(F.col("cid").isin(*_CHUNK_QUERY_IDS))
+         .select("token").distinct().collect()))
+
+
+def _ensure_bm25_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build-if-absent the on-disk BM25 impact index (no slice
+    checkpointing — the bench's timed index-build pre-phase calls this
+    directly so the first-runner build cost is its own printed line,
+    never silently excluded from a probe query's timing). Returns the
+    published root.
+
+    Offline build: ONE corpus tokenize + aggregate pass, written
+    token-bucket-partitioned; the marker lands only after every
+    component is on disk (a crashed build is rebuilt whole). The
+    query-term set is corpus-derived (tokens of the fixed query
+    chunks), so it is part of the artifact — later processes skip
+    even the 3-document tokenize job.
+
+    ATOMIC PUBLISH (ADVICE r16): two processes sharing the
+    corpus-keyed root could previously both build INTO root and
+    tear each other's parquet dirs, with the first finisher
+    publishing the marker over the other's in-flight write. Now
+    each builder writes a process-private sibling (marker
+    included) and _publish_index_root renames it into the keyed
+    root — the rename is the election, first publisher wins, the
+    loser discards; probes only ever see a complete artifact."""
+    from .operators.bm25 import bm25_build_index, bm25_term_freqs
+
+    root = _BM25_STORE_CACHE.get(sf_dir) or _bm25_index_root(sf_dir)
+    marker = os.path.join(root, "_COMPLETE")
+    if not os.path.exists(marker):
+        import uuid as _uuid
+
+        tmp_root = f"{root}.build-{os.getpid()}-{_uuid.uuid4().hex}"
+        os.makedirs(tmp_root, exist_ok=True)
+        d = _spread(spark, _t(spark, sf_dir, "documents")["documents"])
+        bm25_build_index(bm25_term_freqs(_bm25_tokens(d)), tmp_root)
+        with open(os.path.join(tmp_root, "qtokens.json"), "w",
+                  encoding="utf-8") as fh:
+            json.dump(_bm25_query_tokens(spark, sf_dir), fh)
+        with open(os.path.join(tmp_root, "_COMPLETE"), "w",
+                  encoding="ascii") as fh:
+            fh.write("layout1")
+        root = _publish_index_root(tmp_root, root)
+    _BM25_STORE_CACHE[sf_dir] = root
+    return root
+
+
 def _bm25_contrib_index(spark: SparkSession, sf_dir: str):
     """The QUERY-TERM slice of the PERSISTED impact-scored inverted
     index BM25 retrieval probes: one (cid, token, contrib) row per
@@ -3612,68 +3696,21 @@ def _bm25_contrib_index(spark: SparkSession, sf_dir: str):
     search probes the slice four ways (term upper bounds, top-k impact
     heads, candidate discovery, scoring) and four registered queries
     share it. Returns (contrib_slice, qterms)."""
-    from .operators.bm25 import (
-        bm25_build_index, bm25_query_slice, bm25_term_freqs,
-    )
+    from .operators.bm25 import bm25_query_slice
     from .session import stabilize
 
     cached = _BM25_IDX_CACHE.get(sf_dir)
     if cached is not None:
         return cached
 
-    root = _BM25_STORE_CACHE.get(sf_dir) or _bm25_index_root(sf_dir)
-    marker = os.path.join(root, "_COMPLETE")
+    root = _ensure_bm25_store(spark, sf_dir)
     qtok_path = os.path.join(root, "qtokens.json")
-
-    def _query_tokens() -> list[str]:
-        # query-side tokenization: only the query chunks' documents
-        # are read — never a corpus pass
-        qdoc_ids = sorted({cid // 100 for cid in _CHUNK_QUERY_IDS})
-        qd = (_t(spark, sf_dir, "documents")["documents"]
-              .filter(F.col("doc_id").isin(qdoc_ids)))
-        return sorted(
-            r["token"] for r in
-            (_bm25_tokens(qd).filter(F.col("cid").isin(*_CHUNK_QUERY_IDS))
-             .select("token").distinct().collect()))
-
-    if not os.path.exists(marker):
-        # offline build: ONE corpus tokenize + aggregate pass, written
-        # token-bucket-partitioned; the marker lands only after every
-        # component is on disk (a crashed build is rebuilt whole). The
-        # query-term set is corpus-derived (tokens of the fixed query
-        # chunks), so it is part of the artifact — later processes skip
-        # even the 3-document tokenize job.
-        #
-        # ATOMIC PUBLISH (ADVICE r16): two processes sharing the
-        # corpus-keyed root could previously both build INTO root and
-        # tear each other's parquet dirs, with the first finisher
-        # publishing the marker over the other's in-flight write. Now
-        # each builder writes a process-private sibling (marker
-        # included) and _publish_index_root renames it into the keyed
-        # root — the rename is the election, first publisher wins, the
-        # loser discards; probes only ever see a complete artifact.
-        import uuid as _uuid
-
-        tmp_root = f"{root}.build-{os.getpid()}-{_uuid.uuid4().hex}"
-        os.makedirs(tmp_root, exist_ok=True)
-        d = _spread(spark, _t(spark, sf_dir, "documents")["documents"])
-        bm25_build_index(bm25_term_freqs(_bm25_tokens(d)), tmp_root)
-        with open(os.path.join(tmp_root, "qtokens.json"), "w",
-                  encoding="utf-8") as fh:
-            json.dump(_query_tokens(), fh)
-        with open(os.path.join(tmp_root, "_COMPLETE"), "w",
-                  encoding="ascii") as fh:
-            fh.write("layout1")
-        root = _publish_index_root(tmp_root, root)
-        marker = os.path.join(root, "_COMPLETE")
-        qtok_path = os.path.join(root, "qtokens.json")
-    _BM25_STORE_CACHE[sf_dir] = root
 
     if os.path.exists(qtok_path):
         with open(qtok_path, encoding="utf-8") as fh:
             toks = json.load(fh)
     else:  # pre-r16 artifact without the token component
-        toks = _query_tokens()
+        toks = _bm25_query_tokens(spark, sf_dir)
     contrib_idx = stabilize(bm25_query_slice(spark, root, toks),
                             eager=True)
     # qterms re-rooted on the contrib checkpoint (query chunks contain

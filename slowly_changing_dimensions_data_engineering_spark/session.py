@@ -81,7 +81,9 @@ def stabilize(df, mode: str | None = None, eager: bool = False):
     BM25 probe's pruning metadata re-ran the stored-index scan+join
     slice per broadcast — 22.8s → ~10s with the blocks pinned first).
     Lazy remains the default: single-consumer frames would pay an extra
-    job for nothing."""
+    job for nothing. Under ``mode="none"`` eager is a NO-OP (the frame
+    returns unchanged, so multi-broadcast consumers re-derive lineage)
+    — acceptable for that debug-only mode (ADVICE r17)."""
     mode = mode or df.sparkSession.conf.get(STABILIZE_MODE_CONF, "local")
     if mode == "local":
         return df.localCheckpoint(eager=eager)
@@ -166,6 +168,19 @@ def get_spark(app_name: str = "sds-spark-engine", cpus: int | None = None,
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
     spark = configure(builder.getOrCreate())
+    if opts:
+        # launch-time conf: silently ignored when the JVM already exists
+        # (ADVICE r17 — a caller setting SPARK_GRAFT_PRETOUCH=1 against a
+        # pre-existing gateway would believe variance is controlled when
+        # it is not). Warn loudly instead of proceeding quietly.
+        eff = spark.conf.get("spark.driver.extraJavaOptions", "")
+        if "-XX:+AlwaysPreTouch" not in (eff or ""):
+            import warnings
+            warnings.warn(
+                "SPARK_GRAFT_PRETOUCH=1 requested but the existing "
+                "driver JVM was launched without -XX:+AlwaysPreTouch; "
+                "the pretouch is NOT in effect for this session",
+                RuntimeWarning, stacklevel=2)
     # Reliable-checkpoint storage for stabilize(mode="reliable"): a
     # durable shared path in production ($SPARK_GRAFT_CKPT_DIR → HDFS/S3
     # on a cluster); a local temp dir otherwise so the mode is always

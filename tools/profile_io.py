@@ -11,6 +11,15 @@ Usage: python tools/profile_io.py SF_DIR query [query ...]
 Prints one JSON line per query:
   {"query": q, "jobs": J, "stages": S, "tasks": T,
    "input_gb": .., "shuffle_write_gb": .., "sec": ..}
+
+Known undercounts (ADVICE r17): the job count derives from each
+stage's jobIds[0] via /stages (a stage shared by several jobs is
+charged to its first, and stages lacking jobIds are dropped from the
+job tally), and status=complete excludes SKIPPED stages — exactly the
+AQE exchange-reuse stages a reuse-heavy plan produces. Treat "jobs" as
+a lower bound and rely on tasks/bytes (complete stages only) for the
+waste arithmetic; byte totals are unaffected because skipped stages
+re-serve already-counted shuffle output rather than reading new input.
 """
 
 from __future__ import annotations
