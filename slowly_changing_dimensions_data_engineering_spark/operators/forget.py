@@ -186,15 +186,37 @@ def forget_cascade(spark: SparkSession, kill: DataFrame, kill_col: str,
     is deleted separately via ``merge.py::delete_where`` (it needs CDC
     emission and version history, which a raw parquet tree does not
     have); compose both in one pass as
-    ``queries.deletion_cascade_audit`` does."""
-    rows = []
-    for name, (path, id_col, pcol) in sorted(artifacts.items()):
+    ``queries.deletion_cascade_audit`` does.
+
+    The artifacts are DISJOINT parquet trees, so their rewrites are
+    independent jobs and run through a small thread pool (guide §2.6 —
+    each artifact's pass is a chain of small driver-synchronized jobs,
+    and running them sequentially left the cluster idle between
+    chains; r18, VERDICT r17 #7). The dynamic-partition-overwrite conf
+    is session-global, NOT thread-local, so it is held once around the
+    whole pool — the per-call set/restore inside forget_partitions then
+    sees "dynamic" as both target and previous value and the restore
+    race disappears."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    items = sorted(artifacts.items())
+
+    def one(item):
+        name, (path, id_col, pcol) = item
         rep = forget_partitions(
             spark, path, kill.select(F.col(kill_col).alias(id_col)),
             id_col, pcol)
-        rows.append((name, rep["n_before"], rep["n_after"],
-                     rep["n_removed"], len(rep["partitions_rewritten"]),
-                     len(rep["partitions_dropped"])))
+        return (name, rep["n_before"], rep["n_after"],
+                rep["n_removed"], len(rep["partitions_rewritten"]),
+                len(rep["partitions_dropped"]))
+
+    prev = spark.conf.get(_OVERWRITE_MODE, "static")
+    spark.conf.set(_OVERWRITE_MODE, "dynamic")
+    try:
+        with ThreadPoolExecutor(max_workers=max(1, len(items))) as pool:
+            rows = list(pool.map(one, items))
+    finally:
+        spark.conf.set(_OVERWRITE_MODE, prev)
     return spark.createDataFrame(
         rows, schema="artifact string, n_before long, n_after long,"
                      " n_removed long, n_parts_rewritten long,"

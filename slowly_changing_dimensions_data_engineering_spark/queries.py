@@ -3841,12 +3841,18 @@ def bm25_index_append_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not (root and os.path.exists(os.path.join(root, "_COMPLETE"))):
         root = os.path.join(_pipeline_tmpdir("sds_bm25_app_"), "index")
         d = _spread(spark, _t(spark, sf_dir, "documents")["documents"])
+        # ONE corpus tokenize+tf pass for BOTH the 80% build and the
+        # 20% append (r18): tf and dl are chunk-local (grouped /
+        # windowed per cid), so filtering the full-corpus tf frame by
+        # doc slice is bit-identical to tokenizing each slice
+        # separately — the drill previously paid the corpus pass twice
+        # (phase-profiled sf0.1: build80 9.4s + append20 5.7s, the
+        # second pass pure recompute).
+        tf_full = stabilize(bm25_term_freqs(_bm25_tokens(d)), eager=True)
         bm25_build_index(
-            bm25_term_freqs(_bm25_tokens(d.filter(F.col("doc_id") % 5 != 0))),
-            root)
+            tf_full.filter(F.expr("(cid div 100) % 5 != 0")), root)
         bm25_index_append(
-            bm25_term_freqs(_bm25_tokens(d.filter(F.col("doc_id") % 5 == 0))),
-            root)
+            tf_full.filter(F.expr("(cid div 100) % 5 = 0")), root)
         os.makedirs(root, exist_ok=True)
         with open(os.path.join(root, "_COMPLETE"), "w",
                   encoding="ascii") as fh:
@@ -7705,7 +7711,14 @@ def _stream_state_partitions(spark: SparkSession, n_rows: int) -> int:
     state small at scale (sf10: 10M rows → the full core count) while
     a toy stream stops paying 32 stores' worth of commit fsyncs per
     batch; clamped to defaultParallelism exactly like a cluster
-    deployment sizing state width to its executor cores."""
+    deployment sizing state width to its executor cores.
+
+    ``n_rows`` is the FULL events-table count — an intentional
+    upper-bound proxy (ADVICE r17): the streams ingest only the
+    click/purchase subsets (~half the rows), so the denominator
+    overstates by ~2x, which only ever rounds the width UP within the
+    same clamp; the callers pass the count they already need for
+    staging rather than paying two more filtered aggregates."""
     return max(1, min(spark.sparkContext.defaultParallelism,
                       n_rows // 50_000))
 
@@ -7720,13 +7733,24 @@ def _stream_join_out(spark: SparkSession, sf_dir: str) -> str:
     front, the fourth staged AFTER a checkpointed RESTART (the mv/ann
     pipelines' exactly-once-across-restarts drill applied to a
     two-source join).
-    ``maxFilesPerTrigger=1`` under availableNow makes each slice one
-    micro-batch; file mtimes are forced monotone so the file source's
-    modification-time ordering processes slices in event-time order,
-    which (with watermark_delay=2h ≫ batch-boundary disorder and
-    join_window=1h) guarantees no in-window match is ever dropped —
-    the condition under which the streaming join equals the static
-    inner join the oracle computes."""
+
+    Batch granularity is ONE DATA BATCH PER RUN (no maxFilesPerTrigger
+    cap under availableNow — r18, VERDICT r17 #5): the stream-stream
+    join keeps four state stores and every micro-batch commits a delta
+    file per store per partition, so the previous one-slice-per-batch
+    feeding (~12 micro-batches across both runs) made the drill
+    commit-churn-bound (measured sf0.1: run 1 alone was 8 batches /
+    10.0s; one-batch runs cut the drill's stream time ~2x). No-loss is
+    preserved at RUN granularity by the same watermark argument that
+    previously held per slice: within a batch the watermark is the
+    PREVIOUS batch's (nothing evicts mid-batch, all in-state matches
+    are found), and across the restart the persisted watermark is
+    max(run-1 events) - 2h while every run-2 event is on a LATER
+    calendar day, so no late drop — the streaming join still equals
+    the static inner join the oracle computes. Slice staging is
+    fanned out over a small thread pool (independent Spark write jobs,
+    guide §2.6); mtimes stay monotone so any future re-cap of
+    maxFilesPerTrigger keeps event-time file order."""
     import os
     import time as _time
 
@@ -7754,6 +7778,9 @@ def _stream_join_out(spark: SparkSession, sf_dir: str) -> str:
     ev = _attr_events(spark, sf_dir)
     slices = _attr_day_slices(ev)
 
+    t_base = _time.time()  # shared base: mtimes stay monotone in i
+    # even when slices are staged concurrently
+
     def stage(i: int) -> None:
         sl = _attr_slice_df(ev, slices[i])
         _stage_json(sl.filter(F.col("event_type") == "click")
@@ -7762,7 +7789,7 @@ def _stream_join_out(spark: SparkSession, sf_dir: str) -> str:
                     .drop("event_type"), root, p_dir, f"load{i}.json")
         # monotone mtimes: the file source orders by modification time,
         # and slice order IS event-time order here (watermark safety)
-        t = _time.time() + i
+        t = t_base + i
         for d in (c_dir, p_dir):
             os.utime(os.path.join(d, f"load{i}.json"), (t, t))
 
@@ -7771,12 +7798,11 @@ def _stream_join_out(spark: SparkSession, sf_dir: str) -> str:
     def run_stream() -> None:
         # The stream-stream join keeps FOUR state stores (two per side)
         # and every micro-batch commits a delta file per store per
-        # shuffle partition — at the drill's ~14 micro-batches, an
-        # oversized width is pure state-store file churn (measured r17
-        # at sf0.1: 13-20s at 8 partitions, 8.7-10s at the derived 2).
-        # Width derives from the input size (_stream_state_partitions)
-        # and is pinned at checkpoint creation (restarts reuse the
-        # checkpointed value).
+        # shuffle partition — an oversized width is pure state-store
+        # file churn (measured r17 at sf0.1: 13-20s at 8 partitions,
+        # 8.7-10s at the derived 2). Width derives from the input size
+        # (_stream_state_partitions) and is pinned at checkpoint
+        # creation (restarts reuse the checkpointed value).
         old = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions",
                        str(_stream_state_partitions(spark, n_ev)))
@@ -7784,13 +7810,14 @@ def _stream_join_out(spark: SparkSession, sf_dir: str) -> str:
             q = start_click_attribution(
                 spark, c_dir, p_dir, out, ckpt, schema,
                 join_window="1 hour", watermark_delay="2 hours",
-                available_now=True, max_files_per_trigger=1)
+                available_now=True)
             q.awaitTermination()
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", old)
 
-    for i in range(3):
-        stage(i)
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        list(pool.map(stage, range(3)))
     run_stream()
     stage(3)
     run_stream()
@@ -7889,12 +7916,15 @@ def _stream_join_outer_out(spark: SparkSession, sf_dir: str) -> str:
     ev = _attr_events(spark, sf_dir)
     slices = _attr_day_slices(ev)
 
+    t_base = _time.time()  # shared base: mtimes stay monotone in i
+    # even when slices are staged concurrently
+
     def stage(i: int, sl: DataFrame) -> None:
         _stage_json(sl.filter(F.col("event_type") == "click")
                     .drop("event_type"), root, c_dir, f"load{i}.json")
         _stage_json(sl.filter(F.col("event_type") == "purchase")
                     .drop("event_type"), root, p_dir, f"load{i}.json")
-        t = _time.time() + i
+        t = t_base + i
         for d in (c_dir, p_dir):
             os.utime(os.path.join(d, f"load{i}.json"), (t, t))
 
@@ -7912,7 +7942,8 @@ def _stream_join_outer_out(spark: SparkSession, sf_dir: str) -> str:
     n_ev = ev.count()  # sizes the state width; one bounded aggregate
 
     def run_stream() -> None:
-        # see _stream_join_out: size the state-store width to the input
+        # see _stream_join_out: size the state-store width to the
+        # input, one data batch per run (no maxFilesPerTrigger cap)
         old = spark.conf.get("spark.sql.shuffle.partitions")
         spark.conf.set("spark.sql.shuffle.partitions",
                        str(_stream_state_partitions(spark, n_ev)))
@@ -7920,14 +7951,15 @@ def _stream_join_outer_out(spark: SparkSession, sf_dir: str) -> str:
             q = start_click_attribution(
                 spark, c_dir, p_dir, out, ckpt, schema,
                 join_window="1 hour", watermark_delay="2 hours",
-                available_now=True, max_files_per_trigger=1,
-                how="left_outer")
+                available_now=True, how="left_outer")
             q.awaitTermination()
         finally:
             spark.conf.set("spark.sql.shuffle.partitions", old)
 
-    for i in range(3):
-        stage(i, _attr_slice_df(ev, slices[i]))
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        list(pool.map(lambda i: stage(i, _attr_slice_df(ev, slices[i])),
+                      range(3)))
     run_stream()
     stage(3, _attr_slice_df(ev, slices[3]))
     stage(4, sent)
@@ -9301,32 +9333,52 @@ def _forget_base(spark: SparkSession, sf_dir: str) -> dict:
     d = _t(spark, sf_dir, "documents")["documents"]
     e = _t(spark, sf_dir, "embeddings")["embeddings"]
 
-    # corpus store: bucketed so a delete rewrites only buckets holding
-    # killed rows (the delete_dml convention); the initial load writes
-    # all 8 buckets via the pruned-commit path
-    store.create("docs", d.schema, bucket_by=(["doc_id"], 8))
-    store.commit_buckets("docs", d, range(8))
-
     mh_path = _os.path.join(root, "minhash_index")
-    minhash_index_append(minhash_band_frame(d), mh_path)
-
     ivf_path = _os.path.join(root, "ivf_index")
+    shard_path = _os.path.join(root, "shard_manifest")
     k = max(_IVF_N_CENTROIDS, e.count() // _IVF_CELL_ROWS)
     cents = (e.filter(F.col("vec_id") < k)
              .select(F.col("vec_id").alias("centroid_id"), "embedding"))
-    ivf_build_index(e.select("vec_id", "embedding"), cents, ivf_path,
-                    n_centroids=k)
 
-    shard_path = _os.path.join(root, "shard_manifest")
-    (shard_assign(d.select("doc_id"), n_shards=8, seed="epoch1")
-     .write.partitionBy("shard").parquet(shard_path))
+    # The four artifacts are independent writes into disjoint trees —
+    # build them concurrently so one artifact's small driver-
+    # synchronized jobs back-fill another's stragglers (guide §2.6;
+    # r18, VERDICT r17 #7 — the sequential build left the 32-core box
+    # mostly idle). The minhash band frame gets _spread: its shingle
+    # pass is CPU-heavy and the single-split documents scan would
+    # serialize it onto one core (the expansion pipeline already did
+    # this; the band-frame ROWS are identical either way).
+    def _b_store() -> None:
+        # bucketed so a delete rewrites only buckets holding killed
+        # rows (the delete_dml convention); the initial load writes
+        # all 8 buckets via the pruned-commit path
+        store.create("docs", d.schema, bucket_by=(["doc_id"], 8))
+        store.commit_buckets("docs", d, range(8))
 
-    n_before = {
-        "corpus_store": store.read(spark, "docs").count(),
-        "minhash_index": spark.read.parquet(mh_path).count(),
-        "ivf_index": spark.read.parquet(ivf_path).count(),
-        "shard_manifest": spark.read.parquet(shard_path).count(),
-    }
+    def _b_mh() -> None:
+        minhash_index_append(minhash_band_frame(_spread(spark, d)), mh_path)
+
+    def _b_ivf() -> None:
+        ivf_build_index(e.select("vec_id", "embedding"), cents, ivf_path,
+                        n_centroids=k)
+
+    def _b_shard() -> None:
+        (shard_assign(d.select("doc_id"), n_shards=8, seed="epoch1")
+         .write.partitionBy("shard").parquet(shard_path))
+
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        for f in [pool.submit(fn)
+                  for fn in (_b_store, _b_mh, _b_ivf, _b_shard)]:
+            f.result()
+        counts = pool.map(lambda df: df.count(), [
+            store.read(spark, "docs"),
+            spark.read.parquet(mh_path),
+            spark.read.parquet(ivf_path),
+            spark.read.parquet(shard_path)])
+    n_before = dict(zip(
+        ("corpus_store", "minhash_index", "ivf_index", "shard_manifest"),
+        counts))
     state = {"root": root, "mh": mh_path, "ivf": ivf_path,
              "shard": shard_path, "n_before": n_before}
     _FORGET_BASE_CACHE[sf_dir] = state

@@ -94,6 +94,19 @@ def start_streaming_bm25_index(
     def process_batch(batch_df, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # A micro-batch of few landed files arrives as few input
+        # splits, serializing the chunk+tokenize explode onto as many
+        # cores (measured r18 at sf0.1: the 1.2 MB bootstrap batch ran
+        # its corpus pass single-core — 19.2s for the run). Spread
+        # only when the batch's split count is below the core count —
+        # a no-op at real scale, the queries._spread convention.
+        target = batch_df.sparkSession.sparkContext.defaultParallelism
+        try:
+            n_splits = len(batch_df.inputFiles())
+        except Exception:  # non-file-backed batch plan
+            n_splits = batch_df.rdd.getNumPartitions()
+        if n_splits < target:
+            batch_df = batch_df.repartition(target)
         tf = bm25_term_freqs(bm25_tokenize_documents(
             batch_df, chunk_chars=chunk_chars, overlap=overlap,
             id_col=id_col, text_col=text_col))
